@@ -1,0 +1,127 @@
+"""Text-analysis expression library for the documents pipeline.
+
+Everything here returns Column expressions (JVM-side, codegen-friendly) —
+the "scalar function library" capability the reference entirely lacks
+(SURVEY §2.7: arbitrary Rust closures instead of a function library).
+
+Used by the dedup/quality/language queries; each has a DuckDB-expressible
+twin so results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "avg_token_len",
+    "stopword_ratio",
+    "normalize_ws",
+    "fingerprint",
+    "lang_score",
+    "lang_id",
+    "quality_score",
+    "bpe_ish_token_count",
+]
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (trim first so empty docs yield one empty token
+    consistently across engines)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
+    )
+    return F.round(total / F.size(toks), 4)
+
+
+def stopword_ratio(text: Column, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    return F.round(hits / F.size(toks), 4)
+
+
+def normalize_ws(text: Column) -> Column:
+    """Lowercase + collapse runs of whitespace — canonical form for exact
+    fingerprinting."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 is available in Spark and DuckDB with identical hex output, so the
+    fingerprint is oracle-checkable (unlike xxhash64, which is Spark-only).
+    """
+    return F.md5(normalize_ws(text))
+
+
+def lang_score(text: Column, markers: Sequence[str]) -> Column:
+    """Count marker-word hits — the building block of the n-gram/stopword
+    language-ID heuristic."""
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda w: w.isin(*markers))).cast("bigint")
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit language-ID heuristic with deterministic tie-break
+    (highest score wins; ties resolve in fixed language order; all-zero →
+    'und')."""
+    best_lang = F.lit("und")
+    best_score = F.lit(-1).cast("bigint")
+    for lang in sorted(_LANG_MARKERS):
+        score = lang_score(text, _LANG_MARKERS[lang])
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(best_score <= 0, F.lit("und")).otherwise(best_lang)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + average token
+    length band + stopword presence."""
+    n = token_count(text)
+    atl = avg_token_len(text)
+    sw = stopword_ratio(text)
+    return F.round(
+        (
+            F.when((n >= 20) & (n <= 2000), 0.4).otherwise(0.0)
+            + F.when((atl >= 2.0) & (atl <= 12.0), 0.3).otherwise(0.0)
+            + F.when(sw > 0.0, 0.3).otherwise(0.0)
+        ),
+        2,
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate subword token count: word chunks + digits + punctuation as
+    separate tokens (a BPE-flavored regex heuristic; deliberately simple so
+    the DuckDB twin matches exactly)."""
+    # count matches of: runs of letters (≤4 chars per token piece), digits, or single non-space symbol
+    pieces = F.split(F.trim(text), r"\s+")
+    per_word = F.transform(
+        pieces, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("bigint")
+    )
+    return F.aggregate(per_word, F.lit(0).cast("bigint"), lambda a, b: a + b)

