@@ -43,6 +43,13 @@ def main() -> None:
     spark = get_spark(app_name="tamar-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup: JVM codegen + parquet footer reads, so the first timed
+    # query doesn't absorb session startup cost
+    from tamar_spark.sources import load_table
+
+    for t in ("events", "lineitem", "orders", "customer", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+
     timings = {}
     total = 0.0
     for name in HEADLINE:

@@ -1,0 +1,146 @@
+"""Multimodal column convention: opaque binary payloads + typed metadata.
+
+Image/audio/video content is carried as a ``binary`` column plus a metadata
+struct — the Spark-native layout for a 100 TB multimodal corpus (payload
+bytes stay columnar in parquet, metadata predicates prune row groups
+without touching payloads).
+
+The decode/feature steps run as Arrow-batched ``mapInPandas`` stages.  The
+actual codecs (PIL/ffmpeg/librosa) are NOT available in this container, so
+decode bodies are stubbed: :func:`decode_image` raises
+``NotImplementedError`` unless ``fake=True``, which produces a
+deterministic fake decode (dimensions derived from the payload hash) so the
+Spark-side plumbing — schema, batching, partitioning — is real and tested.
+
+Scale notes: payload columns are heavy — always ``select`` metadata-only
+projections for filtering/joins and re-attach payloads late (column pruning
+does this automatically when expressed declaratively).  ``mapInPandas``
+batch size is governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+decode stages should repartition to ~(cores × small factor) partitions since
+they are CPU-bound, not IO-bound.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media_meta",
+    "decode_image",
+    "extract_image_features",
+    "sample_frames",
+]
+
+# canonical multimodal column layout: (payload binary, meta struct)
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("media_type", StringType()),  # image/audio/video
+                    StructField("format", StringType()),  # png/jpeg/wav/mp4/...
+                    StructField("n_bytes", LongType()),
+                    StructField("sha256", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, payload_col: str = "payload", media_type: str = "image", fmt: str = "bin") -> DataFrame:
+    """Derive the typed metadata struct from a binary payload column —
+    pure expressions, no Python."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.length(p).cast("long").alias("n_bytes"),
+            F.lower(F.sha2(p, 256)).alias("sha256"),
+        ),
+    )
+
+
+_DECODE_SCHEMA = "id long, width int, height int, n_channels int, sha256 string"
+
+
+def decode_image(df: DataFrame, id_col: str = "id", payload_col: str = "payload", fake: bool = False) -> DataFrame:
+    """Decode image payloads to (width, height, channels) via mapInPandas.
+
+    STUB: real decoding needs an image codec library not present in this
+    container.  ``fake=True`` runs a deterministic fake decode (dims from
+    the payload hash) so the distributed plumbing is exercised end-to-end;
+    ``fake=False`` raises ``NotImplementedError`` at execution time.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "pass fake=True to exercise the pipeline"
+                )
+            out = pd.DataFrame()
+            out["id"] = pdf[id_col]
+            digests = pdf[payload_col].map(
+                lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()
+            )
+            out["width"] = digests.map(lambda d: 64 + int(d[:4], 16) % 1920).astype("int32")
+            out["height"] = digests.map(lambda d: 64 + int(d[4:8], 16) % 1080).astype("int32")
+            out["n_channels"] = 3
+            out["sha256"] = digests
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+def extract_image_features(decoded: DataFrame) -> DataFrame:
+    """Feature extraction over decoded dims — expression-only example stage
+    (aspect ratio, megapixels, orientation bucket)."""
+    return decoded.select(
+        "id",
+        (F.col("width") / F.col("height")).alias("aspect_ratio"),
+        (F.col("width") * F.col("height") / F.lit(1e6)).alias("megapixels"),
+        F.when(F.col("width") >= F.col("height"), "landscape")
+        .otherwise("portrait")
+        .alias("orientation"),
+    )
+
+
+def sample_frames(df: DataFrame, id_col: str = "id", payload_col: str = "payload", every_n: int = 10, fake: bool = False) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: 1→n rows per input via
+    mapInPandas (STUB decode; deterministic fake frame count = bytes % 100)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video codec not available; pass fake=True for plumbing tests"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                n_frames = (len(bytes(r[payload_col] or b"")) % 100) + 1
+                for i in range(0, n_frames, every_n):
+                    rows.append({"id": r[id_col], "frame_idx": i})
+            yield pd.DataFrame(rows, columns=["id", "frame_idx"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sample, schema="id long, frame_idx int"
+    )

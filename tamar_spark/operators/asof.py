@@ -5,17 +5,19 @@ For each left row, pick the latest right row with
 Deterministic tie-break on equal ``right_on``: the greatest value of
 ``tiebreak`` wins (so results are stable under re-partitioning).
 
-Two physical strategies, chosen by ``strategy``:
+Three physical strategies, chosen by ``strategy``:
 
-- ``"merge"`` (default, the 100 TB path): co-partition both sides on the key
-  via ``groupBy(...).cogroup`` and run a vectorized ``pandas.merge_asof`` per
-  key group.  One shuffle per side, no row blow-up, memory bounded by the
-  per-key group (salt or split heavy keys upstream if a single key exceeds
-  executor memory).
-- ``"filter"``: non-equi join + ``row_number`` pruning.  Fully JVM-side, but
-  materializes |left| × |matching right| intermediate rows — only sane when
-  the per-key right side is small; kept as the oracle-shaped reference
-  implementation.
+- ``"union"`` (default, the 100 TB path): tag both sides, union them, and
+  compute ``last(right_struct, ignoreNulls)`` over a per-key window ordered
+  by (time, side, tiebreak).  Entirely JVM-side (one shuffle + one sort, no
+  Python, no row blow-up) — the classic sort-merge as-of expressed as a
+  window function, so whole-stage codegen applies.
+- ``"merge"``: co-partition both sides via ``cogroup`` and run a vectorized
+  ``pandas.merge_asof`` per key group.  Kept for API parity with opaque
+  per-group logic; slower than ``union`` (Arrow + Python per group).
+- ``"filter"``: non-equi join + ``row_number`` pruning.  Materializes
+  |left| × |matching right| intermediate rows — only sane when the per-key
+  right side is tiny; kept as the oracle-shaped reference implementation.
 """
 
 from __future__ import annotations
@@ -37,29 +39,84 @@ def asof_join(
     right_by: str,
     right_cols: Optional[Sequence[str]] = None,
     tiebreak: Optional[str] = None,
-    strategy: str = "merge",
+    strategy: str = "union",
 ) -> DataFrame:
     """Left as-of join: every left row, plus the matched right row's columns
     (NULL when no right row precedes it)."""
     right_cols = list(right_cols or [c for c in right.columns if c not in (right_by,)])
     if strategy == "filter":
         return _asof_filter(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak)
-    return _asof_merge(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak)
+    if strategy == "merge":
+        return _asof_merge(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak)
+    return _asof_union(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak)
+
+
+def _asof_union(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak):
+    left_cols = list(left.columns)
+    r_struct_fields = right.select(*right_cols).schema
+    # right rows: key aligned to left_by, event time aligned to left_on,
+    # payload packed in one struct (non-null marker for last(ignoreNulls) —
+    # individual right columns may legitimately be NULL)
+    r = right.select(
+        F.col(right_by).alias(left_by),
+        F.col(right_on).alias("_t"),
+        F.lit(0).alias("_side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
+        F.struct(*right_cols).alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c != left_by],
+    )
+    l = left.select(
+        F.col(left_by),
+        F.col(left_on).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        *[F.col(c) for c in left_cols if c != left_by],
+    )
+    # order: time asc; at equal time right rows first (allow exact matches),
+    # among equal right times ascending tiebreak so last() == greatest
+    w = (
+        Window.partitionBy(left_by)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    return matched.select(
+        *[F.col(c) for c in left_cols],
+        *[F.col("_m").getField(c).alias(c) for c in right_cols],
+    )
+
+
+def _needed_right_cols(right_on, right_cols, tiebreak):
+    """right_on/tiebreak must ride along even when not requested as outputs."""
+    extra = [c for c in (right_on, tiebreak) if c and c not in right_cols]
+    return right_cols + extra
 
 
 def _asof_filter(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak):
-    r = right.select(right_by, *right_cols)
+    # alias the right key so the join works when left_by == right_by
+    r = right.select(
+        F.col(right_by).alias("_asof_rby"),
+        *_needed_right_cols(right_on, right_cols, tiebreak),
+    )
     joined = left.join(
-        r, (F.col(left_by) == F.col(right_by)) & (F.col(right_on) <= F.col(left_on)), "left"
+        r,
+        (F.col(left_by) == F.col("_asof_rby")) & (F.col(right_on) <= F.col(left_on)),
+        "left",
     )
     order = [F.col(right_on).desc()]
     if tiebreak:
         order.append(F.col(tiebreak).desc())
     w = Window.partitionBy(*left.columns).orderBy(*order)
+    drop_extra = [c for c in (right_on, tiebreak) if c and c not in right_cols]
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", right_by)
+        .drop("_rn", "_asof_rby", *drop_extra)
     )
 
 
@@ -103,7 +160,10 @@ def _asof_merge(left, right, left_on, right_on, left_by, right_by, right_cols, t
         return out[[f.name for f in out_fields]]
 
     lg = left.groupBy(left_by)
-    rg = right.select(right_by, *[c for c in right_cols if c != right_by]).groupBy(right_by)
+    rg = right.select(
+        right_by,
+        *[c for c in _needed_right_cols(right_on, right_cols, tiebreak) if c != right_by],
+    ).groupBy(right_by)
     return lg.cogroup(rg).applyInPandas(
         lambda l_pdf, r_pdf: merge(l_pdf, r_pdf), schema=out_schema
     )

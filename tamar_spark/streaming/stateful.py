@@ -1,0 +1,184 @@
+"""Stateful processing: the reference's universal operator on Spark.
+
+``process_state`` is the primitive every reference operator lowers to
+(reference src/lib.rs:176-199 un-keyed, src/lib.rs:323-361 keyed): for each
+event, in per-key arrival order, call a user function with (key, event,
+per-key state, global state) and emit 0..n outputs.
+
+Spark mapping (SURVEY §2.4):
+
+- **Batch mode** (:func:`process_state`): ``groupBy(keys).applyInPandas`` —
+  each key group arrives as one pandas DataFrame sorted by event time, and
+  the user function walks it sequentially with a mutable state object.
+  Semantically identical to the reference's per-key HashMap state
+  (src/lib.rs:340-353), because the reference too processes each key's
+  events in arrival order within a single task.  Scale: one shuffle on the
+  key; each group must fit in executor memory (same constraint class as the
+  reference's unbounded in-memory state, but per-key and spillable via
+  Arrow batching).
+
+- **Streaming mode** (:func:`process_state_streaming`):
+  ``applyInPandasWithState`` with a pickled per-key state blob —
+  init-on-first-use replicates the reference's ``key_state_fn`` lazy
+  initialization (src/lib.rs:347-349).  The newer
+  ``transformWithStateInPandas`` path (:class:`StatefulProcessor`) is kept
+  behind an availability gate: its state server requires the python
+  ``protobuf`` package, which not every deployment ships.
+
+- **Global state** (reference ``GST``, a process-wide ``Arc<Mutex<_>>``):
+  fundamentally single-writer — we expose it in batch mode by keying
+  everything to one group (``lit(1)``), and document the scale hazard
+  (SURVEY §4.3.2): a global accumulator at 100 TB is a design smell; prefer
+  re-expressing as an aggregation.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["process_state", "process_state_streaming", "StatefulProcessor"]
+
+
+def process_state(
+    keyed,
+    fn: Callable[[tuple, pd.DataFrame, Any], pd.DataFrame],
+    schema,
+    init_state: Optional[Callable[[tuple], Any]] = None,
+):
+    """Batch per-key ordered stateful processing.
+
+    ``fn(key, pdf, state) -> pdf_out`` receives the key tuple, the key's
+    events sorted by event time (whole group, arrival order — exactly what
+    the reference's per-event loop observes over a run), and a fresh state
+    object from ``init_state(key)`` (the reference's ``key_state_fn``,
+    src/lib.rs:347-349).
+    """
+    from tamar_spark.stream import DataStream
+
+    ts = keyed.event_time
+    key_names = [keyed.df.select(k).columns[0] for k in keyed.keys]
+
+    def apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if ts is not None and ts in pdf.columns:
+            pdf = pdf.sort_values(ts)
+        state = init_state(key) if init_state is not None else None
+        return fn(key, pdf, state)
+
+    out = keyed.df.groupBy(*keyed.keys).applyInPandas(apply, schema=schema)
+    return DataStream(out, env=keyed.env, event_time=ts)
+
+
+class StatefulProcessor:
+    """Adapter exposing the reference's (key, event, key_state) loop on
+    Spark 4's ``transformWithStateInPandas`` StatefulProcessor API."""
+
+    def __init__(self, fn, init_state, out_schema):
+        self.fn = fn
+        self.init_state = init_state
+        self.out_schema = out_schema
+
+    def build(self):
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor as _SP,
+        )
+        from pyspark.sql.types import BinaryType, StructField, StructType
+
+        fn, init_state = self.fn, self.init_state
+
+        class _Proc(_SP):
+            def init(self, handle):
+                self.handle = handle
+                self.state = handle.getValueState(
+                    "tamar_state", StructType([StructField("blob", BinaryType())])
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                if self.state.exists():
+                    st = pickle.loads(self.state.get()[0])
+                else:
+                    st = init_state(key) if init_state is not None else None
+                out = []
+                for pdf in rows:
+                    res = fn(key, pdf, st)
+                    if res is not None and len(res):
+                        out.append(res)
+                self.state.update((pickle.dumps(st),))
+                return iter(out)
+
+            def close(self):
+                pass
+
+        return _Proc()
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the python protobuf package for its
+    state-server protocol; absent → fall back to applyInPandasWithState."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def process_state_streaming(
+    keyed,
+    fn: Callable[[tuple, pd.DataFrame, Any], pd.DataFrame],
+    schema,
+    init_state: Optional[Callable[[tuple], Any]] = None,
+    output_mode: str = "append",
+    time_mode: str = "None",
+    use_tws: Optional[bool] = None,
+):
+    """Streaming per-key stateful processing.
+
+    Key state is pickled into a per-key binary blob (RocksDB-backed at
+    scale, evicted with the state store's usual mechanisms) —
+    init-on-first-use like the reference's ``key_state_fn``
+    (src/lib.rs:347-349).  Each micro-batch's rows for a key arrive in one
+    call, source-ordered within the batch.
+
+    Uses ``transformWithStateInPandas`` when its protobuf dependency is
+    available (or ``use_tws=True`` forces it), else
+    ``applyInPandasWithState`` — same user-function contract either way.
+    """
+    from tamar_spark.stream import DataStream
+
+    if use_tws is None:
+        use_tws = _tws_available()
+    if use_tws:
+        proc = StatefulProcessor(fn, init_state, schema).build()
+        out = keyed.df.groupBy(*keyed.keys).transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=schema,
+            outputMode=output_mode,
+            timeMode=time_mode,
+        )
+        return DataStream(out, env=keyed.env, event_time=keyed.event_time)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def wrapped(key, pdfs, gstate):
+        if gstate.exists:
+            st = pickle.loads(bytes(gstate.get[0]))
+        else:
+            st = init_state(key) if init_state is not None else None
+        for pdf in pdfs:
+            res = fn(key, pdf, st)
+            if res is not None and len(res):
+                yield res
+        gstate.update((pickle.dumps(st),))
+
+    out = keyed.df.groupBy(*keyed.keys).applyInPandasWithState(
+        wrapped,
+        outputStructType=schema,
+        stateStructType="blob binary",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return DataStream(out, env=keyed.env, event_time=keyed.event_time)

@@ -1,0 +1,227 @@
+"""Unit tests for operators: as-of strategies, dedup, similarity, stateful,
+multimodal plumbing, plan properties."""
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tamar_spark.operators.asof import asof_join
+from tamar_spark.operators import dedup as D
+from tamar_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def asof_data(spark):
+    left = spark.createDataFrame(
+        [
+            Row(eid=1, k=1, t=datetime(2024, 1, 1, 10, 0)),
+            Row(eid=2, k=1, t=datetime(2024, 1, 1, 12, 0)),
+            Row(eid=3, k=2, t=datetime(2024, 1, 1, 9, 0)),   # before any right
+            Row(eid=4, k=3, t=datetime(2024, 1, 1, 9, 0)),   # key with no right
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rt=datetime(2024, 1, 1, 9, 30), rid=10, price=1.0),
+            Row(k=1, rt=datetime(2024, 1, 1, 11, 0), rid=11, price=2.0),
+            # tie on rt: greatest rid must win
+            Row(k=1, rt=datetime(2024, 1, 1, 11, 0), rid=12, price=3.0),
+            Row(k=2, rt=datetime(2024, 1, 1, 10, 0), rid=20, price=4.0),
+        ]
+    )
+    return left, right
+
+
+EXPECTED_ASOF = [
+    (1, 10, 1.0),  # 10:00 → 9:30 order
+    (2, 12, 3.0),  # 12:00 → 11:00 tie → rid 12
+    (3, None, None),  # no right row before 9:00
+    (4, None, None),  # no right rows at all
+]
+
+
+@pytest.mark.parametrize("strategy", ["union", "merge", "filter"])
+def test_asof_strategies_agree(spark, asof_data, strategy):
+    left, right = asof_data
+    out = asof_join(
+        left,
+        right,
+        left_on="t",
+        right_on="rt",
+        left_by="k",
+        right_by="k",
+        right_cols=["rid", "price"],
+        tiebreak="rid",
+        strategy=strategy,
+    )
+    got = sorted((r.eid, r.rid, r.price) for r in out.collect())
+    assert got == EXPECTED_ASOF, f"strategy={strategy}"
+
+
+def test_asof_union_plan_has_no_python(spark, asof_data):
+    left, right = asof_data
+    out = asof_join(
+        left, right, left_on="t", right_on="rt", left_by="k", right_by="k",
+        right_cols=["rid", "price"], tiebreak="rid", strategy="union",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=5, text="a"), Row(doc_id=2, text="a"), Row(doc_id=9, text="b")]
+    )
+    got = sorted((r.doc_id, r.text) for r in D.exact_dedup(df).collect())
+    assert got == [(2, "a"), (9, "b")]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
+    got = sorted(r.shingle for r in D.shingles(df, n=3).collect())
+    assert got == ["a b c", "b c d"]
+    # short doc → no shingles, no error
+    short = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    assert D.shingles(short, n=3).count() == 0
+
+
+def test_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x y z w"), Row(doc_id=2, text="x y z w"),
+         Row(doc_id=3, text="p q r s")]
+    )
+    got = [(r.doc_id_1, r.doc_id_2, r.jaccard) for r in D.jaccard_pairs(df, 0.5).collect()]
+    assert got == [(1, 2, 1.0)]
+
+
+def test_minhash_finds_exact_dupes(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x y z w v u t s"), Row(doc_id=2, text="x y z w v u t s"),
+         Row(doc_id=3, text="completely different words here now ok yes no")]
+    )
+    got = [(r.doc_id_1, r.doc_id_2) for r in D.minhash_lsh_pairs(df, 0.5).collect()]
+    assert got == [(1, 2)]
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x y z w v u"), Row(doc_id=2, text="x y z w v u")]
+    )
+    got = [(r.doc_id_1, r.doc_id_2, r.hamming) for r in D.simhash_pairs(df, 3).collect()]
+    assert got == [(1, 2, 0)]
+
+
+def test_cosine_topk_orthonormal(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = S.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_process_state_batch(spark):
+    from tamar_spark import Environment
+
+    env = Environment(spark)
+    df = spark.createDataFrame(
+        [Row(k=1, ts=datetime(2024, 1, 1, 0, i), v=i) for i in range(5)]
+        + [Row(k=2, ts=datetime(2024, 1, 1, 0, 0), v=100)]
+    )
+    ds = env.add_source(df, event_time="ts")
+
+    def running_max(key, pdf, state):
+        out = pdf.copy()
+        out["run_max"] = out["v"].cummax()
+        return out[["k", "v", "run_max"]]
+
+    got = sorted(
+        tuple(r)
+        for r in ds.key_by("k")
+        .process_state(running_max, schema="k long, v long, run_max long")
+        .to_df()
+        .collect()
+    )
+    assert got == sorted(
+        [(1, 0, 0), (1, 1, 1), (1, 2, 2), (1, 3, 3), (1, 4, 4), (2, 100, 100)]
+    )
+
+
+def test_process_state_streaming(spark, tmp_path):
+    """transformWithStateInPandas path: per-key running count over a stream
+    (reference keyed process_state, src/lib.rs:323-361)."""
+    from tamar_spark import Environment
+    from tamar_spark.streaming.stateful import process_state_streaming
+    from tamar_spark.stream import KeyedDataStream
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [Row(k=i % 2, v=i) for i in range(6)]
+    ).write.parquet(src)
+    sdf = spark.readStream.schema("k long, v long").parquet(src)
+    keyed = KeyedDataStream(sdf, keys=[F.col("k")], env=Environment(spark))
+
+    def counting(key, pdf, state):
+        if state is None:
+            state = {}
+        n0 = state.get("n", 0)
+        out = pdf.copy()
+        out["seen_before"] = n0
+        state["n"] = n0 + len(pdf)
+        return out[["k", "v", "seen_before"]]
+
+    out = process_state_streaming(
+        keyed, counting, schema="k long, v long, seen_before long",
+        init_state=lambda k: {"n": 0},
+    )
+    q = (
+        out.to_df()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("tws_out").collect()
+    assert len(rows) == 6
+    # each key saw 3 events; within one batch seen_before is the pre-batch count
+    assert all(r.seen_before == 0 for r in rows)
+
+
+def test_multimodal_fake_decode(spark):
+    from tamar_spark.functions import multimodal as M
+
+    df = spark.createDataFrame(
+        [Row(id=1, payload=bytearray(b"abc")), Row(id=2, payload=bytearray(b"defgh"))]
+    )
+    meta = M.attach_media_meta(df)
+    m = meta.select("meta.n_bytes", "meta.sha256").orderBy("n_bytes").collect()
+    assert m[0].n_bytes == 3 and len(m[0].sha256) == 64
+    decoded = M.decode_image(df, fake=True).collect()
+    assert len(decoded) == 2
+    assert all(64 <= r.width < 2000 and r.n_channels == 3 for r in decoded)
+    feats = M.extract_image_features(M.decode_image(df, fake=True)).collect()
+    assert all(r.orientation in ("landscape", "portrait") for r in feats)
+    frames = M.sample_frames(df, fake=True).collect()
+    assert len(frames) >= 2
+    # non-fake decode must fail loudly, not silently fake
+    with pytest.raises(Exception):
+        M.decode_image(df, fake=False).collect()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """The declarative filter path must push predicates into the parquet scan
+    (SURVEY §4.1 — the single most important design rule)."""
+    from tamar_spark.sources import load_table
+
+    df = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1][:200]

@@ -1,0 +1,262 @@
+"""Ports of the reference's inline test scenarios (SURVEY §5) to tamar_spark.
+
+The reference asserts exact golden event sequences through deterministic
+finite sources (reference src/lib.rs:958-1646, 16 tests).  Spark gives no
+cross-partition ordering, so assertions here sort outputs first (FIXTURES.md
+§4 golden-output convention).  Event fixtures mirror the reference's
+``(value, hour, minute)`` triples on the fixed date 2009-10-11 with
+event time == watermark time (reference src/lib.rs:1171-1186).
+"""
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tamar_spark import Environment, windows
+
+
+def ev(spark, triples):
+    """Build the reference's test events: (value, hour, minute) on 2009-10-11
+    (reference ``new_event``, src/lib.rs:1171-1186)."""
+    rows = [
+        Row(value=v, ts=datetime(2009, 10, 11, h, m), key=k)
+        for (v, h, m, k) in [(t + (0,) if len(t) == 3 else t) for t in triples]
+    ]
+    return spark.createDataFrame(rows)
+
+
+def outvals(ds, *cols):
+    return sorted(tuple(r) for r in ds.to_df().select(*cols).collect())
+
+
+# -- source → sink identity (reference src/lib.rs:1087-1097) ----------------
+def test_identity(spark):
+    env = Environment(spark)
+    ds = env.add_source(ev(spark, [(i, 12, i) for i in range(10)]), event_time="ts")
+    assert outvals(ds, "value") == [(i,) for i in range(10)]
+
+
+# -- filter (reference src/lib.rs:1099-1115: keep value >= 5) ---------------
+def test_filter(spark):
+    env = Environment(spark)
+    ds = env.add_source(ev(spark, [(i, 12, i) for i in range(10)]), event_time="ts")
+    out = ds.filter(F.col("value") >= 5)
+    assert outvals(out, "value") == [(i,) for i in range(5, 10)]
+
+
+# -- process / map (+10 shift, reference src/lib.rs:1117-1134) --------------
+def test_map_shift(spark):
+    env = Environment(spark)
+    ds = env.add_source(ev(spark, [(i, 12, i) for i in range(10)]), event_time="ts")
+    out = ds.map(F.col("ts"), (F.col("value") + 10).alias("value"))
+    assert outvals(out, "value") == [(i + 10,) for i in range(10)]
+
+
+# -- map preserves event-time metadata (reference with_value, src/lib.rs:38-45)
+def test_map_preserves_timestamps(spark):
+    env = Environment(spark)
+    ds = env.add_source(ev(spark, [(1, 12, 30)]), event_time="ts")
+    out = ds.map(doubled=(F.col("value") * 2))
+    row = out.to_df().collect()[0]
+    assert row.ts == datetime(2009, 10, 11, 12, 30)
+    assert row.doubled == 2
+
+
+# -- keyed state counters (reference src/lib.rs:1141-1169) ------------------
+def test_keyed_process_state_counts(spark):
+    env = Environment(spark)
+    # two keys interleaved; per-key running index like the reference's
+    # key_state counter, plus a global-total analog
+    triples = [(i, 12, i, i % 2) for i in range(10)]
+    ds = env.add_source(ev(spark, triples), event_time="ts")
+
+    def count_events(key, pdf, state):
+        out = pdf.copy()
+        out["per_key_idx"] = range(1, len(pdf) + 1)
+        return out[["key", "value", "per_key_idx"]]
+
+    out = ds.key_by("key").process_state(
+        count_events, schema="key long, value long, per_key_idx long"
+    )
+    got = outvals(out, "key", "value", "per_key_idx")
+    expected = sorted((k, v, v // 2 + 1) for v, k in [(i, i % 2) for i in range(10)])
+    assert got == expected
+
+
+# -- windowed process: separate sessions (reference src/lib.rs:1316-1345) ---
+def test_session_windows_separate(spark):
+    env = Environment(spark)
+    # 12:00,12:01 → one session; 12:30 more than 15m later → separate session
+    ds = env.add_source(ev(spark, [(1, 12, 0), (2, 12, 1), (3, 12, 30)]), event_time="ts")
+    out = (
+        ds.key_by("key")
+        .window(windows.session("15 minutes"))
+        .aggregate(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    got = sorted(
+        (r.window_start, r.total, r.n) for r in out.to_df().collect()
+    )
+    assert got == [
+        (datetime(2009, 10, 11, 12, 0), 3, 2),
+        (datetime(2009, 10, 11, 12, 30), 3, 1),
+    ]
+
+
+# -- windowed process: joined sessions (reference src/lib.rs:1347-1382) -----
+def test_session_windows_joined(spark):
+    env = Environment(spark)
+    # every event within gap of the next → one merged session
+    ds = env.add_source(
+        ev(spark, [(1, 12, 0), (2, 12, 10), (3, 12, 20), (4, 12, 29)]), event_time="ts"
+    )
+    out = (
+        ds.key_by("key")
+        .window(windows.session("15 minutes"))
+        .aggregate(F.sum("value").alias("total"))
+    )
+    rows = out.to_df().collect()
+    assert len(rows) == 1
+    assert rows[0].total == 10
+    assert rows[0].window_start == datetime(2009, 10, 11, 12, 0)
+    # Spark convention: end = last event + gap (bound normalization, SURVEY §4.3.3)
+    assert rows[0].window_end == datetime(2009, 10, 11, 12, 44)
+
+
+# -- windowed aggregate with per-key isolation (reference src/lib.rs:1488-1530)
+def test_session_aggregate_per_key(spark):
+    env = Environment(spark)
+    ds = env.add_source(
+        ev(spark, [(1, 12, 0, 0), (2, 12, 1, 0), (10, 12, 0, 1), (20, 12, 30, 1)]),
+        event_time="ts",
+    )
+    out = (
+        ds.key_by("key")
+        .window(windows.session("15 minutes"))
+        .aggregate(F.sum("value").alias("total"))
+    )
+    got = sorted((r.key, r.total) for r in out.to_df().collect())
+    assert got == [(0, 3), (1, 10), (1, 20)]
+
+
+# -- split on plain stream (reference src/lib.rs:1532-1561) -----------------
+def test_split_plain(spark):
+    env = Environment(spark)
+    ds = env.add_source(ev(spark, [(i, 12, i) for i in range(5)]), event_time="ts")
+    a, b = ds.split()
+    a2 = a.map(F.col("ts"), (F.col("value") + 100).alias("value"))
+    assert outvals(a2, "value") == [(i + 100,) for i in range(5)]
+    assert outvals(b, "value") == [(i,) for i in range(5)]
+
+
+# -- split on keyed stream (reference src/lib.rs:1563-1609) -----------------
+def test_split_keyed(spark):
+    env = Environment(spark)
+    ds = env.add_source(
+        ev(spark, [(i, 12, i, i % 2) for i in range(6)]), event_time="ts"
+    )
+    ka, kb = ds.key_by("key").split()
+    suma = ka.agg(F.sum("value").alias("s"))
+    sumb = kb.agg(F.count(F.lit(1)).alias("n"))
+    assert outvals(suma, "key", "s") == [(0, 6), (1, 9)]
+    assert outvals(sumb, "key", "n") == [(0, 3), (1, 3)]
+
+
+# -- split on windowed stream (reference src/lib.rs:1611-1645) --------------
+def test_split_windowed(spark):
+    env = Environment(spark)
+    ds = env.add_source(ev(spark, [(1, 12, 0), (2, 12, 1)]), event_time="ts")
+    wa, wb = ds.key_by("key").window(windows.session("15 minutes")).split()
+    ra = wa.aggregate(F.sum("value").alias("s"))
+    rb = wb.aggregate(F.count(F.lit(1)).alias("n"))
+    assert outvals(ra, "s") == [(3,)]
+    assert outvals(rb, "n") == [(2,)]
+
+
+# -- keyed transforms drop keyed-ness (reference src/lib.rs:269-321) --------
+def test_keyed_map_drops_key(spark):
+    from tamar_spark.stream import DataStream
+
+    env = Environment(spark)
+    ds = env.add_source(ev(spark, [(1, 12, 0)]), event_time="ts")
+    out = ds.key_by("key").map(F.col("ts"), F.col("value"))
+    assert isinstance(out, DataStream)  # un-keyed, per the reference quirk
+
+
+# -- windowed full-batch process (reference src/lib.rs:755-769) -------------
+def test_windowed_process_full_batch(spark):
+    env = Environment(spark)
+    ds = env.add_source(
+        ev(spark, [(1, 12, 0), (2, 12, 1), (30, 13, 0)]), event_time="ts"
+    )
+    out = ds.key_by("key").window(windows.session("15 minutes")).process()
+    rows = sorted(out.to_df().collect(), key=lambda r: r.window_start)
+    assert [r.n_events for r in rows] == [2, 1]
+    assert [e.value for e in rows[0].events] == [1, 2]  # sorted full batch
+
+
+# -- tumbling/sliding factories (anticipated, never shipped in reference;
+#    factory trait src/lib.rs:423-437) --------------------------------------
+def test_tumbling_window(spark):
+    env = Environment(spark)
+    ds = env.add_source(
+        ev(spark, [(1, 12, 0), (2, 12, 59), (3, 13, 0)]), event_time="ts"
+    )
+    out = ds.key_by("key").window(windows.tumbling("1 hour")).aggregate(
+        F.sum("value").alias("s")
+    )
+    got = sorted((r.window_start, r.s) for r in out.to_df().collect())
+    assert got == [
+        (datetime(2009, 10, 11, 12, 0), 3),
+        (datetime(2009, 10, 11, 13, 0), 3),
+    ]
+
+
+def test_sliding_window(spark):
+    env = Environment(spark)
+    ds = env.add_source(ev(spark, [(1, 12, 15)]), event_time="ts")
+    out = ds.key_by("key").window(windows.sliding("1 hour", "30 minutes")).aggregate(
+        F.count(F.lit(1)).alias("n")
+    )
+    starts = sorted(r.window_start for r in out.to_df().collect())
+    assert starts == [
+        datetime(2009, 10, 11, 11, 30),
+        datetime(2009, 10, 11, 12, 0),
+    ]
+
+
+# -- streaming end-to-end with watermark-gated session firing ---------------
+# (reference no-end-of-stream-flush semantic, src/lib.rs:1316-1345: windows
+# not closed by the final watermark never emit)
+def test_streaming_session_no_flush(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ev(
+        spark,
+        [(1, 12, 0), (2, 12, 1), (3, 12, 30), (4, 14, 0)],
+    ).write.parquet(src)
+    sdf = (
+        spark.readStream.schema("value long, ts timestamp, key long")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = (
+        sdf.groupBy(F.session_window("ts", "15 minutes"), "key")
+        .agg(F.sum("value").alias("total"))
+        .select(F.col("session_window.start").alias("ws"), "total")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ref_noflush")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.ws, r.total) for r in spark.table("ref_noflush").collect())
+    # the 14:00 session is still open at final watermark (14:00) → never emits,
+    # exactly the reference's discarded 12:30 window semantics
+    assert got == [
+        (datetime(2009, 10, 11, 12, 0), 3),
+        (datetime(2009, 10, 11, 12, 30), 3),
+    ]
