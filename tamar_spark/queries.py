@@ -876,3 +876,236 @@ def streaming_session_agg(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Additional relational/scalar coverage (SURVEY §2.7 capability-gap rows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semi_anti_join",
+    """
+SELECT c_custkey, c_name,
+       'has_big_order' AS bucket
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+UNION ALL
+SELECT c_custkey, c_name, 'no_orders_at_all' AS bucket
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def semi_anti_join(spark, sf_dir):
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 450000).select("o_custkey")
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.lit("has_big_order").alias("bucket"))
+    )
+    anti = (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", F.lit("no_orders_at_all").alias("bucket"))
+    )
+    return semi.unionAll(anti)
+
+
+@query(
+    "cube_sales",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_sales(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "json_props",
+    """
+SELECT event_type,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+""",
+)
+def json_props(spark, sf_dir):
+    """JSON scalar-function coverage: extract a field from the ``props`` blob
+    and aggregate it (reference has no function library at all, SURVEY §2.7)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "word_freq",
+    """
+SELECT word, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+GROUP BY word
+ORDER BY freq DESC, word
+LIMIT 20
+""",
+)
+def word_freq(spark, sf_dir):
+    """flatMap via explode (the expression-expressible case of the
+    reference's ``process`` operator, src/lib.rs:164-174): corpus word
+    frequencies, deterministic top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    env = Environment(spark)
+    return (
+        env.add_source(docs)
+        .select(F.split(F.trim(F.col("text")), r"\s+").alias("words"))
+        .explode("words", "word")
+        .to_df()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
+        .select("word", "freq")
+    )
+
+
+@query(
+    "range_join_pairs",
+    """
+SELECT a.event_id AS event_id_1, b.event_id AS event_id_2, a.user_id,
+       round(CAST(epoch_us(b.ts) - epoch_us(a.ts) AS DOUBLE) / 1000000.0, 3) AS gap_sec
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+""",
+)
+def range_join_pairs(spark, sf_dir):
+    """Range (interval) self-join: pairs of same-user events within 30
+    minutes.  Same-key co-partitioning makes this one shuffle; the time
+    predicate prunes pairs inside each partition."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("event_id_1"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("event_id_2"),
+        F.col("user_id").alias("user_id_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.select(
+        "event_id_1",
+        "event_id_2",
+        "user_id",
+        F.round(
+            (F.unix_micros(F.col("ts_b")) - F.unix_micros(F.col("ts_a"))) / 1e6, 3
+        ).alias("gap_sec"),
+    )
+
+
+@query(
+    "pandas_udf_bucket",
+    """
+SELECT CAST(floor(value / 10) * 10 AS DOUBLE) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def pandas_udf_bucket(spark, sf_dir):
+    """Arrow-batched pandas UDF coverage (the reference's opaque-closure
+    ``map``, src/lib.rs:127-144, on the vectorized slow path): bucket values
+    in Python, aggregate JVM-side."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: string annotations from `__future__.annotations`
+    # defeat pandas_udf signature inference — the DDL string carries the type
+    @pandas_udf("double")
+    def bucket(v):
+        return (v // 10) * 10.0
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", bucket(F.col("value")))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "streaming_tumbling_agg",
+    """
+SELECT window_start, window_end, event_type, n_events, sum_value FROM (
+  SELECT date_trunc('hour', ts) AS window_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2, 3
+) WHERE window_end <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+""",
+)
+def streaming_tumbling_agg(spark, sf_dir):
+    """Streaming tumbling-window aggregation with watermark-gated append
+    emission — windows not closed by the final watermark never emit (same
+    no-end-of-stream-flush contract as the session variant)."""
+    import os
+
+    prep_session(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        sdf.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"tamar_stream_out_{next(_mem_sink_counter)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
