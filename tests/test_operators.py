@@ -225,3 +225,47 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from tamar_spark.plans import salted_join
+
+    left = spark.range(0, 1000).withColumn("k", (F.col("id") % 3).cast("long"))
+    right = (
+        spark.range(0, 3)
+        .select(F.col("id").alias("k"), (F.col("id") * 100).alias("payload"))
+    )
+    plain = left.join(right, "k").select("id", "payload")
+    salted = salted_join(left, right, on="k").select("id", "payload")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_plan_helpers_detect_python_stage(spark):
+    from tamar_spark.plans import has_python_stage
+
+    df = spark.range(10)
+    assert not has_python_stage(df)
+    mapped = df.mapInPandas(lambda it: it, schema="id long")
+    assert has_python_stage(mapped)
+
+
+def test_headline_plans_stay_jvm_side(spark, sf_dir):
+    """Scale contract: core relational/dedup/similarity queries must compile
+    to pure JVM plans (no Arrow/Python stages) with bounded shuffles."""
+    from tamar_spark.plans import has_python_stage, shuffle_count
+    from tamar_spark.queries import QUERIES
+
+    for name, max_shuffles in [
+        ("filter_map", 0),
+        ("q1_pricing", 1),
+        ("q5_region_revenue", 2),
+        ("session_agg", 1),
+        ("asof_join_latest_order", 1),
+        ("dedup_ngram_jaccard", 4),
+        ("embed_cosine_topk", 2),
+    ]:
+        df = QUERIES[name](spark, sf_dir)
+        assert not has_python_stage(df), f"{name} has a Python stage"
+        assert shuffle_count(df) <= max_shuffles, (
+            f"{name}: {shuffle_count(df)} shuffles > {max_shuffles}"
+        )
