@@ -260,3 +260,74 @@ def test_streaming_session_no_flush(spark, tmp_path):
         (datetime(2009, 10, 11, 12, 0), 3),
         (datetime(2009, 10, 11, 12, 30), 3),
     ]
+
+
+# -- windowed process_state, streaming (the hard operator, SURVEY §4.3.1;
+#    reference src/lib.rs:771-834: full session batches + per-key state) ----
+def test_streaming_session_process_state(spark, tmp_path):
+    from tamar_spark.stream import KeyedDataStream
+    from tamar_spark import Environment
+    from tamar_spark.streaming.sessions import session_process_streaming
+    import pandas as pd
+
+    src = str(tmp_path / "sps_src")
+    # key 0: session [12:00,12:01] then [13:00] (still open at final WM 14:00-0 = 14:00? closes);
+    # key 1: [12:30] closes; a 14:00 sentinel on key 9 advances the watermark
+    ev(
+        spark,
+        [
+            (1, 12, 0, 0),
+            (2, 12, 1, 0),
+            (3, 13, 0, 0),
+            (5, 12, 30, 1),
+            (0, 14, 0, 9),
+        ],
+    ).write.parquet(src)
+    sdf = (
+        spark.readStream.schema("value long, ts timestamp, key long")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    keyed = KeyedDataStream(
+        sdf, keys=[F.col("key")], env=Environment(spark), event_time="ts"
+    )
+
+    def session_fn(key, pdf, state):
+        state["fired"] = state.get("fired", 0) + 1
+        return pd.DataFrame(
+            {
+                "key": [key[0]],
+                "session_start": [pdf["ts"].min()],
+                "n_events": [len(pdf)],
+                "total": [int(pdf["value"].sum())],
+                "nth_fire": [state["fired"]],
+            }
+        )
+
+    out = session_process_streaming(
+        keyed,
+        gap_seconds=15 * 60,
+        fn=session_fn,
+        schema="key long, session_start timestamp, n_events long, total long, nth_fire long",
+        init_state=lambda k: {},
+    )
+    q = (
+        out.to_df()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sps_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.key, r.session_start, r.n_events, r.total)
+        for r in spark.table("sps_out").collect()
+    )
+    # fired: key0 [12:00-12:01] (2 ev, total 3), key0 [13:00] (closes at 13:15 <= WM 14:00),
+    # key1 [12:30]; the 14:00 sentinel session is still open → never fires (no-flush)
+    assert got == [
+        (0, datetime(2009, 10, 11, 12, 0), 2, 3),
+        (0, datetime(2009, 10, 11, 13, 0), 1, 3),
+        (1, datetime(2009, 10, 11, 12, 30), 1, 5),
+    ]
