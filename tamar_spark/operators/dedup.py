@@ -208,7 +208,12 @@ def minhash_lsh_pairs(
     # one persisted shingle set feeds both the signature aggregation and the
     # exact-Jaccard verification — without this the explode+distinct runs twice
     sh = shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(df, text_col, id_col, n, num_perm, sh=sh)
+    # both sides of the band self-join derive from the signature table; persist
+    # it (1 row/doc — tiny next to the corpus) so the 128-permutation
+    # aggregation runs once, not once per join side
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm, sh=sh).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_keys = F.array(
         *[
             F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
@@ -229,14 +234,33 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # the candidate set (and its expensive signature subtree) is consumed by
-    # two joins in verification — persist so the 128-permutation aggregation
-    # runs exactly once
-    from pyspark import StorageLevel
-
+    # candidate-bounded exact verification: materialize each candidate doc's
+    # shingle SET as one array row and verify pairs with array_intersect —
+    # two joins on the (small) candidate set instead of re-running the
+    # inverted-index self-join.  A doc's shingle set is per-row data (bounded
+    # by doc length), so this holds at corpus scale; AQE broadcasts doc_sets
+    # when the candidate population is small and shuffle-joins otherwise.
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    return jaccard_pairs(
-        df, threshold, text_col, id_col, n, candidates=cand, sh=sh
+    cand_docs = (
+        cand.select(F.col("doc_id_1").alias(id_col))
+        .union(cand.select(F.col("doc_id_2").alias(id_col)))
+        .distinct()
+    )
+    doc_sets = (
+        sh.join(cand_docs, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("sh_set"))
+    )
+    a = doc_sets.select(F.col(id_col).alias("doc_id_1"), F.col("sh_set").alias("set_a"))
+    b = doc_sets.select(F.col(id_col).alias("doc_id_2"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union_sz = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    return (
+        cand.join(a, "doc_id_1")
+        .join(b, "doc_id_2")
+        .withColumn("jaccard", F.round(inter / union_sz, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_1", "doc_id_2", "jaccard")
     )
 
 
