@@ -35,6 +35,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_pairs",
+    "embedding_neardup_pairs",
 ]
 
 
@@ -332,3 +333,43 @@ def simhash_pairs(
         .select("doc_id_1", "doc_id_2", "hamming")
     )
     return pairs
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(src_id, dup_id, score)`` for
+    every unordered pair with cosine ≥ ``threshold``.
+
+    Exact all-pairs (self-join on ``id <`` with a JVM ``zip_with``/``aggregate``
+    fold for the dot product — no Python).  Norms are computed once per row
+    before the join, so each pair costs one fused multiply-add pass.
+
+    Scale path (100 TB): exact all-pairs is O(n²) and intentionally so here —
+    it is the verification oracle.  For large corpora, generate candidates
+    with sign-random-projection LSH (`similarity.lsh_topk`'s bucketing) or an
+    IVF-style coarse quantizer, then verify candidates with this same scoring
+    expression; the banding math mirrors `minhash_lsh_pairs`.
+    """
+    from tamar_spark.operators.similarity import dot, l2_norm
+
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v")).withColumn(
+        "_n", l2_norm(F.col("_v"))
+    )
+    a = base.select(
+        F.col("_id").alias("src_id"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = base.select(
+        F.col("_id").alias("dup_id"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    score = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, F.col("src_id") < F.col("dup_id"))
+        .withColumn("_s", score)
+        .filter(F.col("_s") >= threshold)
+        .select("src_id", "dup_id", F.round("_s", 6).alias("score"))
+    )

@@ -58,6 +58,38 @@ def _events(spark, sf_dir):
     return env.add_source(load_table(spark, sf_dir, "events"), event_time="ts")
 
 
+# -- order-independent float aggregation ------------------------------------
+#
+# A double sum's low bits depend on partition count / reduction order, so a
+# value landing exactly on a rounding boundary (e.g. ...843.595) can round
+# differently between a 32-partition run and the driver's 200-partition run,
+# or between Spark and DuckDB.  Accumulating in DECIMAL is exact and
+# associative — every ordering yields bit-identical results on both engines.
+# SQL oracle form: CAST(round(sum(CAST(x AS DECIMAL(28,6))), nd) AS DOUBLE).
+
+_DEC = "decimal(28,6)"
+
+
+def _c(col):
+    return col if not isinstance(col, str) else F.col(col)
+
+
+def dsum(col):
+    """Exact (order-independent) sum of a double expression, as double."""
+    return F.sum(_c(col).cast(_DEC)).cast("double")
+
+
+def dsum_r(col, nd: int = 2):
+    """`dsum` rounded to ``nd`` places — the oracle-alignment form."""
+    return F.round(F.sum(_c(col).cast(_DEC)), nd).cast("double")
+
+
+def davg_r(col, nd: int = 4):
+    """Order-independent avg: exact decimal sum → double ÷ count."""
+    c = _c(col)
+    return F.round(F.sum(c.cast(_DEC)).cast("double") / F.count(c), nd)
+
+
 # ---------------------------------------------------------------------------
 # Streaming-semantics operators (the reference's core surface, SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -80,7 +112,7 @@ SELECT min(ts) AS window_start,
        max(ts) + INTERVAL 30 MINUTE AS window_end,
        user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
 FROM sessions GROUP BY user_id, session_id
 """
 
@@ -97,7 +129,7 @@ def session_agg(spark, sf_dir):
         .window(windows.session("30 minutes"))
         .aggregate(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum_r("value").alias("sum_value"),
         )
         .to_df()
     )
@@ -156,7 +188,7 @@ SELECT date_trunc('hour', ts) AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2, 3
 """,
 )
@@ -169,7 +201,7 @@ def tumbling_agg(spark, sf_dir):
         .window(windows.tumbling("1 hour"))
         .aggregate(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum_r("value").alias("sum_value"),
         )
         .to_df()
     )
@@ -187,7 +219,7 @@ WITH b AS (
 )
 SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
 FROM expanded GROUP BY 1, 2
 """,
 )
@@ -199,7 +231,7 @@ def sliding_agg(spark, sf_dir):
         .window(windows.sliding("1 hour", "30 minutes"))
         .aggregate(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum_r("value").alias("sum_value"),
         )
         .to_df()
     )
@@ -235,7 +267,7 @@ def filter_map(spark, sf_dir):
     """
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value,
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value,
        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases
 FROM events GROUP BY user_id
 """,
@@ -249,7 +281,7 @@ def keyed_count(spark, sf_dir):
         .key_by("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum_r("value").alias("sum_value"),
             F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
         )
         .to_df()
@@ -260,8 +292,9 @@ def keyed_count(spark, sf_dir):
     "running_total",
     """
 SELECT event_id, user_id, ts,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING), 2) AS running_sum
+       CAST(round(sum(CAST(value AS DECIMAL(28,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_sum
 FROM events
 """,
 )
@@ -279,7 +312,7 @@ def running_total(spark, sf_dir):
         "event_id",
         "user_id",
         "ts",
-        F.round(F.sum("value").over(w), 2).alias("running_sum"),
+        F.round(F.sum(F.col("value").cast(_DEC)).over(w), 2).cast("double").alias("running_sum"),
     )
 
 
@@ -292,13 +325,13 @@ def running_total(spark, sf_dir):
     "q1_pricing",
     """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -313,20 +346,13 @@ def q1_pricing(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum_r("l_quantity").alias("sum_qty"),
+            dsum_r("l_extendedprice").alias("sum_base_price"),
+            dsum_r(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum_r(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg_r("l_quantity").alias("avg_qty"),
+            davg_r("l_extendedprice").alias("avg_price"),
+            davg_r("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -336,7 +362,7 @@ def q1_pricing(spark, sf_dir):
     "q3_shipping",
     """
 SELECT l.l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -365,7 +391,7 @@ def q3_shipping(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            dsum_r(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -377,7 +403,7 @@ def q3_shipping(spark, sf_dir):
     "q5_region_revenue",
     """
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -413,7 +439,7 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            dsum_r(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -472,7 +498,7 @@ def lead_lag(spark, sf_dir):
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
 )
@@ -484,7 +510,7 @@ def distinct_agg(spark, sf_dir):
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum_r("value").alias("sum_value"),
         )
     )
 
@@ -493,7 +519,7 @@ def distinct_agg(spark, sf_dir):
     "rollup_sales",
     """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -502,7 +528,7 @@ def rollup_sales(spark, sf_dir):
     """ROLLUP hierarchy aggregation (grand total + per-flag subtotals)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dsum_r("l_quantity").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -825,7 +851,7 @@ SELECT window_start, window_end, user_id, n_events, sum_value FROM (
          max(ts) + INTERVAL 30 MINUTE AS window_end,
          user_id,
          CAST(count(*) AS BIGINT) AS n_events,
-         round(sum(value), 2) AS sum_value
+         CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
   FROM sessions GROUP BY user_id, session_id
 ) WHERE window_end <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
 """,
@@ -856,7 +882,7 @@ def streaming_session_agg(spark, sf_dir):
         sdf.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum_r("value").alias("sum_value"),
         )
         .select(
             F.col("session_window.start").alias("window_start"),
@@ -917,7 +943,7 @@ def semi_anti_join(spark, sf_dir):
     "cube_sales",
     """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -926,7 +952,7 @@ def cube_sales(spark, sf_dir):
     """CUBE aggregation (all grouping-set combinations)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        dsum_r("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1027,7 +1053,7 @@ def range_join_pairs(spark, sf_dir):
     """
 SELECT CAST(floor(value / 10) * 10 AS DOUBLE) AS bucket,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
 """,
 )
@@ -1050,7 +1076,7 @@ def pandas_udf_bucket(spark, sf_dir):
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum_r("value").alias("sum_value"),
         )
     )
 
@@ -1063,7 +1089,7 @@ SELECT window_start, window_end, event_type, n_events, sum_value FROM (
          date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
          event_type,
          CAST(count(*) AS BIGINT) AS n_events,
-         round(sum(value), 2) AS sum_value
+         CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
   FROM events GROUP BY 1, 2, 3
 ) WHERE window_end <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
 """,
@@ -1089,7 +1115,7 @@ def streaming_tumbling_agg(spark, sf_dir):
         sdf.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum_r("value").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -1109,3 +1135,8 @@ def streaming_tumbling_agg(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# Extended inventory (TPC-H-shaped joins/aggregates, scalar-function library,
+# embedding near-dup) registers itself into QUERIES/ORACLES on import.
+from tamar_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
