@@ -1137,6 +1137,107 @@ def streaming_tumbling_agg(spark, sf_dir):
     return spark.table(name)
 
 
+def _events_stream(spark, sf_dir, watermark: str = "10 minutes"):
+    """File-based streaming source over the events fixture with the same
+    ns→µs timestamp normalization as the batch reader (see sources/)."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+    )
+
+
+def _run_to_memory(sdf, mode: str = "append"):
+    """Run a streaming DataFrame to completion (Trigger.AvailableNow — the
+    reference's run-to-termination ``execute``, src/lib.rs:920-925) into a
+    uniquely-named memory sink and return the result table."""
+    spark = sdf.sparkSession
+    name = f"tamar_stream_out_{next(_mem_sink_counter)}"
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "streaming_stream_join",
+    """
+SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+       a.ts AS click_ts, b.ts AS view_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts BETWEEN a.ts - INTERVAL 2 HOUR AND a.ts
+""",
+)
+def streaming_stream_join(spark, sf_dir):
+    """Stream-stream interval join (clicks ⋈ preceding views within 2 h per
+    user) — a capability the reference lacks entirely (SURVEY §2.7 joins
+    row).  Both sides carry watermarks so Spark bounds the join state: a
+    buffered view can be evicted once the click-side watermark passes its
+    2-hour relevance window.  At 100 TB the state store holds only the
+    watermark-live horizon, not the full history."""
+    prep_session(spark)
+    clicks = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("view_ts") <= F.col("ts")),
+    ).select(
+        F.col("event_id").alias("click_id"),
+        "view_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "view_ts",
+    )
+    return _run_to_memory(joined)
+
+
+@query(
+    "streaming_dedup",
+    """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_dedup(spark, sf_dir):
+    """Streaming deduplication: first-seen (user_id, event_type) pairs via
+    ``dropDuplicates`` on an unbounded stream.  Projected to the dedup key so
+    the result is deterministic (which physical row survives is not).  State
+    is one entry per distinct key; with a watermark column included, Spark
+    evicts state for expired keys (``dropDuplicatesWithinWatermark`` is the
+    bounded-state variant at 100 TB)."""
+    prep_session(spark)
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(dedup)
+
+
 # Extended inventory (TPC-H-shaped joins/aggregates, scalar-function library,
 # embedding near-dup) registers itself into QUERIES/ORACLES on import.
 from tamar_spark import queries_tpch as _queries_tpch  # noqa: E402,F401

@@ -1,0 +1,81 @@
+"""Scale contracts for the extended (TPC-H-shaped) query inventory.
+
+The reference has no optimizer (SURVEY §4.1), so our engine's value-add is
+that every query compiles to the plan you would hand-pick for a
+1000-executor/100 TB run: dimension joins broadcast, fact-side shuffles
+bounded, predicates pushed into the parquet scan, projections pruned, top-k
+as TakeOrderedAndProject (never a global sort), and no Python stages.
+
+These tests pin those properties so a refactor can't silently regress them.
+"""
+
+import pytest
+
+from tamar_spark.plans import (
+    broadcast_join_count,
+    executed_plan,
+    has_python_stage,
+    pushed_filters,
+    shuffle_count,
+)
+from tamar_spark.queries import QUERIES
+
+
+# (query, max_shuffles, min_broadcast_joins)
+CONTRACTS = [
+    ("q4_order_priority", 1, 0),
+    ("q6_forecast_revenue", 0, 0),
+    ("q7_trade_volume", 1, 4),
+    ("q8_market_share", 1, 6),
+    ("q9_product_profit", 1, 3),
+    ("q10_returned_top", 1, 2),
+    ("q14_promo_share", 0, 1),
+    ("q15_top_supplier", 2, 2),
+    ("q17_small_quantity", 1, 2),
+    ("q18_large_orders", 1, 1),
+    ("q19_bracket_revenue", 0, 1),
+    ("q22_idle_customers", 1, 1),
+    ("stat_agg", 1, 0),
+    ("date_funcs", 1, 0),
+    ("string_funcs", 1, 0),
+    ("array_funcs", 0, 0),
+    ("dedup_embedding", 0, 0),
+]
+
+
+@pytest.mark.parametrize("name,max_shuffles,min_bcast", CONTRACTS)
+def test_extended_plan_contract(spark, sf_dir, name, max_shuffles, min_bcast):
+    df = QUERIES[name](spark, sf_dir)
+    assert not has_python_stage(df), f"{name}: Python stage in plan"
+    got = shuffle_count(df)
+    assert got <= max_shuffles, f"{name}: {got} shuffles > {max_shuffles}"
+    got_b = broadcast_join_count(df)
+    assert got_b >= min_bcast, f"{name}: {got_b} broadcast joins < {min_bcast}"
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    """Q6 is the pushdown/pruning acid test: all predicates reach the scan,
+    and only the 4 referenced columns are read from the 11-column table."""
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert pushed_filters(df), "q6: no PushedFilters on the scan"
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert read_schema.count(":") <= 4, f"q6 reads too many columns: {read_schema}"
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read_schema
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    """LIMIT-under-ORDER BY must compile to TakeOrderedAndProject (per-
+    partition heaps + merge), never a global sort of the aggregate."""
+    df = QUERIES["q10_returned_top"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_semi_anti_compile_to_join_types(spark, sf_dir):
+    """EXISTS/NOT EXISTS shapes must stay semi/anti joins (no materialized
+    intermediate)."""
+    plan4 = executed_plan(QUERIES["q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan4
+    plan22 = executed_plan(QUERIES["q22_idle_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan22
