@@ -23,7 +23,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_topk"]
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_topk", "ivf_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -147,6 +147,98 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", "_qv", "_qn", "_cv", "_cn")
         .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "score", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    Structure: assign every corpus vector to its nearest of ``n_centroids``
+    coarse centroids (the inverted lists); a query probes only its
+    ``n_probe`` nearest lists and reranks those candidates exactly.  Probing
+    ``n_probe/n_centroids`` of the corpus cuts scored pairs ~proportionally —
+    the classic FAISS-style IVF trade-off, here as pure DataFrame ops:
+
+    - centroid assignment: broadcast the (tiny) centroid table, per-row
+      ``min_by`` over the scored cross product — no shuffle of the corpus;
+    - the inverted "lists" are just a ``list_id`` column; the candidate
+      generation is an equi-join on it (hash-shuffled at scale, or broadcast
+      when the probed query set is small);
+    - rerank: exact cosine, deterministic (score DESC, id ASC) tie-break.
+
+    Centroids here are a deterministic id-ordered sample (reproducible with
+    no model state).  At 100 TB swap in offline-trained k-means centroids
+    (e.g. ``pyspark.ml.clustering.KMeans`` on a sample) — the plan shape and
+    everything downstream of the centroid table is unchanged.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+
+    cents = (
+        c.orderBy("neighbor_id")
+        .limit(n_centroids)
+        .select(
+            F.monotonically_increasing_id().alias("list_id"),
+            F.col("_cv").alias("_cent"),
+            F.col("_cn").alias("_cent_n"),
+        )
+    )
+    sim_to_cent = dot(F.col("_cv"), F.col("_cent")) / (F.col("_cn") * F.col("_cent_n"))
+    assigned = (
+        c.join(F.broadcast(cents))
+        .withColumn("_s", sim_to_cent)
+        .groupBy("neighbor_id")
+        .agg(
+            F.min_by("list_id", F.struct((-F.col("_s")).alias("s"), "list_id")).alias("list_id"),
+            F.first("_cv").alias("_cv"),
+            F.first("_cn").alias("_cn"),
+        )
+    )
+    q_sim = dot(F.col("_qv"), F.col("_cent")) / (F.col("_qn") * F.col("_cent_n"))
+    q_lists = (
+        q.join(F.broadcast(cents))
+        .withColumn("_s", q_sim)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(F.col("_s").desc(), "list_id")
+            ),
+        )
+        .filter(F.col("_rk") <= n_probe)
+        .select(query_id_col, "list_id", "_qv", "_qn")
+    )
+    cand = (
+        assigned.join(q_lists, "list_id")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
     )
     scored = cand.withColumn(
         "score", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))

@@ -636,3 +636,137 @@ def dedup_embedding(spark, sf_dir):
     (`similarity.lsh_topk`) to cut candidates from O(n²) to bucket-local."""
     e = load_table(spark, sf_dir, "embeddings")
     return D.embedding_neardup_pairs(e, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows, pivot, percentiles, streaming sliding windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_analytics",
+    """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(c_custkey) OVER w AS richest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def window_analytics(spark, sf_dir):
+    """Analytic window-function family beyond rank/lag: ntile, percent_rank,
+    cume_dist, first_value — one window spec, single hash-shuffle on the
+    partition key then a per-partition sort."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_custkey"),
+    )
+
+
+@query(
+    "pivot_sales",
+    """
+SELECT l_linestatus,
+       CAST(round(sum(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END AS DECIMAL(28,6))), 2) AS DOUBLE) AS A,
+       CAST(round(sum(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END AS DECIMAL(28,6))), 2) AS DOUBLE) AS N,
+       CAST(round(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END AS DECIMAL(28,6))), 2) AS DOUBLE) AS R
+FROM lineitem GROUP BY l_linestatus
+""",
+)
+def pivot_sales(spark, sf_dir):
+    """Pivot (wide conditional aggregation).  Pivot values are enumerated
+    explicitly — at scale, never let Spark run the extra distinct-values job."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum_r("l_quantity"))
+    )
+
+
+@query(
+    "percentile_agg",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(l_discount, 0.25), 4) AS p25_discount
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def percentile_agg(spark, sf_dir):
+    """Exact interpolated percentiles (median / p90 / p25).  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    linear-interpolation definition.  Exact percentile sorts per group — at
+    100 TB prefer ``approx_percentile`` (t-digest, mergeable map-side) unless
+    exactness is contractual."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_discount"),
+    )
+
+
+@query(
+    "streaming_sliding_agg",
+    """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS bk, value FROM events
+), expanded AS (
+  SELECT bk AS ws, value FROM b
+  UNION ALL
+  SELECT bk - INTERVAL 30 MINUTE AS ws, value FROM b
+)
+SELECT window_start, window_end, n_events, sum_value FROM (
+  SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+  FROM expanded GROUP BY 1, 2
+) WHERE window_end <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+""",
+)
+def streaming_sliding_agg(spark, sf_dir):
+    """Streaming sliding (hopping) windows, 1 h / 30 min, append mode: only
+    windows closed by the final watermark emit (run-to-completion semantics
+    as streaming_session_agg; the oracle filters to exactly those)."""
+    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+
+    prep_session(spark)
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window(F.col("ts"), "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_r("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg)
+
+
+@query("embed_ivf_topk")
+def embed_ivf_topk(spark, sf_dir):
+    """Approximate top-5 via IVF coarse quantization (16 lists, probe 4) with
+    exact rerank — the second ANN scale path next to LSH.  Approximate recall
+    → rows-only check."""
+    from tamar_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_topk(emb, queries_df, k=5)

@@ -269,3 +269,35 @@ def test_headline_plans_stay_jvm_side(spark, sf_dir):
         assert shuffle_count(df) <= max_shuffles, (
             f"{name}: {shuffle_count(df)} shuffles > {max_shuffles}"
         )
+
+
+def test_ivf_topk_single_list_equals_exact(spark):
+    """With one inverted list (probe=1), IVF candidate generation degenerates
+    to the full corpus — results must equal exact brute-force top-k."""
+    import random
+
+    from tamar_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % 10 == 0)
+    exact = cosine_topk(df, q, k=3)
+    ivf = ivf_topk(df, q, k=3, n_centroids=1, n_probe=1)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_embedding_neardup_finds_planted_dup(spark):
+    """A planted near-identical vector pair must surface above threshold."""
+    import random
+
+    from tamar_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    dup = [v * 1.001 for v in rows[5][1]]
+    rows.append((99, dup))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs(df, threshold=0.99)
+    pairs = {(r.src_id, r.dup_id) for r in out.collect()}
+    assert (5, 99) in pairs
