@@ -168,6 +168,32 @@ class DataStream:
         self.df.write.mode("overwrite" if mode == "append" else mode).format(sink).save(path)
         return self.df
 
+    def foreach_batch(
+        self,
+        fn: Callable,
+        mode: str = "append",
+        trigger_available_now: bool = True,
+    ):
+        """Multi-sink fan-out: one computation, arbitrary writes per batch.
+
+        The reference fans out with ``split`` + one task per sink
+        (src/lib.rs:217-245); on Spark the idiomatic streaming equivalent is
+        ``foreachBatch`` — the micro-batch is computed ONCE and ``fn(df,
+        batch_id)`` writes it to any number of sinks, instead of N parallel
+        queries re-reading (and re-computing) the source N times.  In batch
+        mode the call degenerates to ``fn(df, 0)``.
+        """
+        if not self.df.isStreaming:
+            fn(self.df, 0)
+            return self.df
+        writer = self.df.writeStream.outputMode(mode).foreachBatch(fn)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        if self.env is not None:
+            self.env.register_query(q)
+        return q
+
     # -- plumbing --------------------------------------------------------
     def _wrap(self, df: DataFrame) -> "DataStream":
         return DataStream(df, env=self.env, event_time=self.event_time)

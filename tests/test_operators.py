@@ -301,3 +301,61 @@ def test_embedding_neardup_finds_planted_dup(spark):
     out = embedding_neardup_pairs(df, threshold=0.99)
     pairs = {(r.src_id, r.dup_id) for r in out.collect()}
     assert (5, 99) in pairs
+
+
+def test_csv_json_source_roundtrip(spark, tmp_path):
+    """Connector coverage beyond parquet: the same pipeline reads csv and
+    json sources through Environment.add_source (reference Source trait,
+    src/lib.rs:60-62 — formats come free from Spark)."""
+    from tamar_spark.env import Environment
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.25), (3, "a", 1.0)], "id long, k string, v double"
+    )
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.option("header", True).csv(csv_dir)
+    src.write.json(json_dir)
+
+    env = Environment(spark)
+    expected = sorted(map(tuple, src.collect()))
+    got_csv = (
+        env.add_source(csv_dir, fmt="csv", schema=src.schema, options={"header": True})
+        .to_df()
+        .collect()
+    )
+    got_json = env.add_source(json_dir, fmt="json", schema=src.schema).to_df().collect()
+    assert sorted(map(tuple, got_csv)) == expected
+    assert sorted(map(tuple, got_json)) == expected
+
+
+def test_foreach_batch_multi_sink(spark, tmp_path):
+    """Streaming fan-out via foreachBatch: one computed micro-batch written
+    to two sinks (the scale-correct form of the reference's split+add_sink,
+    src/lib.rs:217-245)."""
+    from tamar_spark.env import Environment
+
+    src_dir = str(tmp_path / "src")
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    base = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    base.write.parquet(src_dir)
+
+    env = Environment(spark, streaming=True)
+    stream = env.add_source(src_dir, fmt="parquet")
+
+    def write_both(df, batch_id):
+        df.write.mode("append").parquet(out_a)
+        df.filter(F.col("v") >= 100).write.mode("append").parquet(out_b)
+
+    stream.foreach_batch(write_both)
+    env.execute()
+
+    assert spark.read.parquet(out_a).count() == 100
+    assert spark.read.parquet(out_b).count() == 50
+
+
+def test_foreach_batch_batch_mode_degenerates(spark):
+    from tamar_spark.stream import DataStream
+
+    seen = []
+    DataStream(spark.range(5)).foreach_batch(lambda df, bid: seen.append((bid, df.count())))
+    assert seen == [(0, 5)]
