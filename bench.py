@@ -24,13 +24,19 @@ HEADLINE = [
     "q1_pricing",
     "q3_shipping",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_top",
+    "q18_large_orders",
     "window_rank",
     "asof_join_latest_order",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding",
     "embed_cosine_topk",
+    "embed_ivf_topk",
     "doc_quality",
     "streaming_session_agg",
+    "streaming_stream_join",
 ]
 
 
