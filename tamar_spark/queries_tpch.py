@@ -770,3 +770,95 @@ def embed_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return S.ivf_topk(emb, queries_df, k=5)
+
+
+@query(
+    "regex_funcs",
+    """
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CAST(regexp_matches(p_name, 'widget|gizmo') AS BOOLEAN) AS is_gadget
+FROM part
+""",
+)
+def regex_funcs(spark, sf_dir):
+    """Regex function family: extract (group capture), global replace,
+    match test — all JVM-side codegen expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("widget|gizmo").alias("is_gadget"),
+    )
+
+
+@query(
+    "conditional_funcs",
+    """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+       greatest(c_acctbal, 0.0) AS bal_floor,
+       least(c_acctbal, 1000.0) AS bal_cap,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS band
+FROM customer
+""",
+)
+def conditional_funcs(spark, sf_dir):
+    """Conditional/null-handling family: coalesce, nullif, greatest, least,
+    CASE."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("seg"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
+        F.least("c_acctbal", F.lit(1000.0)).alias("bal_cap"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+
+
+@query(
+    "date_arith",
+    """
+SELECT o_orderkey,
+       CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_in,
+       o_orderdate + INTERVAL 90 DAY AS due_date,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+FROM orders WHERE o_orderkey < 1000
+""",
+)
+def date_arith(spark, sf_dir):
+    """Date arithmetic family: day difference, interval addition, month end."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("int")
+        .alias("days_in"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
+    )
+
+
+@query(
+    "streaming_complete_counts",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type
+""",
+)
+def streaming_complete_counts(spark, sf_dir):
+    """Complete-output-mode streaming aggregation: the sink holds the full
+    current aggregate after every micro-batch (vs append's finalized-only
+    rows) — after run-to-completion it equals the batch group-by."""
+    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+
+    prep_session(spark)
+    sdf = _events_stream(spark, sf_dir)
+    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_to_memory(agg, mode="complete")
