@@ -41,6 +41,7 @@ __all__ = [
     "attach_media_meta",
     "decode_image",
     "extract_image_features",
+    "resize_images",
     "sample_frames",
 ]
 
@@ -143,4 +144,44 @@ def sample_frames(df: DataFrame, id_col: str = "id", payload_col: str = "payload
 
     return df.select(id_col, payload_col).mapInPandas(
         sample, schema="id long, frame_idx int"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize plumbing: (payload) → (resized payload, new dims) via
+    mapInPandas (STUB codec; deterministic fake emits a payload-hash-derived
+    byte budget so batch shapes and schemas are exercised for real).
+
+    Scale note: resize is CPU-bound and payload-heavy — run it LAST in the
+    pipeline (after metadata filtering pruned the corpus) and size Arrow
+    batches down (`spark.sql.execution.arrow.maxRecordsPerBatch`) so a batch
+    of large payloads fits executor memory.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codec not available; pass fake=True for plumbing tests"
+                )
+            out = pd.DataFrame()
+            out["id"] = pdf[id_col]
+            # fake "resized" payload: truncated/padded to a deterministic size
+            budget = max(16, (target_w * target_h) // 1024)
+            out["payload"] = pdf[payload_col].map(
+                lambda b: bytes(b or b"")[:budget].ljust(budget, b"\0")
+            )
+            out["width"] = target_w
+            out["height"] = target_h
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize, schema="id long, payload binary, width int, height int"
     )

@@ -862,3 +862,45 @@ def streaming_complete_counts(spark, sf_dir):
     sdf = _events_stream(spark, sf_dir)
     agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return _run_to_memory(agg, mode="complete")
+
+
+@query("approx_distinct_users")
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog sketch aggregation: approximate distinct users per event
+    type.  Sketches are the 100 TB answer to COUNT(DISTINCT): fixed-size,
+    mergeable map-side state instead of a full shuffle of the distinct keys
+    (exact variant: distinct_agg).  Approximate → rows-only check; the unit
+    test bounds relative error against the exact count."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "grouping_sets_sales",
+    """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def grouping_sets_sales(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() markers, run through the
+    spark.sql entry path (same SQL text as the oracle) — the engine accepts
+    raw ANSI SQL wherever the fluent API is not wanted."""
+    from tamar_spark.sources import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

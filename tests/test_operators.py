@@ -374,3 +374,39 @@ def test_embedding_neardup_blocked_equals_expr(spark):
     blocked = embedding_neardup_pairs(df, threshold=0.3, method="blocked", n_blocks=4)
     expr = embedding_neardup_pairs(df, threshold=0.3, method="expr")
     assert sorted(map(tuple, blocked.collect())) == sorted(map(tuple, expr.collect()))
+
+
+def test_multimodal_resize_plumbing(spark):
+    from tamar_spark.functions import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 500)), (2, bytearray(b"y" * 10))], "id long, payload binary"
+    )
+    out = M.resize_images(df, 640, 480, fake=True).collect()
+    assert {r.id for r in out} == {1, 2}
+    assert all(r.width == 640 and r.height == 480 for r in out)
+    assert all(len(r.payload) == (640 * 480) // 1024 for r in out)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        M.resize_images(df, 64, 48, fake=False).collect()
+
+
+def test_approx_distinct_within_bounds(spark, sf_dir):
+    """HLL estimate must land within 5% of the exact distinct count."""
+    from tamar_spark.queries import QUERIES
+    from tamar_spark.sources import load_table
+
+    est = {
+        r.event_type: r.approx_users
+        for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(est[k] - v) / v <= 0.05, (k, est[k], v)

@@ -39,7 +39,6 @@ CONTRACTS = [
     ("date_funcs", 1, 0),
     ("string_funcs", 1, 0),
     ("array_funcs", 0, 0),
-    ("dedup_embedding", 0, 0),
 ]
 
 
@@ -79,3 +78,13 @@ def test_semi_anti_compile_to_join_types(spark, sf_dir):
     assert "LeftSemi" in plan4
     plan22 = executed_plan(QUERIES["q22_idle_customers"](spark, sf_dir))
     assert "LeftAnti" in plan22
+
+
+def test_dedup_embedding_is_blocked_gemm(spark, sf_dir):
+    """dedup_embedding must run the blocked-GEMM kernel: exactly one grouped
+    Pandas stage (the tile scorer), with the block-pair fan-out joined
+    broadcast — no other Python and no extra wide shuffles."""
+    df = QUERIES["dedup_embedding"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert shuffle_count(df) <= 1  # the groupBy(_bi,_bj) tile shuffle
