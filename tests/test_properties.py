@@ -1,0 +1,139 @@
+"""Property-based tests: Spark operator semantics vs independent Python
+reference models on randomized inputs (hypothesis).
+
+The reference's own tests are hand-picked golden sequences (SURVEY §5);
+these generalize them: for arbitrary event sets, our session windowing must
+match a direct re-implementation of the reference's gap-merge store
+semantics (src/lib.rs:458-613), and the as-of join must match a per-row
+linear scan.
+
+Each example runs a real (local) Spark job, so examples are few and small —
+the value is the randomized structure, not volume.
+"""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2009, 10, 11, 0, 0, 0)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user id
+        st.integers(min_value=0, max_value=600),    # minute offset
+        st.integers(min_value=1, max_value=100),    # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def ref_sessions(events, gap_min):
+    """Reference model of the session store (gap-merge over sorted times):
+    per key, sort event times; a gap > ``gap_min`` starts a new session.
+    Returns {(user, start, last_event): (count, sum)} with Spark's
+    window-end convention (last event + gap)."""
+    out = {}
+    by_user = {}
+    for u, m, v in events:
+        by_user.setdefault(u, []).append((m, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = [evs[0]]
+        for e in evs[1:]:
+            if e[0] - cur[-1][0] >= gap_min:
+                out[_sess_key(u, cur, gap_min)] = _sess_val(cur)
+                cur = [e]
+            else:
+                cur.append(e)
+        out[_sess_key(u, cur, gap_min)] = _sess_val(cur)
+    return out
+
+
+def _sess_key(u, cur, gap_min):
+    start = BASE + dt.timedelta(minutes=cur[0][0])
+    end = BASE + dt.timedelta(minutes=cur[-1][0] + gap_min)
+    return (u, start, end)
+
+
+def _sess_val(cur):
+    return (len(cur), sum(v for _, v in cur))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy)
+def test_session_window_matches_reference_model(spark, events):
+    gap = 30
+    rows = [
+        (u, BASE + dt.timedelta(minutes=m), float(v)) for u, m, v in events
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    got = {
+        (r.user_id, r.start, r.end): (r.n, r.s)
+        for r in df.groupBy(F.session_window("ts", f"{gap} minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").cast("long").alias("s"))
+        .select(
+            F.col("session_window.start").alias("start"),
+            F.col("session_window.end").alias("end"),
+            "user_id",
+            "n",
+            "s",
+        )
+        .collect()
+    }
+    assert got == ref_sessions(events, gap)
+
+
+asof_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=15),
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=15),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=asof_strategy)
+def test_asof_join_matches_linear_scan(spark, data):
+    """asof_join(left, right): for each left row, the latest right row with
+    rts <= lts — compared against a brute-force scan."""
+    from tamar_spark.operators.asof import asof_join
+
+    lefts, rights = data
+    ldf = spark.createDataFrame(
+        [(i, 1, BASE + dt.timedelta(minutes=m)) for i, m in enumerate(lefts)],
+        "lid int, lk int, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, 1, BASE + dt.timedelta(minutes=m)) for i, m in enumerate(sorted(set(rights)))],
+        "rid int, rk int, rts timestamp",
+    )
+    out = asof_join(
+        ldf,
+        rdf,
+        left_on="lts",
+        right_on="rts",
+        left_by="lk",
+        right_by="rk",
+        right_cols=["rid"],
+    ).collect()
+    rsorted = sorted((BASE + dt.timedelta(minutes=m) for m in set(rights)))
+    expect = {}
+    for i, m in enumerate(lefts):
+        lts = BASE + dt.timedelta(minutes=m)
+        match = None
+        for j, rts in enumerate(rsorted):
+            if rts <= lts:
+                match = j
+            else:
+                break
+        expect[i] = match
+    got = {r.lid: r.rid for r in out}
+    assert got == expect
