@@ -904,3 +904,78 @@ def grouping_sets_sales(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query(
+    "time_rollup",
+    """
+SELECT date_trunc('day', ts) AS day_bucket,
+       CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+            THEN date_trunc('hour', ts) END AS hour_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('day', ts), event_type),
+  (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+)
+""",
+)
+def time_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: hour- and day-granularity
+    continuous aggregates in ONE scan + one shuffle via grouping sets —
+    the TimescaleDB continuous-aggregate pattern on Spark.  At 100 TB this
+    replaces N separate rollup jobs with one; coarser levels are partial
+    re-aggregations Catalyst shares work for."""
+    from tamar_spark.sources import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts) AS day_bucket,
+               CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                    THEN date_trunc('hour', ts) END AS hour_bucket,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS (
+          (date_trunc('day', ts), event_type),
+          (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+        )
+        """
+    )
+
+
+@query(
+    "range_frame_total",
+    """
+SELECT event_id, user_id, ts,
+       CAST(round(sum(CAST(value AS DECIMAL(28,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+                  2) AS DOUBLE) AS rolling_1h
+FROM events
+""",
+)
+def range_frame_total(spark, sf_dir):
+    """RANGE-frame window: per-user rolling 1-hour sum by event time — the
+    time-based frame (vs running_total's ROWS frame).  Frame evaluation is
+    deterministic in accumulation order, decimal-accumulated anyway."""
+    from tamar_spark.queries import _DEC
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(F.col("value").cast(_DEC)).over(w), 2)
+        .cast("double")
+        .alias("rolling_1h"),
+    )
