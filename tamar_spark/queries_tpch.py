@@ -979,3 +979,73 @@ def range_frame_total(spark, sf_dir):
         .cast("double")
         .alias("rolling_1h"),
     )
+
+
+@query(
+    "streaming_session_process",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, window_start, window_end, n_events, span_sec, min_value, max_value
+FROM (
+  SELECT user_id,
+         min(ts) AS window_start,
+         max(ts) + INTERVAL 30 MINUTE AS window_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS span_sec,
+         min(value) AS min_value,
+         max(value) AS max_value
+  FROM sessions GROUP BY user_id, session_id
+) WHERE window_end <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+""",
+)
+def streaming_session_process(spark, sf_dir):
+    """The reference's hardest operator as a live streaming query
+    (``WindowedDataStream::process_state``, src/lib.rs:771-834): every FIRED
+    session's complete event batch is handed to arbitrary Python with per-key
+    state; sessions still open at end-of-stream never emit (no-flush,
+    src/lib.rs:1316-1345).  Implementation:
+    ``streaming.sessions.session_process_streaming`` (gap-merge store +
+    watermark firing + event-time timers on applyInPandasWithState)."""
+    import pandas as pd
+
+    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.stream import DataStream
+    from tamar_spark.streaming.sessions import session_process_streaming
+
+    prep_session(spark)
+    sdf = _events_stream(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    keyed = DataStream(sdf, event_time="ts").key_by("user_id")
+
+    schema = (
+        "user_id long, window_start timestamp, window_end timestamp, "
+        "n_events long, span_sec long, min_value double, max_value double"
+    )
+
+    def per_session(key, pdf: pd.DataFrame, state) -> pd.DataFrame:
+        first, last = pdf["ts"].min(), pdf["ts"].max()
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "window_start": [first],
+                "window_end": [last + pd.Timedelta(minutes=30)],
+                "n_events": [len(pdf)],
+                "span_sec": [int((last - first) // pd.Timedelta(seconds=1))],
+                "min_value": [pdf["value"].min()],
+                "max_value": [pdf["value"].max()],
+            }
+        )
+
+    out = session_process_streaming(keyed, 30 * 60, per_session, schema)
+    return _run_to_memory(out.to_df())
