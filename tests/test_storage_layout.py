@@ -1,0 +1,104 @@
+"""Storage-layout scale contracts: bucketing and partitioning.
+
+At 100 TB the cheapest shuffle is the one you never run.  These tests pin
+the two storage-side mechanisms for that:
+
+- **bucketed tables**: both join sides pre-hashed into the same bucket
+  count on the join key ⇒ the sort-merge join reads co-located buckets and
+  the plan contains NO Exchange on either side.
+- **partitioned writes**: a filter on the partition column becomes a
+  PartitionFilters entry (directory pruning) — the scan never opens
+  non-matching files.
+"""
+
+from pyspark.sql import functions as F
+
+from tamar_spark.plans import executed_plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
+    from tamar_spark.sources import load_table
+
+    wh = tmp_path_factory.mktemp("warehouse")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option("path", str(wh / "li_b")).mode("overwrite").saveAsTable("li_b")
+    od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option("path", str(wh / "ord_b")).mode("overwrite").saveAsTable("ord_b")
+
+    joined = (
+        spark.table("li_b")
+        .join(
+            spark.table("ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    plan = executed_plan(joined)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # the join inputs must come straight from the bucketed scans — no
+    # Exchange between the scans and the join
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # result correctness vs the plain (shuffling) join
+    plain = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    got = {r.o_orderpriority: round(r.rev, 2) for r in joined.collect()}
+    want = {r.o_orderpriority: round(r.rev, 2) for r in plain.collect()}
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from tamar_spark.sources import load_table
+
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = executed_plan(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in pf, f"partition filter not pruned: {pf}"
+    assert df.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_rate_source_streams(spark):
+    """The built-in rate source through the fluent API (reference Source
+    trait — any push source maps to a readStream format)."""
+    from tamar_spark.env import Environment
+
+    env = Environment(spark, streaming=True)
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    )
+    stream = env.add_source(sdf, event_time="timestamp")
+    q = (
+        stream.map(F.col("timestamp"), F.col("value"), doubled=F.col("value") * 2)
+        .to_df()
+        .writeStream.format("memory")
+        .queryName("rate_out")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline and spark.table("rate_out").count() == 0:
+            time.sleep(0.5)
+        rows = spark.table("rate_out").collect()
+        assert rows, "rate source produced no rows in 20s"
+        assert all(r.doubled == r.value * 2 for r in rows)
+    finally:
+        q.stop()
