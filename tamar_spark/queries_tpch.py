@@ -1049,3 +1049,29 @@ def streaming_session_process(spark, sf_dir):
 
     out = session_process_streaming(keyed, 30 * 60, per_session, schema)
     return _run_to_memory(out.to_df())
+
+
+@query(
+    "token_counts",
+    """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(list_aggregate(
+              list_transform(string_split_regex(trim(text), '\\s+'),
+                             w -> CAST(ceil(len(w) / 4.0) AS BIGINT)),
+              'sum') AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+)
+def token_counts(spark, sf_dir):
+    """Token counting both ways (brief §text-analysis): whitespace tokens
+    and the BPE-flavored subword estimate (ceil(len/4) pieces per word) —
+    all higher-order array expressions, no UDF."""
+    from tamar_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
