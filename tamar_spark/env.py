@@ -60,6 +60,10 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.sql.shuffle.spill.compress", "true")
+        # local-mode driver hosts all executors: the 1g JVM default dies on
+        # a misestimated broadcast (see bench_scale.py); harmless on a real
+        # cluster where spark-submit overrides it
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if master is not None:
         builder = builder.master(master)

@@ -102,3 +102,45 @@ def test_rate_source_streams(spark):
         assert all(r.doubled == r.value * 2 for r in rows)
     finally:
         q.stop()
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling: a pathologically hot key must be split into
+    multiple tasks at runtime (plan shows skew=true) instead of one
+    straggler partition — the first line of defense before manual salting
+    (`plans.salted_join`)."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(0, 1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("pr")
+        )
+        joined = left.join(right, "k")
+        # collect() executes joined's own QueryExecution (count() would build
+        # a separate one and the inspected plan would stay pre-adaptive)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
