@@ -1075,3 +1075,157 @@ def token_counts(spark, sf_dir):
         T.token_count(F.col("text")).alias("ws_tokens"),
         T.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+WITH costs AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey
+), best AS (
+  SELECT l_partkey, min(unit_cost) AS best_cost FROM costs GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+       round(c.unit_cost, 4) AS unit_cost
+FROM costs c
+JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
+JOIN part p ON p.p_partkey = c.l_partkey AND p.p_size <= 10
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H-Q2-shaped (no partsupp in the fixture — unit costs derived from
+    lineitem): cheapest supplier(s) per small part.  The correlated-min
+    pattern: per-group aggregate joined back on (group, min) — one shuffle
+    for the cost table, broadcast for the 1-row-per-part minimum."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    costs = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_name")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == best.l_partkey)
+            & (costs.unit_cost == best.best_cost),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_counts",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_supplier_counts(spark, sf_dir):
+    """TPC-H-Q16-shaped: distinct supplier counts per part group, excluding
+    flagged suppliers via NOT IN (→ left-anti join; the subquery column is
+    non-null here so null-aware semantics degenerate safely)."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    flagged = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(flagged), l.l_suppkey == flagged.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q21_waiting_orders",
+    """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+""",
+)
+def q21_waiting_orders(spark, sf_dir):
+    """TPC-H-Q21-shaped: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order ("late" adapted to >60 days after order
+    date).  The EXISTS/NOT EXISTS pair becomes a semi + anti join against
+    the same per-order lineitem projection — Catalyst reuses the exchange."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late_cutoff = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+
+    l1 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cutoff)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = l.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    has_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    late_others = l1.select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+    )
+    only_late = has_other.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey")),
+        "left_anti",
+    )
+    return (
+        only_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
