@@ -1229,3 +1229,31 @@ def q21_waiting_orders(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "streaming_static_join",
+    """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(e.user_id) AS BIGINT) AS max_user
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment
+""",
+)
+def streaming_static_join(spark, sf_dir):
+    """Stream-static join: an unbounded event stream enriched with a static
+    dimension (broadcast — no stream-side state at all, unlike
+    stream-stream joins) then aggregated in complete mode.  The canonical
+    'enrich events with a dim table' pattern at any scale."""
+    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+
+    prep_session(spark)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    sdf = _events_stream(spark, sf_dir).select("user_id")
+    joined = sdf.join(F.broadcast(dim), sdf.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("user_id").alias("max_user"),
+    )
+    return _run_to_memory(agg, mode="complete")

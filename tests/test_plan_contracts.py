@@ -39,6 +39,9 @@ CONTRACTS = [
     ("date_funcs", 1, 0),
     ("string_funcs", 1, 0),
     ("array_funcs", 0, 0),
+    ("q2_min_cost_supplier", 3, 2),
+    ("q16_supplier_counts", 2, 2),
+    ("q21_waiting_orders", 3, 3),
 ]
 
 
