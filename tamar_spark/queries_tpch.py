@@ -1257,3 +1257,69 @@ def streaming_static_join(spark, sf_dir):
         F.max("user_id").alias("max_user"),
     )
     return _run_to_memory(agg, mode="complete")
+
+
+@query(
+    "doc_chunks",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), idx AS (
+  SELECT doc_id, w,
+         unnest(range(1, greatest(len(w), 1) + 1, 96)) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       array_to_string(w[start_tok : least(start_tok + 127, len(w))], ' ') AS chunk,
+       CAST(least(start_tok + 127, len(w)) - start_tok + 1 AS BIGINT) AS n_tokens
+FROM idx
+""",
+)
+def doc_chunks(spark, sf_dir):
+    """Document chunking for training pipelines: 128-token windows with
+    32-token overlap (stride 96), as pure array expressions — tokenize once,
+    `sequence` the chunk starts, `slice` per chunk, explode.  One narrow
+    stage: no shuffle, no UDF; at 100 TB chunking is scan-speed."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    d = d.select("doc_id", w.alias("w"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(96))
+    d = d.select("doc_id", "w", F.explode(starts).alias("start_tok"))
+    chunk_len = F.least(F.col("start_tok") + 127, F.size("w")) - F.col("start_tok") + 1
+    return d.select(
+        "doc_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.array_join(F.slice("w", F.col("start_tok"), chunk_len), " ").alias("chunk"),
+        chunk_len.cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "scrub_text",
+    """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\d{3,}', '<NUM>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '\\d{3,}')) AS BIGINT) AS n_redacted_nums
+FROM documents
+""",
+)
+def scrub_text(spark, sf_dir):
+    """PII-style scrubbing pass: redact email-shaped strings and long digit
+    runs, count redactions — regex expressions only (the shape of a
+    compliance pass over a 100 TB corpus: scan-bound, embarrassingly
+    parallel)."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    nums = r"\d{3,}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), nums, "<NUM>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(nums), F.lit(0)))
+        .cast("long")
+        .alias("n_redacted_nums"),
+    )
