@@ -410,3 +410,45 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
     }
     for k, v in exact.items():
         assert abs(est[k] - v) / v <= 0.05, (k, est[k], v)
+
+
+def _topk_sets(df, k=5):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_lsh_and_ivf_recall_bounds(spark):
+    """Approximate ANN quality gates on a corpus with planted cluster
+    structure (10 centers + small noise — the regime LSH/IVF exist for;
+    on near-orthogonal random vectors no sublinear method can beat chance).
+    These are the rows-only queries — this test is their correctness story."""
+    import random
+
+    from tamar_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+
+    rng = random.Random(17)
+    dim, n_clusters, per_cluster = 16, 10, 20
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_clusters * per_cluster):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+
+    exact = _topk_sets(cosine_topk(emb, queries_df, k=5))
+    lsh = _topk_sets(lsh_topk(emb, queries_df, k=5, dim=dim, n_tables=8, n_bits=8))
+    ivf = _topk_sets(ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+        total = sum(len(nbrs) for nbrs in exact.values())
+        return hits / total
+
+    r_lsh, r_ivf = recall(lsh), recall(ivf)
+    assert r_lsh >= 0.8, f"LSH recall too low: {r_lsh}"
+    assert r_ivf >= 0.8, f"IVF recall too low: {r_ivf}"
