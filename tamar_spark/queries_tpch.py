@@ -1323,3 +1323,60 @@ def scrub_text(spark, sf_dir):
         .cast("long")
         .alias("n_redacted_nums"),
     )
+
+
+@query(
+    "stateful_event_numbering",
+    """
+SELECT event_id, user_id, ts,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS seq,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS purchases_so_far
+FROM events
+""",
+)
+def stateful_event_numbering(spark, sf_dir):
+    """The reference's keyed ``process_state`` (src/lib.rs:323-361) as a
+    driver-checked query: an arbitrary per-key stateful walk (sequence
+    number + running purchase count per user, in event-time order) via
+    ``applyInPandas`` — the oracle is the equivalent declarative window
+    form, independently validating the stateful path's ordering and
+    init-on-first-use state semantics."""
+    import pandas as pd
+
+    from tamar_spark.sources import load_table
+    from tamar_spark.stream import DataStream
+    from tamar_spark.streaming.stateful import process_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    keyed = DataStream(ev, event_time="ts").key_by("user_id")
+
+    schema = "event_id long, user_id long, ts timestamp, seq long, purchases_so_far long"
+
+    def walk(key, pdf: pd.DataFrame, state) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        seqs, purchases = [], []
+        for _, row in pdf.iterrows():
+            state["seq"] += 1
+            if row["event_type"] == "purchase":
+                state["purchases"] += 1
+            seqs.append(state["seq"])
+            purchases.append(state["purchases"])
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"],
+                "seq": seqs,
+                "purchases_so_far": purchases,
+            }
+        )
+
+    out = process_state(
+        keyed, walk, schema, init_state=lambda k: {"seq": 0, "purchases": 0}
+    )
+    return out.to_df()
