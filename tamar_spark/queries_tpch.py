@@ -1380,3 +1380,39 @@ def stateful_event_numbering(spark, sf_dir):
         keyed, walk, schema, init_state=lambda k: {"seq": 0, "purchases": 0}
     )
     return out.to_df()
+
+
+@query(
+    "udtf_sentences",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, '.') AS l FROM documents
+), i AS (
+  SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM t
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, trim(l[i]) AS sentence
+FROM i
+""",
+)
+def udtf_sentences(spark, sf_dir):
+    """Python UDTF (user-defined TABLE function — the reference's 0..n
+    ``process`` operator, src/lib.rs:164-174, in its most general Spark
+    form): sentence-split each document via a lateral join.  For this
+    splittable case the expression path (split+explode, see doc_chunks) is
+    the fast lane; the UDTF is the arbitrary-Python generator escape
+    hatch."""
+    from pyspark.sql.functions import udtf
+
+    from tamar_spark.sources import register_views
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):
+            for i, frag in enumerate(text.split(".")):
+                yield doc_id, i, frag.strip()
+
+    register_views(spark, sf_dir, ["documents"])
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        "SELECT s.* FROM documents d, LATERAL sentence_split(d.doc_id, d.text) s"
+    )

@@ -1,0 +1,128 @@
+"""Custom Python data sources — the reference's ``Source`` trait, verbatim.
+
+The reference defines a push-based source trait (`run(self, Sender<V>)`,
+reference src/lib.rs:60-62) and ships test sources built on it:
+``IncrementingSource`` emits 0..n as events (src/lib.rs:968-984),
+``SliceEventSource`` replays a fixed event slice (src/lib.rs:1019-1033).
+
+Spark 4's Python DataSource API is the exact counterpart: a user class
+produces rows, the engine handles partitioning/scheduling/backpressure.
+This module ports both test sources:
+
+- ``IncrementingDataSource`` (format name ``tamar_incrementing``):
+  ``n`` sequential events with the Event-envelope columns (value,
+  event_time, processing_time) — partition-parallel: the range is split
+  into ``num_partitions`` contiguous slices, each produced independently
+  (the reference is single-task; this is the distributed upgrade).
+- ``SliceEventDataSource`` (format ``tamar_slice``): replays a
+  JSON-encoded list of (value, event_time) pairs — the deterministic
+  fixture-replay source the reference's golden-sequence tests use.
+
+Register once per session::
+
+    spark.dataSource.register(IncrementingDataSource)
+    df = (spark.read.format("tamar_incrementing")
+          .option("n", 1000).option("num_partitions", 8).load())
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["IncrementingDataSource", "SliceEventDataSource", "register_py_sources"]
+
+_BASE = dt.datetime(2009, 10, 11, 0, 0, 0)  # the reference's fixture date
+
+
+class _RangeSlice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _IncrementingReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 100))
+        self.num_partitions = int(options.get("num_partitions", 4))
+
+    def partitions(self):
+        step = max(1, self.n // self.num_partitions)
+        bounds = list(range(0, self.n, step)) + [self.n]
+        return [_RangeSlice(a, b) for a, b in zip(bounds, bounds[1:])]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            t = _BASE + dt.timedelta(seconds=i)
+            yield (i, t, t)
+
+
+class IncrementingDataSource(DataSource):
+    """The reference's ``IncrementingSource`` (src/lib.rs:968-984) as a
+    partition-parallel Spark data source."""
+
+    @classmethod
+    def name(cls):
+        return "tamar_incrementing"
+
+    def schema(self):
+        return StructType(
+            [
+                StructField("value", LongType()),
+                StructField("event_time", TimestampType()),
+                StructField("processing_time", TimestampType()),
+            ]
+        )
+
+    def reader(self, schema):
+        return _IncrementingReader(self.options)
+
+
+class _SliceReader(DataSourceReader):
+    def __init__(self, options):
+        self.events = json.loads(options.get("events", "[]"))
+
+    def partitions(self):
+        return [_RangeSlice(0, len(self.events))]
+
+    def read(self, partition):
+        for value, hour, minute in self.events[partition.start : partition.end]:
+            t = _BASE.replace(hour=hour, minute=minute)
+            yield (int(value), t, t)
+
+
+class SliceEventDataSource(DataSource):
+    """The reference's ``SliceEventSource`` (src/lib.rs:1019-1033): replay a
+    fixed (value, hour, minute) slice with event=processing time — the
+    golden-sequence test fixture shape (src/lib.rs:1171-1186)."""
+
+    @classmethod
+    def name(cls):
+        return "tamar_slice"
+
+    def schema(self):
+        return StructType(
+            [
+                StructField("value", IntegerType()),
+                StructField("event_time", TimestampType()),
+                StructField("processing_time", TimestampType()),
+            ]
+        )
+
+    def reader(self, schema):
+        return _SliceReader(self.options)
+
+
+def register_py_sources(spark) -> None:
+    """Register both custom sources with a session (idempotent)."""
+    spark.dataSource.register(IncrementingDataSource)
+    spark.dataSource.register(SliceEventDataSource)

@@ -452,3 +452,46 @@ def test_lsh_and_ivf_recall_bounds(spark):
     r_lsh, r_ivf = recall(lsh), recall(ivf)
     assert r_lsh >= 0.8, f"LSH recall too low: {r_lsh}"
     assert r_ivf >= 0.8, f"IVF recall too low: {r_ivf}"
+
+
+def test_incrementing_python_datasource(spark):
+    """Custom Python DataSource parity with the reference's Source trait:
+    IncrementingSource (src/lib.rs:968-984), partition-parallel."""
+    from tamar_spark.sources.pysource import register_py_sources
+
+    register_py_sources(spark)
+    df = (
+        spark.read.format("tamar_incrementing")
+        .option("n", 1000)
+        .option("num_partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows = df.orderBy("value").collect()
+    assert [r.value for r in rows] == list(range(1000))
+    assert rows[10].event_time.second == 10
+    assert rows[10].event_time == rows[10].processing_time
+
+
+def test_slice_event_python_datasource(spark):
+    """SliceEventSource replay (src/lib.rs:1019-1033): golden event fixtures
+    through a custom source, then a session-window aggregate over them —
+    the reference's separate-sessions scenario end-to-end from a user
+    source."""
+    import json
+
+    from tamar_spark.sources.pysource import register_py_sources
+
+    register_py_sources(spark)
+    events = [(1, 12, 0), (2, 12, 10), (3, 13, 0)]  # gap 30m → 2 sessions
+    df = (
+        spark.read.format("tamar_slice")
+        .option("events", json.dumps(events))
+        .load()
+    )
+    agg = (
+        df.groupBy(F.session_window("event_time", "30 minutes"))
+        .agg(F.sum("value").alias("s"))
+        .select("s")
+    )
+    assert sorted(r.s for r in agg.collect()) == [3, 3]
