@@ -30,7 +30,12 @@ from __future__ import annotations
 import datetime as dt
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -85,6 +90,39 @@ class IncrementingDataSource(DataSource):
 
     def reader(self, schema):
         return _IncrementingReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _IncrementingStreamReader(self.options)
+
+
+class _IncrementingStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: each micro-batch advances the counter by
+    ``rows_per_batch`` until ``n`` — the push-source loop of the reference
+    (``run(self, Sender)`` emitting until exhausted, src/lib.rs:968-984)
+    with Spark owning offsets/retries instead of a raw channel."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 100))
+        self.rows_per_batch = int(options.get("rows_per_batch", 10))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        a = start["offset"]
+        b = min(a + self.rows_per_batch, self.n)
+        rows = []
+        for i in range(a, b):
+            t = _BASE + dt.timedelta(seconds=i)
+            rows.append((i, t, t))
+        return iter(rows), {"offset": b}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for i in range(start["offset"], end["offset"]):
+            t = _BASE + dt.timedelta(seconds=i)
+            rows.append((i, t, t))
+        return iter(rows)
 
 
 class _SliceReader(DataSourceReader):

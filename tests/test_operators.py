@@ -495,3 +495,50 @@ def test_slice_event_python_datasource(spark):
         .select("s")
     )
     assert sorted(r.s for r in agg.collect()) == [3, 3]
+
+
+def test_incrementing_datasource_streams(spark, tmp_path):
+    """Streaming read from the custom Python source: micro-batches advance
+    a counter offset (the reference's push loop with Spark-owned offsets),
+    then a watermarked tumbling aggregate consumes them."""
+    from tamar_spark.sources.pysource import register_py_sources
+
+    register_py_sources(spark)
+    sdf = (
+        spark.readStream.format("tamar_incrementing")
+        .option("n", 100)
+        .option("rows_per_batch", 37)
+        .load()
+    )
+    agg = (
+        sdf.withWatermark("event_time", "0 seconds")
+        .groupBy(F.window("event_time", "1 minute"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    # availableNow drains only the first offset range of a custom Python
+    # stream source — run on a fast processing-time trigger and stop once
+    # the closed window lands in the sink
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pysource_stream_out")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("pysource_stream_out").count() == 0:
+            time.sleep(0.5)
+        rows = {
+            r["window"].start.minute: (r.n, r.s)
+            for r in spark.table("pysource_stream_out").collect()
+        }
+    finally:
+        q.stop()
+    # 100 events, 1/sec → minute 0 holds 0..59 and closes once the
+    # watermark passes it; minute 1 (40 events) stays open and must NOT emit
+    assert rows.get(0) == (60, sum(range(60)))
+    assert 1 not in rows
