@@ -33,8 +33,10 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     IntegerType,
@@ -44,7 +46,12 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["IncrementingDataSource", "SliceEventDataSource", "register_py_sources"]
+__all__ = [
+    "IncrementingDataSource",
+    "SliceEventDataSource",
+    "JsonlSinkDataSource",
+    "register_py_sources",
+]
 
 _BASE = dt.datetime(2009, 10, 11, 0, 0, 0)  # the reference's fixture date
 
@@ -161,6 +168,60 @@ class SliceEventDataSource(DataSource):
 
 
 def register_py_sources(spark) -> None:
-    """Register both custom sources with a session (idempotent)."""
+    """Register the custom sources and sink with a session (idempotent)."""
     spark.dataSource.register(IncrementingDataSource)
     spark.dataSource.register(SliceEventDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path, count):
+        self.path = path
+        self.count = count
+
+
+class JsonlSinkDataSource(DataSource):
+    """Custom Python writer — the reference's ``Sink`` trait
+    (``run(self, Receiver<V>)``, src/lib.rs:74-76): arbitrary user code
+    consumes rows.  Each partition writes its rows as one jsonl file under
+    ``path`` (task-id named for idempotent retries); ``commit`` runs once on
+    the driver with every partition's receipt — the two-phase contract that
+    replaces the reference's unchecked channel consumption."""
+
+    @classmethod
+    def name(cls):
+        return "tamar_jsonl_sink"
+
+    def writer(self, schema, overwrite):
+        return _JsonlWriter(self.options, [f.name for f in schema.fields])
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options, col_names):
+        self.path = options.get("path")
+        self.col_names = col_names
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(dict(zip(self.col_names, [str(v) for v in row]))) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        total = sum(m.count for m in messages)
+        with open(os.path.join(self.path, "_SUCCESS.json"), "w") as f:
+            f.write(_json.dumps({"files": len(messages), "rows": total}))
+
+    def abort(self, messages):
+        pass

@@ -542,3 +542,25 @@ def test_incrementing_datasource_streams(spark, tmp_path):
     # watermark passes it; minute 1 (40 events) stays open and must NOT emit
     assert rows.get(0) == (60, sum(range(60)))
     assert 1 not in rows
+
+
+def test_jsonl_sink_datasource(spark, tmp_path):
+    """Custom Python writer (reference Sink trait, src/lib.rs:74-76):
+    per-partition jsonl files + a driver-side commit receipt."""
+    import glob
+    import json as _json
+
+    from tamar_spark.sources.pysource import register_py_sources
+
+    register_py_sources(spark)
+    out = str(tmp_path / "sinkout")
+    df = spark.range(0, 50).select(F.col("id"), (F.col("id") * 3).alias("v")).repartition(4)
+    df.write.format("tamar_jsonl_sink").option("path", out).mode("append").save()
+
+    success = _json.load(open(f"{out}/_SUCCESS.json"))
+    assert success["rows"] == 50
+    rows = []
+    for fp in glob.glob(f"{out}/part-*.jsonl"):
+        rows += [_json.loads(l) for l in open(fp)]
+    assert len(rows) == 50
+    assert sorted(int(r["v"]) for r in rows) == [i * 3 for i in range(50)]
