@@ -1416,3 +1416,85 @@ def udtf_sentences(spark, sf_dir):
     return spark.sql(
         "SELECT s.* FROM documents d, LATERAL sentence_split(d.doc_id, d.text) s"
     )
+
+
+@query(
+    "funnel_conversion",
+    """
+WITH views AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), converted AS (
+  SELECT DISTINCT p.user_id, date_trunc('day', p.ts) AS day
+  FROM purchases p
+  WHERE EXISTS (SELECT 1 FROM views v
+                WHERE v.user_id = p.user_id
+                  AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR)
+)
+SELECT day, CAST(count(*) AS BIGINT) AS converted_users
+FROM converted GROUP BY day
+""",
+)
+def funnel_conversion(spark, sf_dir):
+    """Funnel analysis: users whose purchase was preceded by a view within
+    1 h, counted per day — the event-sequence pattern (view→purchase) as a
+    time-bounded semi join.  One shuffle on user_id; both funnel stages
+    prune to their event type at the scan."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    converted = (
+        purchases.join(
+            views,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("ts"))
+            & (F.col("v_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+            "left_semi",
+        )
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    return converted.groupBy("day").agg(F.count(F.lit(1)).alias("converted_users"))
+
+
+@query(
+    "weekly_retention",
+    """
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT a.week,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(count(*) FILTER (WHERE b.user_id IS NOT NULL) AS BIGINT) AS retained_next_week
+FROM weekly a
+LEFT JOIN weekly b ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+GROUP BY a.week
+""",
+)
+def weekly_retention(spark, sf_dir):
+    """Cohort retention: per week, active users and how many return the
+    following week — the distinct-activity self-join pattern.  The weekly
+    activity set is computed once and reused on both join sides (Catalyst
+    exchange reuse); at 100 TB pre-aggregate to (user, week) grain first —
+    done here — so the join carries distinct rows, not raw events."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+    nxt = weekly.select(
+        F.col("user_id").alias("n_user"),
+        (F.col("week") - F.expr("INTERVAL 7 DAYS")).alias("n_week"),
+    )
+    return (
+        weekly.join(
+            nxt,
+            (F.col("user_id") == F.col("n_user")) & (F.col("week") == F.col("n_week")),
+            "left",
+        )
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count("n_user").alias("retained_next_week"),
+        )
+    )
