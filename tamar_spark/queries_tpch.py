@@ -1498,3 +1498,53 @@ def weekly_retention(spark, sf_dir):
             F.count("n_user").alias("retained_next_week"),
         )
     )
+
+
+def _bloom_word_expr(w: int) -> "F.Column":
+    """One 63-bit word of a 252-bit / 3-hash Bloom filter over
+    CAST(user_id AS STRING), built only from md5 hex slices so DuckDB can
+    compute bit-identical words (neither engine's native hash exists in the
+    other; 63 bits per word keeps shifts off the sign bit in both)."""
+    terms = []
+    for k in range(3):
+        start = 1 + 8 * k
+        pos = f"(CAST(conv(substring(md5(u), {start}, 8), 16, 10) AS BIGINT) % 252)"
+        terms.append(
+            f"(CASE WHEN {pos} div 63 = {w} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), CAST({pos} % 63 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr(f"bit_or({' | '.join(terms)})").alias(f"w{w}")
+
+
+def _bloom_word_sql(w: int) -> str:
+    parts = []
+    for k in range(3):
+        s = 1 + 8 * k
+        parts.append(
+            f"(CASE WHEN (CAST(('0x' || substr(md5(u), {s}, 8)) AS UBIGINT) % 252) // 63 = {w} "
+            f"THEN (1::BIGINT << CAST((CAST(('0x' || substr(md5(u), {s}, 8)) AS UBIGINT) % 252) % 63 AS INT)) "
+            f"ELSE 0 END)"
+        )
+    return f"CAST(bit_or({' | '.join(parts)}) AS BIGINT) AS w{w}"
+
+
+@query(
+    "bloom_sketch",
+    f"""
+WITH t AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events)
+SELECT event_type,
+       {', '.join(_bloom_word_sql(w) for w in range(4))}
+FROM t GROUP BY event_type
+""",
+)
+def bloom_sketch(spark, sf_dir):
+    """Custom sketch built from scratch: a 252-bit / 3-hash Bloom filter of
+    each event type's user set, as a pure ``bit_or`` aggregate (mergeable,
+    fixed-size — the sketch property that matters at 100 TB: membership
+    state is 32 bytes/group regardless of cardinality).  Hash family is
+    md5-hex-slice based so the DuckDB oracle reproduces the words exactly."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    return e.groupBy("event_type").agg(*[_bloom_word_expr(w) for w in range(4)])

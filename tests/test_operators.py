@@ -564,3 +564,29 @@ def test_jsonl_sink_datasource(spark, tmp_path):
         rows += [_json.loads(l) for l in open(fp)]
     assert len(rows) == 50
     assert sorted(int(r["v"]) for r in rows) == [i * 3 for i in range(50)]
+
+
+def test_bloom_sketch_membership(spark, sf_dir):
+    """Bloom semantics: every true member's 3 hash bits are set in its
+    group's words (no false negatives, the Bloom guarantee)."""
+    import hashlib
+
+    from tamar_spark.queries import QUERIES
+    from tamar_spark.sources import load_table
+
+    words = {
+        r.event_type: [r.w0, r.w1, r.w2, r.w3]
+        for r in QUERIES["bloom_sketch"](spark, sf_dir).collect()
+    }
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    for r in pairs:
+        hx = hashlib.md5(str(r.user_id).encode()).hexdigest()
+        for k in range(3):
+            pos = int(hx[8 * k : 8 * k + 8], 16) % 252
+            w, b = pos // 63, pos % 63
+            assert words[r.event_type][w] & (1 << b), (r.event_type, r.user_id, k)
