@@ -1190,7 +1190,11 @@ def streaming_stream_join(spark, sf_dir):
     2-hour relevance window.  At 100 TB the state store holds only the
     watermark-live horizon, not the full history."""
     prep_session(spark)
-    clicks = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
     views = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")
