@@ -40,18 +40,27 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     tiebreak: Optional[str] = None,
     strategy: str = "union",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row, plus the matched right row's columns
-    (NULL when no right row precedes it)."""
+    (NULL when no right row qualifies).
+
+    ``direction="backward"`` (default) matches the latest right row with
+    ``right_on <= left_on``; ``"forward"`` the earliest right row with
+    ``right_on >= left_on`` (tie-break on equal ``right_on`` is the greatest
+    ``tiebreak`` in both directions).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = list(right_cols or [c for c in right.columns if c not in (right_by,)])
     if strategy == "filter":
-        return _asof_filter(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak)
+        return _asof_filter(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak, direction)
     if strategy == "merge":
-        return _asof_merge(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak)
-    return _asof_union(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak)
+        return _asof_merge(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak, direction)
+    return _asof_union(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak, direction)
 
 
-def _asof_union(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak):
+def _asof_union(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak, direction="backward"):
     left_cols = list(left.columns)
     r_struct_fields = right.select(*right_cols).schema
     # right rows: key aligned to left_by, event time aligned to left_on,
@@ -73,11 +82,13 @@ def _asof_union(left, right, left_on, right_on, left_by, right_by, right_cols, t
         F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
         *[F.col(c) for c in left_cols if c != left_by],
     )
-    # order: time asc; at equal time right rows first (allow exact matches),
-    # among equal right times ascending tiebreak so last() == greatest
+    # order: time asc (backward) / desc (forward); at equal time right rows
+    # first (allow exact matches), among equal right times ascending tiebreak
+    # so last() == greatest
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(left_by)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .orderBy(t_order, F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -97,18 +108,21 @@ def _needed_right_cols(right_on, right_cols, tiebreak):
     return right_cols + extra
 
 
-def _asof_filter(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak):
+def _asof_filter(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak, direction="backward"):
     # alias the right key so the join works when left_by == right_by
     r = right.select(
         F.col(right_by).alias("_asof_rby"),
         *_needed_right_cols(right_on, right_cols, tiebreak),
     )
-    joined = left.join(
-        r,
-        (F.col(left_by) == F.col("_asof_rby")) & (F.col(right_on) <= F.col(left_on)),
-        "left",
+    time_cond = (
+        F.col(right_on) <= F.col(left_on)
+        if direction == "backward"
+        else F.col(right_on) >= F.col(left_on)
     )
-    order = [F.col(right_on).desc()]
+    joined = left.join(
+        r, (F.col(left_by) == F.col("_asof_rby")) & time_cond, "left"
+    )
+    order = [F.col(right_on).desc() if direction == "backward" else F.col(right_on).asc()]
     if tiebreak:
         order.append(F.col(tiebreak).desc())
     w = Window.partitionBy(*left.columns).orderBy(*order)
@@ -120,7 +134,7 @@ def _asof_filter(left, right, left_on, right_on, left_by, right_by, right_cols, 
     )
 
 
-def _asof_merge(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak):
+def _asof_merge(left, right, left_on, right_on, left_by, right_by, right_cols, tiebreak, direction="backward"):
     import pandas as pd
 
     left_schema = left.schema
@@ -143,15 +157,19 @@ def _asof_merge(left, right, left_on, right_on, left_by, right_by, right_cols, t
             for c in right_cols:
                 out[c] = None
             return out
-        # merge_asof keeps the LAST right row among equal keys → sorting by
-        # (right_on, tiebreak) ascending implements "greatest tiebreak wins"
-        r_sorted = r_pdf.sort_values(sort_r)[[right_on] + [c for c in right_cols if c != right_on]]
+        # merge_asof keeps the LAST matching right row among equal keys in
+        # backward mode and the FIRST in forward mode → sort tiebreak
+        # ascending (backward) / descending (forward) so the greatest wins
+        tb_asc = direction == "backward"
+        r_sorted = r_pdf.sort_values(
+            sort_r, ascending=[True] + ([tb_asc] if tiebreak else [])
+        )[[right_on] + [c for c in right_cols if c != right_on]]
         out = pd.merge_asof(
             l_sorted,
             r_sorted,
             left_on=left_on,
             right_on=right_on,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=True,
             suffixes=("", "_r"),
         )

@@ -590,3 +590,34 @@ def test_bloom_sketch_membership(spark, sf_dir):
             pos = int(hx[8 * k : 8 * k + 8], 16) % 252
             w, b = pos // 63, pos % 63
             assert words[r.event_type][w] & (1 << b), (r.event_type, r.user_id, k)
+
+
+@pytest.mark.parametrize("strategy", ["union", "merge", "filter"])
+def test_asof_forward_strategies_agree(spark, asof_data, strategy):
+    """Forward as-of (earliest right with rt >= t) across all three
+    physical strategies, checked against a brute-force scan."""
+    from tamar_spark.operators.asof import asof_join
+
+    left, right = asof_data
+    out = asof_join(
+        left,
+        right,
+        left_on="t",
+        right_on="rt",
+        left_by="k",
+        right_by="k",
+        right_cols=["rid"],
+        tiebreak="rid",
+        strategy=strategy,
+        direction="forward",
+    ).collect()
+    expect = {}
+    for l in left.collect():
+        cands = [r for r in right.collect() if r.k == l.k and r.rt >= l.t]
+        if cands:
+            earliest = min(c.rt for c in cands)
+            expect[l.eid] = max(c.rid for c in cands if c.rt == earliest)
+        else:
+            expect[l.eid] = None
+    got = {r.eid: r.rid for r in out}
+    assert got == expect
