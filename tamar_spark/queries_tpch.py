@@ -1548,3 +1548,41 @@ def bloom_sketch(spark, sf_dir):
         "event_type", F.col("user_id").cast("string").alias("u")
     )
     return e.groupBy("event_type").agg(*[_bloom_word_expr(w) for w in range(4)])
+
+
+@query(
+    "asof_join_next_order",
+    """
+SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+) WHERE rn = 1
+""",
+)
+def asof_join_next_order(spark, sf_dir):
+    """Forward as-of join: each event matched to the customer's NEXT order
+    at-or-after event time (direction='forward'; greatest orderkey wins a
+    date tie, matching the backward variant's tie convention).  Same pure
+    JVM union+window strategy — one shuffle + one sort."""
+    from tamar_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        e,
+        o,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        right_cols=["o_orderdate", "o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        strategy="union",
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
