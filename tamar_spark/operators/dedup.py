@@ -27,6 +27,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+SIMHASH_BITS = 60
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -271,23 +273,28 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """64-bit SimHash per document from n-gram shingle hashes.
+    """60-bit SimHash per document from n-gram shingle hashes.
 
     Bit *j* of the fingerprint is the sign of ``Σ ±1`` over shingles (per the
-    classic Charikar construction), computed as 64 conditional sums in one
-    hash aggregate — JVM-side, single shuffle on ``id_col``.
+    classic Charikar construction), computed as 60 conditional sums in one
+    hash aggregate — JVM-side, single shuffle on ``id_col``.  The shingle
+    hash is a 15-hex-digit md5 slice (60 bits — off the sign bit), chosen so
+    DuckDB can reproduce fingerprints bit-identically for the oracle check.
     """
     sh = shingles(df, text_col, id_col, n).withColumn(
-        "h", F.xxhash64(F.col("shingle"))
+        "h",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long"),
     )
     bit_sums = [
         F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"b{j}")
-        for j in range(64)
+        for j in range(SIMHASH_BITS)
     ]
     agg = sh.groupBy(id_col).agg(*bit_sums)
     fp = None
-    for j in range(64):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * F.lit(2 ** j if j < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long"))
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fp = term if fp is None else (fp + term)
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
@@ -309,7 +316,7 @@ def simhash_pairs(
     """
     fps = simhash_fingerprints(df, text_col, id_col, n)
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
+    width = SIMHASH_BITS // n_chunks
     chunks = F.array(
         *[
             F.expr(f"(simhash >> {i * width}) & {(1 << width) - 1}").alias(f"c{i}")
@@ -328,7 +335,7 @@ def simhash_pairs(
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .select("doc_id_1", "doc_id_2", "sh1", "sh2")
         .distinct()
-        .withColumn("hamming", F.expr("bit_count(sh1 ^ sh2)"))
+        .withColumn("hamming", F.expr("bit_count(sh1 ^ sh2)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
     )

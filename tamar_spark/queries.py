@@ -651,10 +651,46 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, threshold=0.5)
 
 
-@query("dedup_simhash")
+def _simhash_oracle() -> str:
+    """DuckDB twin of the 60-bit md5-family SimHash (operators.dedup):
+    same shingles, same hash slice, same sign-of-sums construction — the
+    whole pipeline is deterministic, so it gets a full value-hash check."""
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)" for j in range(60)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT) AS hv
+  FROM sh
+), bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {fp_terms} AS simhash FROM bits
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """SimHash(64-bit) near-dup pairs at hamming ≤ 3 (pigeonhole candidate
-    join).  Approximate — no SQL oracle; rows-only check."""
+    """SimHash(60-bit, md5 hash family) near-dup pairs at hamming ≤ 3 via
+    the pigeonhole candidate join (Manku et al.).  Deterministic end-to-end,
+    so the DuckDB oracle rebuilds the fingerprints bit-for-bit and the
+    brute-force pair scan checks the candidate join found every pair."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, max_hamming=3)
 
