@@ -331,3 +331,65 @@ def test_streaming_session_process_state(spark, tmp_path):
         (0, datetime(2009, 10, 11, 13, 0), 1, 3),
         (1, datetime(2009, 10, 11, 12, 30), 1, 5),
     ]
+
+
+def test_late_event_semantics_vs_reference(spark, tmp_path):
+    """Late-data semantics vs the reference (SURVEY §2.7 late-data row),
+    pinned from observed behavior:
+
+    - tamar accepts ANY late event — it opens/extends a session no matter
+      how old (store accepts all, src/lib.rs:458-558);
+    - Spark MERGES a late event while its session's state is still live
+      (eviction only runs at batch end once the watermark passes), and
+      DROPS it once the state was evicted (numRowsDroppedByWatermark).
+
+    Four single-file micro-batches: events at 12:00 → watermark sentinel →
+    second sentinel (evicts + emits the 12:00 sessions) → late 12:05 event.
+    The late event must be dropped, not re-open a session."""
+    import time as _time
+
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    files = [
+        ("a", {"user_id": [1, 2], "ts": [base, base], "value": [1.0, 1.0]}),
+        ("b", {"user_id": [9], "ts": [base + pd.Timedelta(hours=6)], "value": [0.0]}),
+        ("c", {"user_id": [9], "ts": [base + pd.Timedelta(hours=6, minutes=30)], "value": [0.0]}),
+        ("d", {"user_id": [1], "ts": [base + pd.Timedelta(minutes=5)], "value": [100.0]}),
+    ]
+    for name, data in files:
+        pd.DataFrame(data).to_parquet(src / f"{name}.parquet", coerce_timestamps="us")
+        _time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    schema = spark.read.parquet(str(src)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        sdf.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.sum("value").alias("s"))
+        .select("user_id", "s")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    got = sorted((r.user_id, r.s) for r in spark.table("late_out").collect())
+    assert got == [(1, 1.0), (2, 1.0)], got
+    assert dropped == 1  # the post-eviction late event was dropped, not merged
