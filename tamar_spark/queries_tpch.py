@@ -1586,3 +1586,66 @@ def asof_join_next_order(spark, sf_dir):
         direction="forward",
     )
     return out.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "train_test_split",
+    """
+WITH tagged AS (
+  SELECT event_type,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90
+              THEN 'train' ELSE 'test' END AS split
+  FROM events
+)
+SELECT event_type, split, CAST(count(*) AS BIGINT) AS n
+FROM tagged GROUP BY event_type, split
+""",
+)
+def train_test_split(spark, sf_dir):
+    """Reproducible train/test splitting (90/10) by content hash — the
+    training-pipeline requirement `sample()` can't meet: membership is a
+    pure function of the row id, so the split is identical across runs,
+    partitionings, and engines (md5-slice hash, DuckDB-reproducible).  At
+    100 TB this is a stateless map — no shuffle to split, one to count."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    return (
+        e.select(
+            "event_type",
+            F.when(bucket < 90, "train").otherwise("test").alias("split"),
+        )
+        .groupBy("event_type", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "stratified_cap",
+    """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 50
+""",
+)
+def stratified_cap(spark, sf_dir):
+    """Stratified downsampling: cap each language at 50 documents, selected
+    by hash order (deterministic, unbiased by ingestion order).  One
+    shuffle on the stratum key; per-stratum top-k never sorts globally."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
