@@ -393,3 +393,46 @@ def test_late_event_semantics_vs_reference(spark, tmp_path):
     got = sorted((r.user_id, r.s) for r in spark.table("late_out").collect())
     assert got == [(1, 1.0), (2, 1.0)], got
     assert dropped == 1  # the post-eviction late event was dropped, not merged
+
+
+def test_streaming_checkpoint_recovery(spark, tmp_path):
+    """Fault-tolerance the reference entirely lacks (SURVEY §4.2: no
+    checkpointing anywhere): a stopped streaming query restarted on the
+    same checkpoint resumes from its committed offsets — the second run
+    processes ONLY the new file, and the sink holds each row exactly once."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    pd.DataFrame({"id": range(0, 100)}).to_parquet(src / "a.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    q1 = run_once()
+    rows1 = sum(p["numInputRows"] for p in q1.recentProgress)
+    assert rows1 == 100
+    assert spark.read.parquet(out).count() == 100
+
+    pd.DataFrame({"id": range(100, 150)}).to_parquet(src / "b.parquet")
+    q2 = run_once()
+    rows2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert rows2 == 50, f"restart reprocessed data: {rows2} rows"
+
+    final = spark.read.parquet(out)
+    assert final.count() == 150
+    assert final.select(F.countDistinct("id")).first()[0] == 150  # exactly once
