@@ -621,3 +621,16 @@ def test_asof_forward_strategies_agree(spark, asof_data, strategy):
             expect[l.eid] = None
     got = {r.eid: r.rid for r in out}
     assert got == expect
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A~B~C chain collapses to one component even though A!~C; separate
+    clique keeps its own; singleton edges keep theirs."""
+    from tamar_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_id_1 long, doc_id_2 long",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
