@@ -1694,3 +1694,45 @@ def dedup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, threshold=0.5)
     return connected_components(pairs)
+
+
+@query("streaming_stream_outer_join")
+def streaming_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: matches emit immediately;
+    an unmatched click emits its NULL row once join-state eviction proves no
+    view can still arrive.  WHICH unmatched clicks have been flushed at
+    end-of-stream depends on the engine's internal state-watermark batching,
+    so this entry is rows-only; the deterministic invariants (matched set ==
+    batch inner join; every NULL row genuinely unmatched and
+    watermark-closed) are pinned by
+    ``test_stream_outer_join_invariants``."""
+    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+
+    prep_session(spark)
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("view_ts") <= F.col("ts")),
+        "left_outer",
+    ).select(
+        F.col("event_id").alias("click_id"),
+        "view_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return _run_to_memory(joined)

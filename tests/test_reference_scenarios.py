@@ -436,3 +436,52 @@ def test_streaming_checkpoint_recovery(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 150
     assert final.select(F.countDistinct("id")).first()[0] == 150  # exactly once
+
+
+def test_stream_outer_join_invariants(spark, sf_dir):
+    """Stream-stream left-outer join invariants (its query entry is
+    rows-only because outer-row flush timing is engine-internal):
+    - matched rows equal the batch inner interval join exactly;
+    - every emitted NULL row is genuinely unmatched and its click is old
+      enough that the final watermark closed its match window."""
+    from tamar_spark.queries import QUERIES
+    from tamar_spark.sources import load_table
+
+    out = QUERIES["streaming_stream_outer_join"](spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    rows = ev.collect()
+    clicks = {r.event_id: r for r in rows if r.event_type == "click"}
+    views = [r for r in rows if r.event_type == "view"]
+    import datetime as dt
+
+    max_ts = max(r.ts for r in rows)
+    final_wm = max_ts - dt.timedelta(minutes=10)
+
+    def matches(c):
+        return {
+            v.event_id
+            for v in views
+            if v.user_id == c.user_id and c.ts - dt.timedelta(hours=2) <= v.ts <= c.ts
+        }
+
+    expected_matched = {
+        (c.event_id, vid) for c in clicks.values() for vid in matches(c)
+    }
+    got_matched = {
+        (int(r.click_id), int(r.view_id))
+        for _, r in out.iterrows()
+        if not pd_isna(r.view_id)
+    }
+    assert got_matched == expected_matched
+
+    for _, r in out.iterrows():
+        if pd_isna(r.view_id):
+            c = clicks[int(r.click_id)]
+            assert not matches(c), f"click {c.event_id} emitted NULL but has matches"
+            assert c.ts <= final_wm, f"click {c.event_id} outer-emitted inside watermark"
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
