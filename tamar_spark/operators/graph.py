@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "connected_components_star"]
 
 
 def connected_components(
@@ -41,13 +41,18 @@ def connected_components(
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # localCheckpoint (not persist): each round's plan builds on the last —
+    # persist caches DATA but the logical plan still nests one level per
+    # round, and Catalyst re-analysis over a 40-deep self-referencing plan
+    # OOMs the driver long before the data does. Checkpointing truncates
+    # lineage so every round starts from a flat scan.
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint()
     )
-    labels = labels.persist()
-    labels.count()
 
     for _ in range(max_iter):
         # min label among each node's neighbors
@@ -64,16 +69,93 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint()
         )
-        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     return labels.select("node", "component")
+
+
+def _symmetrize(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_id_1",
+    dst: str = "doc_id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the web-scale path: O(log² n) rounds on ANY graph shape, vs min-label
+    propagation's O(diameter) rounds (pathological on long chains).
+
+    Each round is two grouped aggregations + joins over the edge list:
+
+    - large-star: every node links its LARGER neighbors to its smallest
+      known neighbor-or-self;
+    - small-star: every node links its smaller-or-equal neighbors to that
+      minimum.
+
+    Edges monotonically shrink toward a star centered on each component's
+    minimum; converged when the edge set stops changing.  Returns
+    ``(node, component)`` with component = the minimum node id.
+    """
+    # localCheckpoint (not persist): each round's plan builds on the last —
+    # without truncating lineage the query plan doubles every iteration and
+    # planning time, not data, dominates
+    edges = _symmetrize(pairs, src, dst).localCheckpoint()
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        nbr_min = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("_nm"))
+            .select("u", F.least(F.col("u"), F.col("_nm")).alias("m"))
+        )
+        joined = e.join(nbr_min, "u")
+        keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = (
+            joined.filter(keep)
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(nbr_min.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        return (
+            out.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(out.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_edges = star(star(edges, large=True), large=False).localCheckpoint()
+        delta = new_edges.exceptAll(edges).limit(1).count() + edges.exceptAll(
+            new_edges
+        ).limit(1).count()
+        edges = new_edges
+        if delta == 0:
+            break
+
+    # converged: every node's minimum neighbor-or-self is the component root
+    return (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_nm"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("_nm")).alias("component"),
+        )
+    )

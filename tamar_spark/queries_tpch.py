@@ -1696,6 +1696,52 @@ def dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+@query(
+    "dedup_clusters_star",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_id_1, doc_id_2
+  FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_id_1
+             JOIN sizes sb ON sb.doc_id = inter.doc_id_2
+  WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+), sym AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM edges
+  UNION SELECT doc_id_2, doc_id_1 FROM edges
+), closure AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+  ) SELECT * FROM r
+)
+SELECT a AS node, least(a, min(b)) AS component
+FROM closure GROUP BY a
+""",
+)
+def dedup_clusters_star(spark, sf_dir):
+    """Same duplicate clusters as ``dedup_clusters``, computed with the
+    large-star/small-star algorithm (Kiveris et al.) instead of min-label
+    propagation — O(log^2 n) rounds regardless of graph diameter, the
+    variant to run at web scale where dup chains can be long.  Checked
+    against the identical recursive-CTE oracle: both algorithms must land
+    on the same canonical representative per cluster."""
+    from tamar_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.5)
+    return connected_components_star(pairs)
+
+
 @query("streaming_stream_outer_join")
 def streaming_stream_outer_join(spark, sf_dir):
     """Stream-stream LEFT OUTER interval join: matches emit immediately;

@@ -634,3 +634,25 @@ def test_connected_components_chain_and_clique(spark):
     )
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_star_components_match_label_propagation(spark):
+    """large-star/small-star must produce identical components to min-label
+    propagation on random graphs (including a long chain — the star
+    algorithm's advantage case)."""
+    import random
+
+    from tamar_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(23)
+    edges = [(i, i + 1) for i in range(40)]  # one 41-node chain
+    nodes = list(range(100, 140))
+    edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+    a = sorted(map(tuple, connected_components(df, max_iter=50).collect()))
+    b = sorted(map(tuple, connected_components_star(df).collect()))
+    assert a == b
