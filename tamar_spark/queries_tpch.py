@@ -1782,3 +1782,143 @@ def streaming_stream_outer_join(spark, sf_dir):
         F.col("ts").alias("click_ts"),
     )
     return _run_to_memory(joined)
+
+
+@query(
+    "q11_important_parts",
+    """
+WITH pr AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS pv_dec
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(round(pv_dec, 2) AS DOUBLE) AS part_value
+FROM pr WHERE pv_dec * (SELECT count(*) FROM pr) > (SELECT sum(pv_dec) FROM pr)
+""",
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H-Q11 adapted (testdata has no partsupp — reference data model
+    keeps the same shape with lineitem revenue as the value measure): parts
+    with an above-average revenue share.  Same plan skeleton as Q11: one
+    grouped aggregate, a 1-row scalar-subquery aggregate over the SAME
+    aggregate (Spark reuses the exchange), broadcast back as a HAVING
+    filter.  The share comparison is exact decimal×integer on both sides
+    (pv*n_parts > total), so no float-boundary flakes at any scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pr = l.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+        ).alias("pv_dec")
+    )
+    total = pr.agg(F.sum("pv_dec").alias("_tot"), F.count(F.lit(1)).alias("_n"))
+    return (
+        pr.join(F.broadcast(total), F.col("pv_dec") * F.col("_n") > F.col("_tot"))
+        .select(
+            "l_partkey", F.round("pv_dec", 2).cast("double").alias("part_value")
+        )
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    """
+SELECT l_returnflag,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H-Q12 adapted (testdata has no l_shipmode/commitdate — returnflag
+    stands in as the mode dimension): per flag, how many 1996-shipped lines
+    belong to critical- vs non-critical-priority orders.  Q12's plan shape:
+    fact-to-fact equi join (orders joined only on the filtered lineitem
+    year), conditional CASE counting in one hash aggregate."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    ).select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(crit, 1)).alias("high_line_count"),
+            F.count(F.when(~crit, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_order_distribution",
+    """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+""",
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H-Q13 adapted (no o_comment in testdata — the anti-pattern filter
+    is on order priority instead): distribution of orders-per-customer
+    INCLUDING zero-order customers.  Q13's signature plan: LEFT OUTER join
+    with the filter on the JOIN CONDITION (not a WHERE, which would turn it
+    inner), then a double aggregation — per-customer count, then a count
+    distribution over those counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q20_excess_shipments",
+    """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 100
+)
+""",
+)
+def q20_excess_shipments(spark, sf_dir):
+    """TPC-H-Q20 adapted (no partsupp — shipped quantity stands in for
+    stock): suppliers who shipped > 100 units of 'small%' parts in 1996.
+    Q20's nested-IN shape: inner IN becomes a broadcast LEFT SEMI join of
+    lineitem against the filtered part keys; the HAVING aggregate feeds an
+    outer LEFT SEMI join against supplier.  Both semi joins keep only keys —
+    no payload duplication at scale."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 100)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
