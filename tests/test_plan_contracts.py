@@ -42,6 +42,10 @@ CONTRACTS = [
     ("q2_min_cost_supplier", 3, 2),
     ("q16_supplier_counts", 2, 2),
     ("q21_waiting_orders", 3, 3),
+    ("q11_important_parts", 2, 0),  # 1-row total joins via BroadcastNestedLoop
+    ("q12_priority_shipping", 1, 1),
+    ("q13_order_distribution", 2, 1),
+    ("q20_excess_shipments", 1, 2),
 ]
 
 
@@ -81,6 +85,13 @@ def test_semi_anti_compile_to_join_types(spark, sf_dir):
     assert "LeftSemi" in plan4
     plan22 = executed_plan(QUERIES["q22_idle_customers"](spark, sf_dir))
     assert "LeftAnti" in plan22
+
+
+def test_q20_nested_in_is_two_semi_joins(spark, sf_dir):
+    """Q20's nested-IN must compile to exactly two LEFT SEMI joins (keys
+    only, no payload duplication) — not an inner join + distinct."""
+    plan = executed_plan(QUERIES["q20_excess_shipments"](spark, sf_dir))
+    assert plan.count("LeftSemi") == 2, plan
 
 
 def test_dedup_embedding_is_blocked_gemm(spark, sf_dir):
