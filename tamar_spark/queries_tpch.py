@@ -878,6 +878,23 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
+@query("approx_percentile_value")
+def approx_percentile_value(spark, sf_dir):
+    """KLL-style quantile sketch aggregation: approximate p50/p90/p99 of the
+    event value per event type (``percentile_approx``, accuracy 10000 →
+    rank error ≤ 1e-4·n).  Like HLL for COUNT(DISTINCT), the quantile
+    sketch is the 100 TB answer to exact percentiles: fixed-size mergeable
+    map-side state instead of shuffling every value to one reducer per
+    group (exact variant: percentile_agg).  Approximate → rows-only check;
+    ``test_approx_percentile_rank_error`` bounds the rank error against the
+    exact distribution."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @query(
     "grouping_sets_sales",
     """

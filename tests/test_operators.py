@@ -656,3 +656,34 @@ def test_star_components_match_label_propagation(spark):
     a = sorted(map(tuple, connected_components(df, max_iter=50).collect()))
     b = sorted(map(tuple, connected_components_star(df).collect()))
     assert a == b
+
+
+def test_approx_percentile_rank_error(spark):
+    """percentile_approx at accuracy 10000 must land within rank error
+    1e-3·n of the exact quantile (loose 10x slack over the sketch's 1e-4
+    guarantee to keep the test non-flaky)."""
+    from tamar_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {
+        r.event_type: r.approx_pcts
+        for r in QUERIES["approx_percentile_value"](spark, sf_dir).collect()
+    }
+    from tamar_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    for etype, pcts in got.items():
+        vals = e[e.event_type == etype]["value"].sort_values().to_numpy()
+        n = len(vals)
+        for q, approx in zip((0.5, 0.9, 0.99), pcts):
+            import bisect
+
+            # rank band of the approximate answer in the exact distribution
+            lo = bisect.bisect_left(vals, approx)
+            hi = bisect.bisect_right(vals, approx)
+            target = q * (n - 1)
+            slack = max(1e-3 * n, 1.0)
+            assert lo - slack <= target <= hi + slack, (
+                f"{etype} p{q}: approx {approx} at ranks [{lo},{hi}] "
+                f"vs target {target:.0f}±{slack:.0f} of n={n}"
+            )
