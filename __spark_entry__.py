@@ -24,11 +24,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["session_agg"](spark, "/root/testdata/sf0.001")
 
 
+# Queries that already earned a driver CORRECTNESS row in round 1.  The
+# driver evaluates registration order and may cap how many it reaches, so we
+# register not-yet-driver-checked queries FIRST each round to rotate hard
+# coverage across the full inventory (VERDICT r1 "Next round" item 2).
+_CHECKED_PRIOR_ROUNDS = [
+    "session_agg", "session_stats", "tumbling_agg", "sliding_agg",
+    "filter_map", "keyed_count", "running_total", "q1_pricing", "q3_shipping",
+    "q5_region_revenue", "window_rank", "lead_lag", "distinct_agg",
+    "rollup_sales", "set_ops", "asof_join_latest_order", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "embed_cosine_topk", "embed_lsh_topk", "text_stats", "doc_quality",
+    "lang_id", "doc_fingerprint", "binary_meta", "streaming_session_agg",
+    "semi_anti_join", "cube_sales", "json_props", "word_freq",
+    "range_join_pairs", "pandas_udf_bucket", "streaming_tumbling_agg",
+    "streaming_stream_join", "streaming_dedup", "q4_order_priority",
+    "q6_forecast_revenue", "q7_trade_volume", "q8_market_share",
+    "q9_product_profit", "q10_returned_top", "q14_promo_share",
+    "q15_top_supplier", "q17_small_quantity", "q18_large_orders",
+    "q19_bracket_revenue", "q22_idle_customers", "stat_agg",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    prior = set(_CHECKED_PRIOR_ROUNDS)
+    fresh = {k: v for k, v in mapping.items() if k not in prior}
+    rest = {k: mapping[k] for k in _CHECKED_PRIOR_ROUNDS if k in mapping}
+    return {**fresh, **rest}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from tamar_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -36,4 +65,4 @@ def oracle_sql() -> dict[str, str]:
     approximate operators: simhash pairs, LSH top-k)."""
     from tamar_spark.queries import ORACLES
 
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))

@@ -86,9 +86,11 @@ def session_process_streaming(
         if buffered is not None and len(buffered):
             buffered = buffered.sort_values(ts, kind="mergesort").reset_index(drop=True)
             ts_us = buffered[ts].astype("datetime64[us]").astype("int64")
-            # gap-merge: new session where the gap to the previous event is
-            # >= gap (equality opens a new session — half-open convention)
-            new_session = (ts_us.diff().fillna(gap_us) >= gap_us).cumsum()
+            # gap-merge: new session only where the gap to the previous event
+            # is strictly > gap — an event exactly ``gap`` after its
+            # predecessor MERGES, matching Spark's session_window and the
+            # reference's inclusive candidate range (src/lib.rs:463-465)
+            new_session = (ts_us.diff().fillna(gap_us + 1) > gap_us).cumsum()
 
             watermark_us = gstate.getCurrentWatermarkMs() * 1000
             keep_mask = pd.Series(True, index=buffered.index)
@@ -118,7 +120,7 @@ def session_process_streaming(
             # (src/lib.rs:800-826); Spark only calls keys present in the
             # batch, so quiet keys fire via event-time timeout instead
             rem_us = remaining[ts].astype("datetime64[us]").astype("int64")
-            rem_sessions = (rem_us.diff().fillna(gap_us) >= gap_us).cumsum()
+            rem_sessions = (rem_us.diff().fillna(gap_us + 1) > gap_us).cumsum()
             next_close_us = int(rem_us.groupby(rem_sessions).max().min()) + gap_us
             wm_ms = gstate.getCurrentWatermarkMs()
             gstate.setTimeoutTimestamp(max(next_close_us // 1000, wm_ms + 1))

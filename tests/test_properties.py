@@ -42,7 +42,7 @@ def ref_sessions(events, gap_min):
         evs.sort()
         cur = [evs[0]]
         for e in evs[1:]:
-            if e[0] - cur[-1][0] >= gap_min:
+            if e[0] - cur[-1][0] > gap_min:
                 out[_sess_key(u, cur, gap_min)] = _sess_val(cur)
                 cur = [e]
             else:
