@@ -119,18 +119,22 @@ def _asof_filter(left, right, left_on, right_on, left_by, right_by, right_cols, 
         if direction == "backward"
         else F.col(right_on) >= F.col(left_on)
     )
-    joined = left.join(
+    # unique left-row id: duplicate left rows must each survive (left-join
+    # cardinality contract) — partitioning the window by left.columns would
+    # collapse them to one output row
+    lid = left.withColumn("_lid", F.monotonically_increasing_id())
+    joined = lid.join(
         r, (F.col(left_by) == F.col("_asof_rby")) & time_cond, "left"
     )
     order = [F.col(right_on).desc() if direction == "backward" else F.col(right_on).asc()]
     if tiebreak:
         order.append(F.col(tiebreak).desc())
-    w = Window.partitionBy(*left.columns).orderBy(*order)
+    w = Window.partitionBy("_lid").orderBy(*order)
     drop_extra = [c for c in (right_on, tiebreak) if c and c not in right_cols]
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_asof_rby", *drop_extra)
+        .drop("_rn", "_lid", "_asof_rby", *drop_extra)
     )
 
 

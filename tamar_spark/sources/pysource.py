@@ -184,9 +184,13 @@ class JsonlSinkDataSource(DataSource):
     """Custom Python writer — the reference's ``Sink`` trait
     (``run(self, Receiver<V>)``, src/lib.rs:74-76): arbitrary user code
     consumes rows.  Each partition writes its rows as one jsonl file under
-    ``path`` (task-id named for idempotent retries); ``commit`` runs once on
-    the driver with every partition's receipt — the two-phase contract that
-    replaces the reference's unchecked channel consumption."""
+    ``path``; ``commit`` runs once on the driver with every partition's
+    receipt and records the COMMITTED FILE MANIFEST in ``_SUCCESS.json`` —
+    the two-phase contract that replaces the reference's unchecked channel
+    consumption.  Retried/speculative task attempts may leave orphan part
+    files; readers must consume only manifest-listed files (see
+    :func:`read_jsonl_sink`), which makes the sink exactly-once at the
+    manifest level without coordinating attempt file names."""
 
     @classmethod
     def name(cls):
@@ -206,8 +210,15 @@ class _JsonlWriter(DataSourceWriter):
         import os
         import uuid
 
+        from pyspark import TaskContext
+
         os.makedirs(self.path, exist_ok=True)
-        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        # per-attempt unique name: a retried attempt never clobbers a file a
+        # reader may already hold open; exactly-once comes from the commit
+        # manifest, which lists ONE attempt's file per partition
+        fname = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
         n = 0
         with open(fname, "w") as f:
             for row in iterator:
@@ -221,7 +232,36 @@ class _JsonlWriter(DataSourceWriter):
 
         total = sum(m.count for m in messages)
         with open(os.path.join(self.path, "_SUCCESS.json"), "w") as f:
-            f.write(_json.dumps({"files": len(messages), "rows": total}))
+            f.write(
+                _json.dumps(
+                    {
+                        "files": sorted(os.path.basename(m.path) for m in messages),
+                        "rows": total,
+                    }
+                )
+            )
 
     def abort(self, messages):
-        pass
+        import os
+
+        for m in messages or []:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+def read_jsonl_sink(path: str):
+    """Read back a :class:`JsonlSinkDataSource` directory exactly-once:
+    only files listed in the ``_SUCCESS.json`` manifest count — orphan part
+    files from retried/speculative attempts are ignored."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_SUCCESS.json")) as f:
+        manifest = _json.load(f)
+    rows = []
+    for base in manifest["files"]:
+        with open(os.path.join(path, base)) as f:
+            rows.extend(_json.loads(line) for line in f if line.strip())
+    return rows

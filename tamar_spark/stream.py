@@ -165,7 +165,7 @@ class DataStream:
         if sink == "console":
             self.df.show(truncate=False)
             return self.df
-        self.df.write.mode("overwrite" if mode == "append" else mode).format(sink).save(path)
+        self.df.write.mode(mode).format(sink).save(path)
         return self.df
 
     def foreach_batch(

@@ -60,6 +60,28 @@ def test_asof_strategies_agree(spark, asof_data, strategy):
     assert got == EXPECTED_ASOF, f"strategy={strategy}"
 
 
+@pytest.mark.parametrize("strategy", ["union", "merge", "filter"])
+def test_asof_duplicate_left_rows_preserved(spark, asof_data, strategy):
+    """Left-join cardinality contract: duplicate left rows each produce an
+    output row (regression — the filter strategy used to collapse them by
+    partitioning its row_number window on all left columns)."""
+    left, right = asof_data
+    dup_left = left.unionAll(left)  # every row exactly twice
+    out = asof_join(
+        left=dup_left,
+        right=right,
+        left_on="t",
+        right_on="rt",
+        left_by="k",
+        right_by="k",
+        right_cols=["rid", "price"],
+        tiebreak="rid",
+        strategy=strategy,
+    )
+    got = sorted((r.eid, r.rid, r.price) for r in out.collect())
+    assert got == sorted(EXPECTED_ASOF * 2), f"strategy={strategy}"
+
+
 def test_asof_union_plan_has_no_python(spark, asof_data):
     left, right = asof_data
     out = asof_join(
@@ -546,11 +568,12 @@ def test_incrementing_datasource_streams(spark, tmp_path):
 
 def test_jsonl_sink_datasource(spark, tmp_path):
     """Custom Python writer (reference Sink trait, src/lib.rs:74-76):
-    per-partition jsonl files + a driver-side commit receipt."""
-    import glob
+    per-partition jsonl files + a driver-side commit manifest.  Readers
+    consume only manifest-listed files, so an orphan part file from a
+    retried/speculative attempt is never double-counted."""
     import json as _json
 
-    from tamar_spark.sources.pysource import register_py_sources
+    from tamar_spark.sources.pysource import read_jsonl_sink, register_py_sources
 
     register_py_sources(spark)
     out = str(tmp_path / "sinkout")
@@ -559,9 +582,14 @@ def test_jsonl_sink_datasource(spark, tmp_path):
 
     success = _json.load(open(f"{out}/_SUCCESS.json"))
     assert success["rows"] == 50
-    rows = []
-    for fp in glob.glob(f"{out}/part-*.jsonl"):
-        rows += [_json.loads(l) for l in open(fp)]
+    assert len(success["files"]) == 4
+
+    # simulate an orphan file from a failed/speculative attempt: the
+    # manifest-driven reader must ignore it
+    with open(f"{out}/part-00001-deadbeef.jsonl", "w") as f:
+        f.write(_json.dumps({"id": "999", "v": "2997"}) + "\n")
+
+    rows = read_jsonl_sink(out)
     assert len(rows) == 50
     assert sorted(int(r["v"]) for r in rows) == [i * 3 for i in range(50)]
 
