@@ -114,9 +114,19 @@ def lsh_topk(
     Recall improves with ``n_tables``; cost scales with bucket occupancy
     (~n / 2^n_bits per table).  Rerank inside candidates is exact cosine
     with the same deterministic tie-break as :func:`cosine_topk`.
+
+    ``dim`` is required unless the ``vec_col`` schema field carries a
+    ``{"dim": N}`` metadata entry — plan construction never runs a Spark
+    job (an eager ``first()`` here would full-scan at 100 TB scale).
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = corpus.schema[vec_col].metadata.get("dim")
+    if dim is None:
+        raise ValueError(
+            "lsh_topk needs the embedding dimension: pass dim= or attach "
+            f'{{"dim": N}} metadata to the {vec_col!r} schema field '
+            "(inferring it would run an eager corpus scan at plan time)"
+        )
 
     def bucket_expr(vec: Column) -> Column:
         keys = []
@@ -175,6 +185,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
@@ -191,10 +202,15 @@ def ivf_topk(
       when the probed query set is small);
     - rerank: exact cosine, deterministic (score DESC, id ASC) tie-break.
 
-    Centroids here are a deterministic id-ordered sample (reproducible with
-    no model state).  At 100 TB swap in offline-trained k-means centroids
-    (e.g. ``pyspark.ml.clustering.KMeans`` on a sample) — the plan shape and
-    everything downstream of the centroid table is unchanged.
+    Default centroid seed: a deterministic hash-pruned sample —
+    ``xxhash64(id) % 8 == 0`` rows, first ``n_centroids`` of them.  The
+    filter prunes at the scan (no shuffle, no global sort — the previous
+    ``orderBy().limit()`` seed full-sorted the corpus for 16 rows) and the
+    hash spreads picks across the id space.  Lazy: no Spark job runs at
+    plan-construction time.  At 100 TB pass ``centroids=`` an
+    offline-trained k-means table (e.g. ``pyspark.ml.clustering.KMeans`` on
+    a sample) with columns ``(list_id, _cent, _cent_n)`` — the plan shape
+    and everything downstream of the centroid table is unchanged.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
@@ -203,15 +219,18 @@ def ivf_topk(
         F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", l2_norm(F.col("_qv")))
 
-    cents = (
-        c.orderBy("neighbor_id")
-        .limit(n_centroids)
-        .select(
-            F.monotonically_increasing_id().alias("list_id"),
-            F.col("_cv").alias("_cent"),
-            F.col("_cn").alias("_cent_n"),
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = (
+            c.filter(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(8)) == 0)
+            .limit(n_centroids)
+            .select(
+                F.monotonically_increasing_id().alias("list_id"),
+                F.col("_cv").alias("_cent"),
+                F.col("_cn").alias("_cent_n"),
+            )
         )
-    )
     sim_to_cent = dot(F.col("_cv"), F.col("_cent")) / (F.col("_cn") * F.col("_cent_n"))
     assigned = (
         c.join(F.broadcast(cents))
