@@ -31,7 +31,7 @@ HEADLINE = [
     "asof_join_latest_order",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_embedding",
+    "dedup_embedding_lsh",
     "embed_cosine_topk",
     "embed_ivf_topk",
     "doc_quality",

@@ -349,25 +349,33 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     n_blocks: int = 8,
     method: str = "blocked",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``(src_id, dup_id, score)`` for
     every unordered pair with cosine ≥ ``threshold``.
 
-    Two exact implementations:
+    Three implementations:
 
-    - ``method="blocked"`` (default): block-pair fan-out + one dense numpy
-      GEMM per tile inside ``applyInPandas`` (see
+    - ``method="lsh"`` (the 100 TB path): sign-LSH candidate buckets + exact
+      in-bucket GEMM verify (:func:`dedup_embedding.lsh_cosine_pairs`) —
+      scored pairs drop from O(n²) to Σ bucket²; requires ``dim``.
+      Deterministic; recall 1 to <1e-5 miss at near-dup thresholds (≥0.9).
+    - ``method="blocked"`` (default, exact): block-pair fan-out + one dense
+      numpy GEMM per tile inside ``applyInPandas`` (see
       :mod:`tamar_spark.operators.dedup_embedding`).  ~20× faster than the
-      expression path at 5k vectors and the layout that scales: replication
-      factor ``n_blocks``, no broadcast, no driver collect.
+      expression path at 5k vectors; replication factor ``n_blocks``, no
+      broadcast, no driver collect — but O(n²) scored pairs by definition.
     - ``method="expr"``: pure-JVM self-join with a ``zip_with``/``aggregate``
       fold per pair — zero Python, used as the independent cross-check.
-
-    Scale path (100 TB): exact all-pairs is O(n²) by definition — put an
-    LSH (`similarity.lsh_topk`) or IVF (`similarity.ivf_topk`) candidate
-    generator in front and verify only candidate tiles with the same GEMM
-    kernel; the banding math mirrors `minhash_lsh_pairs`.
     """
+    if method == "lsh":
+        from tamar_spark.operators.dedup_embedding import lsh_cosine_pairs
+
+        if dim is None:
+            raise ValueError('method="lsh" requires dim')
+        return lsh_cosine_pairs(
+            df, threshold, dim=dim, id_col=id_col, vec_col=vec_col
+        )
     if method == "blocked":
         from tamar_spark.operators.dedup_embedding import blocked_cosine_pairs
 

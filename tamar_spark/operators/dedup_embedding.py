@@ -1,18 +1,19 @@
-"""Blocked exact all-pairs cosine — the vectorized engine behind
-``embedding_neardup_pairs(method="blocked")``.
+"""Vectorized embedding near-dup kernels.
 
-Exact O(n²) pair scoring, but organized as the standard blocked similarity
-join so (a) the inner loop is one dense GEMM per block pair (numpy/BLAS —
-~100× the throughput of per-pair expression evaluation) and (b) nothing is
-broadcast or collected: blocks are plain rows, block pairs are a tiny
-self-join, and each (bi, bj) tile is scored independently inside
-``applyInPandas``.  That layout survives a 100×-bigger corpus: replication
-factor is ``n_blocks`` (choose ~sqrt(cluster cores)), tiles stream through
-executors, and the emitted rows are only the above-threshold pairs.
+Two entry points sharing one dense-GEMM scoring style:
 
-At true 100 TB scale you would put an LSH/IVF candidate generator in front
-(see `similarity.lsh_topk` / `similarity.ivf_topk`) and feed only candidate
-tiles through the same GEMM kernel.
+- :func:`blocked_cosine_pairs` — EXACT all-pairs, organized as the standard
+  blocked similarity join so (a) the inner loop is one dense GEMM per block
+  pair (numpy/BLAS — ~100× the throughput of per-pair expression
+  evaluation) and (b) nothing is broadcast or collected: blocks are plain
+  rows, block pairs are a tiny self-join, and each (bi, bj) tile is scored
+  independently inside ``applyInPandas``.  Still O(n²) scored pairs — the
+  verification tier, not the 100 TB entry point.
+- :func:`lsh_cosine_pairs` — the 100 TB path: sign-random-projection LSH
+  bucketing first (``similarity.sign_lsh_buckets``), then the same dense
+  GEMM kernel applied ONLY inside each (table, bucket) group.  Scored pairs
+  drop from O(n²) to Σ bucket²; everything before the kernel is JVM
+  expression code and one hash-partitioned ``groupBy``.
 """
 
 from __future__ import annotations
@@ -88,4 +89,98 @@ def blocked_cosine_pairs(
         tagged.groupBy("_bi", "_bj")
         .applyInPandas(score_tile, schema=out_schema)
         .select("src_id", "dup_id", "score")
+    )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 6,
+    max_chunk: int = 8192,
+) -> DataFrame:
+    """Near-dup pairs with cosine ≥ ``threshold`` via LSH candidates + exact
+    in-bucket GEMM verify — the composed scale path for embedding dedup.
+
+    Plan shape (all candidate generation JVM-side):
+
+    1. bucket every vector into ``n_tables`` sign-LSH buckets
+       (``similarity.sign_lsh_buckets`` — literal projections, zip_with
+       folds) and ``posexplode`` to (table, bucket) rows;
+    2. ``groupBy(table, bucket)`` — ONE hash shuffle, keyed on 2^n_bits ×
+       n_tables buckets; skew is bounded by choosing n_bits so expected
+       bucket size ≈ corpus/2^n_bits stays executor-sized, and the kernel
+       chunks its GEMM at ``max_chunk`` rows so a hot bucket degrades to
+       streaming tiles instead of OOM;
+    3. inside each bucket: one dense numpy GEMM scores all intra-bucket
+       pairs, emits only those ≥ threshold with id_a < id_b;
+    4. ``dropDuplicates`` on the pair key (a true pair co-occurs in ~every
+       table).
+
+    Recall: a pair at cosine θ collides per table with prob
+    (1-θ/π)^n_bits; missing every table is (1-p)^n_tables.  At near-dup
+    thresholds (≥0.9) with the 8×6 default that miss rate is <1e-5 per
+    pair — and because projections are deterministic the outcome for a
+    given corpus is fixed, so tests can pin exact-oracle equality.
+    Verified scores are exact cosines, so precision is 1 by construction.
+    """
+    import pandas as pd
+
+    from tamar_spark.operators.similarity import sign_lsh_buckets
+
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    bucketed = base.select(
+        "*",
+        F.posexplode(sign_lsh_buckets(F.col("_v"), dim, n_tables, n_bits)).alias(
+            "_table", "_bucket"
+        ),
+    )
+
+    out_schema = "src_id long, dup_id long, score double"
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        empty = pd.DataFrame({"src_id": [], "dup_id": [], "score": []}).astype(
+            {"src_id": "int64", "dup_id": "int64", "score": "float64"}
+        )
+        if n < 2:
+            return empty
+        # sort by id: off-diagonal chunk pairs then always have
+        # ids_a < ids_b, so the keep-mask never drops a cross-chunk pair
+        pdf = pdf.sort_values("_id")
+        M = np.stack(pdf["_v"].to_numpy())
+        ids = pdf["_id"].to_numpy()
+        nrm = np.linalg.norm(M, axis=1)
+        outs = []
+        # chunked upper-triangle GEMM: bounds peak memory on hot buckets
+        for i0 in range(0, n, max_chunk):
+            a = slice(i0, min(i0 + max_chunk, n))
+            for j0 in range(i0, n, max_chunk):
+                b = slice(j0, min(j0 + max_chunk, n))
+                sims = (M[a] @ M[b].T) / np.outer(nrm[a], nrm[b])
+                ia, ib = np.nonzero(sims >= threshold)
+                ids_a, ids_b = ids[a][ia], ids[b][ib]
+                keep = ids_a < ids_b
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "src_id": ids_a[keep],
+                                "dup_id": ids_b[keep],
+                                "score": np.round(sims[ia, ib][keep], 6),
+                            }
+                        )
+                    )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (
+        bucketed.groupBy("_table", "_bucket")
+        .applyInPandas(score_bucket, schema=out_schema)
+        .dropDuplicates(["src_id", "dup_id"])
     )

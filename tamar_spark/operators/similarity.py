@@ -23,7 +23,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_topk", "ivf_topk"]
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_topk", "ivf_topk", "sign_lsh_buckets"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -96,6 +96,26 @@ def _projection(dim: int, table: int, bit: int) -> list:
     return (v / np.linalg.norm(v)).tolist()
 
 
+def sign_lsh_buckets(vec: Column, dim: int, n_tables: int, n_bits: int) -> Column:
+    """``array<int>`` of one sign-random-projection bucket id per table.
+
+    Pure JVM expression (literal projection vectors + ``zip_with`` folds) —
+    shared by :func:`lsh_topk` (ANN search) and
+    :func:`tamar_spark.operators.dedup_embedding.lsh_cosine_pairs`
+    (near-dup candidate generation).  Projections are derived
+    deterministically from hashed (table, bit) seeds, so bucket ids are
+    reproducible across runs and clusters with no shipped model state."""
+    keys = []
+    for t in range(n_tables):
+        bit_terms = None
+        for b in range(n_bits):
+            proj = F.array(*[F.lit(x) for x in _projection(dim, t, b)])
+            sgn = F.when(dot(vec, proj) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            bit_terms = sgn if bit_terms is None else bit_terms + sgn
+        keys.append(bit_terms)
+    return F.array(*keys)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -129,15 +149,7 @@ def lsh_topk(
         )
 
     def bucket_expr(vec: Column) -> Column:
-        keys = []
-        for t in range(n_tables):
-            bit_terms = None
-            for b in range(n_bits):
-                proj = F.array(*[F.lit(x) for x in _projection(dim, t, b)])
-                sgn = F.when(dot(vec, proj) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-                bit_terms = sgn if bit_terms is None else bit_terms + sgn
-            keys.append(bit_terms)
-        return F.array(*keys)
+        return sign_lsh_buckets(vec, dim, n_tables, n_bits)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")

@@ -160,3 +160,31 @@ def test_lsh_topk_reads_dim_from_schema_metadata(spark):
     )
     out = lsh_topk(df, df.limit(2), k=1)
     assert out.count() >= 0
+
+
+def test_dedup_embedding_lsh_is_candidate_bounded(spark, sf_dir):
+    """The composed scale path must verify only LSH candidates: one grouped
+    Pandas stage (the in-bucket GEMM), no cartesian/nested-loop join
+    anywhere, and scored pairs bounded by Σ bucket² rather than O(n²)."""
+    df = QUERIES["dedup_embedding_lsh"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the (table,bucket) groupBy + the pair-key dedup are the only wide ops
+    assert shuffle_count(df) <= 3, executed_plan(df)
+
+
+def test_dedup_embedding_lsh_matches_exact_pairs(spark, sf_dir):
+    """Recall/precision 1.0 on the planted corpus: LSH-composed pairs ==
+    exact blocked-GEMM all-pairs at the same threshold (deterministic
+    projections make this stable, not probabilistic)."""
+    from tamar_spark.operators.dedup import embedding_neardup_pairs
+    from tamar_spark.queries_tpch import _augmented_embeddings
+
+    corpus = _augmented_embeddings(spark, sf_dir)
+    lsh = embedding_neardup_pairs(corpus, threshold=0.9, method="lsh", dim=64)
+    exact = embedding_neardup_pairs(corpus, threshold=0.9, method="blocked")
+    got = sorted((r.src_id, r.dup_id, r.score) for r in lsh.collect())
+    want = sorted((r.src_id, r.dup_id, r.score) for r in exact.collect())
+    assert got == want and len(got) > 0
