@@ -5,12 +5,15 @@ struct — the Spark-native layout for a 100 TB multimodal corpus (payload
 bytes stay columnar in parquet, metadata predicates prune row groups
 without touching payloads).
 
-The decode/feature steps run as Arrow-batched ``mapInPandas`` stages.  The
-actual codecs (PIL/ffmpeg/librosa) are NOT available in this container, so
-decode bodies are stubbed: :func:`decode_image` raises
-``NotImplementedError`` unless ``fake=True``, which produces a
-deterministic fake decode (dimensions derived from the payload hash) so the
-Spark-side plumbing — schema, batching, partitioning — is real and tested.
+The decode/feature steps run as Arrow-batched ``mapInPandas`` stages.
+Image codecs auto-detect: when PIL/Pillow is importable on the executors
+(:data:`HAS_PIL`), :func:`decode_image` and :func:`resize_images` run the
+real codec; otherwise they raise ``NotImplementedError`` unless
+``fake=True``, which produces a deterministic fake decode (dimensions
+derived from the payload hash) so the Spark-side plumbing — schema,
+batching, partitioning — stays real and tested in codec-less CI.
+Video (``sample_frames``) stays stubbed — no ffmpeg-class dependency to
+detect.
 
 Scale notes: payload columns are heavy — always ``select`` metadata-only
 projections for filtering/joins and re-attach payloads late (column pruning
@@ -37,6 +40,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
+    "HAS_PIL",
     "MEDIA_SCHEMA",
     "attach_media_meta",
     "decode_image",
@@ -44,6 +48,21 @@ __all__ = [
     "resize_images",
     "sample_frames",
 ]
+
+
+def _pil_available() -> bool:
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+#: True when Pillow is importable — decode/resize run the real codec.
+#: Evaluated at import on the driver; executors re-check inside the UDF
+#: (a heterogeneous cluster could differ).
+HAS_PIL = _pil_available()
 
 # canonical multimodal column layout: (payload binary, meta struct)
 MEDIA_SCHEMA = StructType(
@@ -85,17 +104,23 @@ _DECODE_SCHEMA = "id long, width int, height int, n_channels int, sha256 string"
 def decode_image(df: DataFrame, id_col: str = "id", payload_col: str = "payload", fake: bool = False) -> DataFrame:
     """Decode image payloads to (width, height, channels) via mapInPandas.
 
-    STUB: real decoding needs an image codec library not present in this
-    container.  ``fake=True`` runs a deterministic fake decode (dims from
-    the payload hash) so the distributed plumbing is exercised end-to-end;
-    ``fake=False`` raises ``NotImplementedError`` at execution time.
+    Real decode (PIL) when Pillow is importable on the executor; else
+    ``fake=True`` runs a deterministic fake decode (dims from the payload
+    hash) so the distributed plumbing is exercised end-to-end, and
+    ``fake=False`` without PIL raises ``NotImplementedError`` at execution
+    time.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = (not fake) and _pil_available()
+        if real:
+            import io
+
+            from PIL import Image
         for pdf in batches:
-            if not fake:
+            if not fake and not real:
                 raise NotImplementedError(
-                    "image codec not available in this environment; "
+                    "image codec (Pillow) not available in this environment; "
                     "pass fake=True to exercise the pipeline"
                 )
             out = pd.DataFrame()
@@ -103,9 +128,20 @@ def decode_image(df: DataFrame, id_col: str = "id", payload_col: str = "payload"
             digests = pdf[payload_col].map(
                 lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()
             )
-            out["width"] = digests.map(lambda d: 64 + int(d[:4], 16) % 1920).astype("int32")
-            out["height"] = digests.map(lambda d: 64 + int(d[4:8], 16) % 1080).astype("int32")
-            out["n_channels"] = 3
+            if real:
+                dims = pdf[payload_col].map(
+                    lambda b: Image.open(io.BytesIO(bytes(b))).size
+                )
+                bands = pdf[payload_col].map(
+                    lambda b: len(Image.open(io.BytesIO(bytes(b))).getbands())
+                )
+                out["width"] = dims.map(lambda wh: wh[0]).astype("int32")
+                out["height"] = dims.map(lambda wh: wh[1]).astype("int32")
+                out["n_channels"] = bands.astype("int32")
+            else:
+                out["width"] = digests.map(lambda d: 64 + int(d[:4], 16) % 1920).astype("int32")
+                out["height"] = digests.map(lambda d: 64 + int(d[4:8], 16) % 1080).astype("int32")
+                out["n_channels"] = 3
             out["sha256"] = digests
             yield out
 
@@ -155,9 +191,10 @@ def resize_images(
     payload_col: str = "payload",
     fake: bool = False,
 ) -> DataFrame:
-    """Resize plumbing: (payload) → (resized payload, new dims) via
-    mapInPandas (STUB codec; deterministic fake emits a payload-hash-derived
-    byte budget so batch shapes and schemas are exercised for real).
+    """Resize: (payload) → (resized payload, new dims) via mapInPandas —
+    real PIL resize when Pillow is importable, deterministic fake payload
+    (hash-derived byte budget) otherwise so batch shapes and schemas are
+    exercised for real.
 
     Scale note: resize is CPU-bound and payload-heavy — run it LAST in the
     pipeline (after metadata filtering pruned the corpus) and size Arrow
@@ -166,18 +203,34 @@ def resize_images(
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = (not fake) and _pil_available()
+        if real:
+            import io
+
+            from PIL import Image
         for pdf in batches:
-            if not fake:
+            if not fake and not real:
                 raise NotImplementedError(
-                    "image codec not available; pass fake=True for plumbing tests"
+                    "image codec (Pillow) not available; pass fake=True for plumbing tests"
                 )
             out = pd.DataFrame()
             out["id"] = pdf[id_col]
-            # fake "resized" payload: truncated/padded to a deterministic size
-            budget = max(16, (target_w * target_h) // 1024)
-            out["payload"] = pdf[payload_col].map(
-                lambda b: bytes(b or b"")[:budget].ljust(budget, b"\0")
-            )
+            if real:
+
+                def _resize(b: bytes) -> bytes:
+                    img = Image.open(io.BytesIO(bytes(b)))
+                    fmt = img.format or "PNG"
+                    buf = io.BytesIO()
+                    img.resize((target_w, target_h)).save(buf, format=fmt)
+                    return buf.getvalue()
+
+                out["payload"] = pdf[payload_col].map(_resize)
+            else:
+                # fake "resized" payload: truncated/padded, deterministic size
+                budget = max(16, (target_w * target_h) // 1024)
+                out["payload"] = pdf[payload_col].map(
+                    lambda b: bytes(b or b"")[:budget].ljust(budget, b"\0")
+                )
             out["width"] = target_w
             out["height"] = target_h
             yield out

@@ -218,8 +218,34 @@ def test_process_state_streaming(spark, tmp_path):
     assert all(r.seen_before == 0 for r in rows)
 
 
-def test_multimodal_fake_decode(spark):
+@pytest.mark.parametrize("mode", ["fake", "real"])
+def test_multimodal_decode(spark, mode):
+    """Decode is auto-codec: real PIL when importable (skip otherwise),
+    deterministic fake for codec-less CI; without PIL, non-fake fails
+    loudly rather than silently faking."""
     from tamar_spark.functions import multimodal as M
+
+    if mode == "real":
+        pytest.importorskip("PIL")
+        import io
+
+        from PIL import Image
+
+        def png(w, h):
+            buf = io.BytesIO()
+            Image.new("RGB", (w, h), (10, 20, 30)).save(buf, format="PNG")
+            return bytearray(buf.getvalue())
+
+        df = spark.createDataFrame(
+            [Row(id=1, payload=png(10, 20)), Row(id=2, payload=png(32, 16))]
+        )
+        got = {r.id: (r.width, r.height, r.n_channels) for r in M.decode_image(df).collect()}
+        assert got == {1: (10, 20, 3), 2: (32, 16, 3)}
+        resized = M.resize_images(df, 8, 4).collect()
+        for r in resized:
+            img = Image.open(io.BytesIO(bytes(r.payload)))
+            assert img.size == (8, 4) and img.format == "PNG"
+        return
 
     df = spark.createDataFrame(
         [Row(id=1, payload=bytearray(b"abc")), Row(id=2, payload=bytearray(b"defgh"))]
@@ -234,9 +260,10 @@ def test_multimodal_fake_decode(spark):
     assert all(r.orientation in ("landscape", "portrait") for r in feats)
     frames = M.sample_frames(df, fake=True).collect()
     assert len(frames) >= 2
-    # non-fake decode must fail loudly, not silently fake
-    with pytest.raises(Exception):
-        M.decode_image(df, fake=False).collect()
+    if not M.HAS_PIL:
+        # non-fake decode must fail loudly, not silently fake
+        with pytest.raises(Exception):
+            M.decode_image(df, fake=False).collect()
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
