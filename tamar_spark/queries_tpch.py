@@ -936,21 +936,62 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
-@query("approx_percentile_value")
+@query(
+    "approx_percentile_value",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type
+""",
+)
 def approx_percentile_value(spark, sf_dir):
-    """KLL-style quantile sketch aggregation: approximate p50/p90/p99 of the
-    event value per event type (``percentile_approx``, accuracy 10000 →
-    rank error ≤ 1e-4·n).  Like HLL for COUNT(DISTINCT), the quantile
-    sketch is the 100 TB answer to exact percentiles: fixed-size mergeable
-    map-side state instead of shuffling every value to one reducer per
-    group (exact variant: percentile_agg).  Approximate → rows-only check;
-    ``test_approx_percentile_rank_error`` bounds the rank error against the
-    exact distribution."""
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+    """KLL/GK-style quantile sketch aggregation: approximate p50/p90/p99 of
+    the event value per event type (``percentile_approx``, accuracy 10000 →
+    normalized rank error ≤ 1e-4).  Like HLL for COUNT(DISTINCT), the
+    quantile sketch is the 100 TB answer to exact percentiles: fixed-size
+    mergeable map-side state instead of shuffling every value to one reducer
+    per group (exact variant: percentile_agg).
+
+    The sketch output itself is approximate, so instead of hashing raw
+    approximate values the query SELF-VERIFIES in rank space: each approx
+    value's tie-interval rank range [count(<v)+1, count(<=v)] must overlap
+    the allowed window q·n ± eps·n (eps = 10× the sketch's documented 1e-4
+    bound — deterministic TRUE for a correct sketch, FALSE on regression).
+    Scalar boolean columns make the row hash-checkable by the driver
+    (r2 VERDICT fix: the raw array<double> output broke the canonicalizer).
+    ``test_approx_percentile_rank_error`` independently bounds the error."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pcts = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    agg = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [q for _, q in pcts], 10000).alias("ap"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    agg = agg.select(
+        "event_type",
+        "n_events",
+        *[F.element_at("ap", i + 1).alias(f"a_{name}") for i, (name, _) in enumerate(pcts)],
+    )
+    # One extra scan joins the tiny per-group sketch back (broadcast: ~5 rows)
+    # to rank each approximate value against the exact distribution.
+    j = e.join(F.broadcast(agg), "event_type")
+    rank_aggs = []
+    for name, _q in pcts:
+        rank_aggs.append(
+            F.count(F.when(F.col("value") < F.col(f"a_{name}"), 1)).alias(f"lt_{name}")
+        )
+        rank_aggs.append(
+            F.count(F.when(F.col("value") <= F.col(f"a_{name}"), 1)).alias(f"le_{name}")
+        )
+    ranked = j.groupBy("event_type", "n_events").agg(*rank_aggs)
+    eps = 0.001  # 10x the accuracy-10000 guarantee; still catches real breakage
+    ok_cols = [
+        (
+            (F.col(f"lt_{name}") + 1 <= F.ceil((q + eps) * F.col("n_events")))
+            & (F.col(f"le_{name}") >= F.floor((q - eps) * F.col("n_events")))
+        ).alias(f"{name}_ok")
+        for name, q in pcts
+    ]
+    return ranked.select("event_type", "n_events", *ok_cols)
 
 
 @query(

@@ -716,16 +716,26 @@ def test_star_components_match_label_propagation(spark):
 def test_approx_percentile_rank_error(spark):
     """percentile_approx at accuracy 10000 must land within rank error
     1e-3·n of the exact quantile (loose 10x slack over the sketch's 1e-4
-    guarantee to keep the test non-flaky)."""
-    from tamar_spark.queries import QUERIES
+    guarantee to keep the test non-flaky).  Checked independently of the
+    query's own self-verification so both sides cover each other."""
+    from pyspark.sql import functions as F
+
+    from tamar_spark.sources import load_table
 
     sf_dir = "/root/testdata/sf0.01"
     got = {
         r.event_type: r.approx_pcts
-        for r in QUERIES["approx_percentile_value"](spark, sf_dir).collect()
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias(
+                    "approx_pcts"
+                )
+            )
+            .collect()
+        )
     }
-    from tamar_spark.sources import load_table
-
     e = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
     for etype, pcts in got.items():
         vals = e[e.event_type == etype]["value"].sort_values().to_numpy()
@@ -742,3 +752,15 @@ def test_approx_percentile_rank_error(spark):
                 f"{etype} p{q}: approx {approx} at ranks [{lo},{hi}] "
                 f"vs target {target:.0f}±{slack:.0f} of n={n}"
             )
+
+
+def test_approx_percentile_query_self_verifies(spark):
+    """The shipped approx_percentile_value query emits rank-bound booleans
+    that must all be TRUE at sf0.01 (the driver hashes them against a
+    literal-TRUE oracle)."""
+    from tamar_spark.queries import QUERIES
+
+    rows = QUERIES["approx_percentile_value"](spark, "/root/testdata/sf0.01").collect()
+    assert rows, "query returned no groups"
+    for r in rows:
+        assert r.p50_ok and r.p90_ok and r.p99_ok, r
