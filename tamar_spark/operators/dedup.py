@@ -359,7 +359,10 @@ def embedding_neardup_pairs(
     - ``method="lsh"`` (the 100 TB path): sign-LSH candidate buckets + exact
       in-bucket GEMM verify (:func:`dedup_embedding.lsh_cosine_pairs`) —
       scored pairs drop from O(n²) to Σ bucket²; requires ``dim``.
-      Deterministic; recall 1 to <1e-5 miss at near-dup thresholds (≥0.9).
+      Deterministic; ``n_tables`` auto-sized from the threshold so a pair
+      AT the threshold is missed with probability ≤ 1e-4 (see
+      ``dedup_embedding.lsh_tables_for`` — recall depends on each pair's
+      actual cosine, and the boundary pair is the worst case).
     - ``method="blocked"`` (default, exact): block-pair fan-out + one dense
       numpy GEMM per tile inside ``applyInPandas`` (see
       :mod:`tamar_spark.operators.dedup_embedding`).  ~20× faster than the

@@ -18,7 +18,38 @@ Two entry points sharing one dense-GEMM scoring style:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
+
+
+def lsh_tables_for(
+    threshold: float, n_bits: int, target_miss: float = 1e-4
+) -> int:
+    """Smallest ``n_tables`` such that a pair at cosine exactly ``threshold``
+    is missed by every table with probability ≤ ``target_miss``.
+
+    Sign-random-projection LSH: one hyperplane separates a pair with
+    probability angle/π where angle = arccos(cosine) — the ANGLE, not the
+    cosine (r2 ADVICE fix: the old docstring plugged the cosine into the
+    angle formula, overstating recall ~1000× at threshold 0.9).  So
+
+        p_bit   = 1 − arccos(threshold)/π      (per-projection agreement)
+        p_table = p_bit ** n_bits              (all bits in a table agree)
+        miss    = (1 − p_table) ** n_tables    (no table collides)
+
+    Worked numbers at n_bits=6: cosine 0.99 → p_table 0.759, 8 tables miss
+    7e-6; cosine 0.9 → p_table 0.394, 8 tables miss 1.8e-2 (!), and hitting
+    1e-4 needs 19 tables.  Recall is a property of each PAIR's cosine, not
+    of the threshold alone — pairs far above threshold are much safer than
+    boundary pairs, which is why the sizing targets the threshold itself
+    (the worst pair the operator promises to return).
+    """
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_table = p_bit**n_bits
+    if p_table >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - p_table)))
 
 
 def blocked_cosine_pairs(
@@ -98,9 +129,10 @@ def lsh_cosine_pairs(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_tables: int = 8,
+    n_tables: int | None = None,
     n_bits: int = 6,
     max_chunk: int = 8192,
+    target_miss: float = 1e-4,
 ) -> DataFrame:
     """Near-dup pairs with cosine ≥ ``threshold`` via LSH candidates + exact
     in-bucket GEMM verify — the composed scale path for embedding dedup.
@@ -124,14 +156,25 @@ def lsh_cosine_pairs(
     4. ``dropDuplicates`` on the pair key (a true pair co-occurs in ~every
        table).
 
-    Recall: a pair at cosine θ collides per table with prob
-    (1-θ/π)^n_bits; missing every table is (1-p)^n_tables.  At near-dup
-    thresholds (≥0.9) with the 8×6 default that miss rate is <1e-5 per
-    pair — and because projections are deterministic the outcome for a
-    given corpus is fixed, so tests can pin exact-oracle equality.
-    Verified scores are exact cosines, so precision is 1 by construction.
+    Recall: a pair at cosine c collides per table with probability
+    (1 − arccos(c)/π)^n_bits and is missed entirely with probability
+    (1 − p_table)^n_tables — see :func:`lsh_tables_for` for worked numbers
+    (at threshold 0.9 the old 8-table default missed ~1.8% of boundary
+    pairs; r2 ADVICE fix).  When ``n_tables`` is None it is auto-sized so
+    a pair AT the threshold is missed with probability ≤ ``target_miss``
+    (default 1e-4); pairs above threshold are safer still.  Projections
+    are deterministic, so the outcome for a given corpus is fixed and
+    tests can pin exact-oracle equality.  Verified scores are exact
+    cosines, so precision is 1 by construction.
+
+    Cost scales linearly in n_tables (signature width, shuffle volume,
+    Σ bucket² GEMM work) — callers trading recall for speed at high
+    thresholds can pass an explicit smaller ``n_tables``.
     """
     import pandas as pd
+
+    if n_tables is None:
+        n_tables = lsh_tables_for(threshold, n_bits, target_miss)
 
     v = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))

@@ -214,15 +214,20 @@ def ivf_topk(
       when the probed query set is small);
     - rerank: exact cosine, deterministic (score DESC, id ASC) tie-break.
 
-    Default centroid seed: a deterministic hash-pruned sample —
-    ``xxhash64(id) % 8 == 0`` rows, first ``n_centroids`` of them.  The
-    filter prunes at the scan (no shuffle, no global sort — the previous
-    ``orderBy().limit()`` seed full-sorted the corpus for 16 rows) and the
-    hash spreads picks across the id space.  Lazy: no Spark job runs at
-    plan-construction time.  At 100 TB pass ``centroids=`` an
-    offline-trained k-means table (e.g. ``pyspark.ml.clustering.KMeans`` on
-    a sample) with columns ``(list_id, _cent, _cent_n)`` — the plan shape
-    and everything downstream of the centroid table is unchanged.
+    Default centroid seed: the ``n_centroids`` corpus rows with the
+    smallest ``xxhash64(id)`` — an order-stable deterministic sample
+    (r2 ADVICE fix: the previous ``filter().limit()`` pick was
+    partition-layout-dependent, as was ``monotonically_increasing_id`` for
+    ``list_id``).  ``orderBy(hash).limit(n)`` compiles to
+    TakeOrderedAndProject — a per-partition top-n heap + single merge, NOT
+    a full sort shuffle — and the hash ordering spreads picks across the
+    id space.  ``list_id`` is a ``row_number`` over the ≤n_centroids-row
+    seed, so assignments are reproducible across partition layouts and
+    AQE decisions.  Lazy: no Spark job runs at plan-construction time.
+    At 100 TB pass ``centroids=`` an offline-trained k-means table (e.g.
+    ``pyspark.ml.clustering.KMeans`` on a sample) with columns
+    ``(list_id, _cent, _cent_n)`` — the plan shape and everything
+    downstream of the centroid table is unchanged.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
@@ -234,14 +239,19 @@ def ivf_topk(
     if centroids is not None:
         cents = centroids
     else:
-        cents = (
-            c.filter(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(8)) == 0)
+        seed = (
+            c.withColumn("_h", F.xxhash64(F.col("neighbor_id")))
+            .orderBy("_h", "neighbor_id")
             .limit(n_centroids)
-            .select(
-                F.monotonically_increasing_id().alias("list_id"),
-                F.col("_cv").alias("_cent"),
-                F.col("_cn").alias("_cent_n"),
-            )
+        )
+        # the seed is ≤ n_centroids rows, so the unpartitioned window is a
+        # single tiny task, not a data funnel
+        cents = seed.select(
+            (
+                F.row_number().over(Window.orderBy("_h", "neighbor_id")) - 1
+            ).alias("list_id"),
+            F.col("_cv").alias("_cent"),
+            F.col("_cn").alias("_cent_n"),
         )
     sim_to_cent = dot(F.col("_cv"), F.col("_cent")) / (F.col("_cn") * F.col("_cent_n"))
     assigned = (

@@ -1236,35 +1236,41 @@ def streaming_stream_join(spark, sf_dir):
     # volume (the standing scale rule), not the session default — at this
     # SF 8 partitions halves wall-clock (measured 10.8→5.7 s) with
     # identical results; a production deployment sizes this up with its
-    # cluster.  The next query's prep_session restores the default.
+    # cluster.  Saved/restored so standalone callers don't leak the
+    # override into unrelated work on the shared session (r2 ADVICE fix).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select("event_id", "user_id", "ts")
-    )
-    views = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("event_id").alias("view_id"),
-            F.col("user_id").alias("v_user_id"),
-            F.col("ts").alias("view_ts"),
+    try:
+        clicks = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts")
         )
-    )
-    joined = clicks.join(
-        views,
-        (F.col("user_id") == F.col("v_user_id"))
-        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"))
-        & (F.col("view_ts") <= F.col("ts")),
-    ).select(
-        F.col("event_id").alias("click_id"),
-        "view_id",
-        "user_id",
-        F.col("ts").alias("click_ts"),
-        "view_ts",
-    )
-    return _run_to_memory(joined)
+        views = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+        )
+        joined = clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("view_ts") <= F.col("ts")),
+        ).select(
+            F.col("event_id").alias("click_id"),
+            "view_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "view_ts",
+        )
+        # the partition override is bound at stream start, inside the guard
+        return _run_to_memory(joined)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @query(

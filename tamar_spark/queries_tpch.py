@@ -1123,7 +1123,7 @@ FROM (
          min(value) AS min_value,
          max(value) AS max_value
   FROM sessions GROUP BY user_id, session_id
-) WHERE window_end <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+) WHERE window_end < (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
 """,
 )
 def streaming_session_process(spark, sf_dir):
@@ -1133,7 +1133,10 @@ def streaming_session_process(spark, sf_dir):
     state; sessions still open at end-of-stream never emit (no-flush,
     src/lib.rs:1316-1345).  Implementation:
     ``streaming.sessions.session_process_streaming`` (gap-merge store +
-    watermark firing + event-time timers on applyInPandasWithState)."""
+    watermark firing + event-time timers on applyInPandasWithState).
+    Sessions close only when the watermark STRICTLY exceeds last+gap
+    (boundary events at exactly last+gap are on-time and must merge), so
+    the oracle's final-watermark filter is strict too."""
     import pandas as pd
 
     from tamar_spark.queries import _events_stream, _run_to_memory, prep_session

@@ -244,7 +244,12 @@ class _JsonlWriter(DataSourceWriter):
     def abort(self, messages):
         import os
 
+        # Spark passes None entries for tasks that failed or never
+        # committed — skip them or abort itself raises and leaks the
+        # remaining part files (r2 ADVICE fix)
         for m in messages or []:
+            if m is None:
+                continue
             try:
                 os.remove(m.path)
             except OSError:

@@ -17,7 +17,7 @@ Per micro-batch and key:
 3. read the current event-time watermark (``GroupState.getCurrentWatermarkMs``
    — Spark's global watermark replaces the reference's per-event watermark
    field, same fixed-offset semantics per src/lib.rs:560-563);
-4. fire every session whose ``last_event + gap <= watermark`` (the store's
+4. fire every session whose ``last_event + gap < watermark`` (the store's
    ``trigger``, src/lib.rs:564-612): call ``fn(key, events_df, user_state)``
    and emit its rows;
 5. keep later sessions buffered — sessions still open at end-of-stream never
@@ -96,7 +96,12 @@ def session_process_streaming(
             keep_mask = pd.Series(True, index=buffered.index)
             for _, idx in new_session.groupby(new_session).groups.items():
                 last_us = int(ts_us.loc[idx[-1]])
-                if last_us + gap_us <= watermark_us:
+                # strict >: an event with ts == last+gap == watermark is NOT
+                # late (Spark keeps event_time >= watermark) and would merge
+                # into this session, so the session may only close once the
+                # watermark strictly exceeds last+gap (r2 ADVICE fix — the
+                # inclusive check could split a session at the exact boundary)
+                if last_us + gap_us < watermark_us:
                     session_pdf = buffered.loc[idx]
                     out = fn(key, session_pdf, user_state)
                     keep_mask.loc[idx] = False

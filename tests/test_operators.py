@@ -503,6 +503,34 @@ def test_lsh_and_ivf_recall_bounds(spark):
     assert r_ivf >= 0.8, f"IVF recall too low: {r_ivf}"
 
 
+def test_ivf_deterministic_across_partition_layouts(spark):
+    """The default centroid seed must be order-stable: identical ivf_topk
+    output whatever the corpus partitioning (r2 ADVICE fix — the old
+    filter().limit() pick and monotonically_increasing_id list_id were both
+    partition-layout-dependent)."""
+    import random
+
+    from tamar_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(41)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+
+    def run(corpus):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.score)
+            for r in ivf_topk(corpus, queries_df, k=5, n_centroids=8, n_probe=3).collect()
+        )
+
+    a = run(emb.repartition(1))
+    b = run(emb.repartition(13, "vec_id"))
+    c = run(emb.coalesce(3))
+    assert a == b == c
+
+
 def test_incrementing_python_datasource(spark):
     """Custom Python DataSource parity with the reference's Source trait:
     IncrementingSource (src/lib.rs:968-984), partition-parallel."""
@@ -752,6 +780,26 @@ def test_approx_percentile_rank_error(spark):
                 f"{etype} p{q}: approx {approx} at ranks [{lo},{hi}] "
                 f"vs target {target:.0f}±{slack:.0f} of n={n}"
             )
+
+
+def test_lsh_tables_for_math():
+    """Table auto-sizing uses the ANGLE (arccos of the cosine), not the
+    cosine itself, in the sign-LSH collision formula (r2 ADVICE fix)."""
+    import math
+
+    from tamar_spark.operators.dedup_embedding import lsh_tables_for
+
+    # hand-computed: cos 0.9 -> p_bit 0.8564, p_table(6 bits) 0.394,
+    # miss(8 tables) 1.8e-2 -> 1e-4 needs 19 tables
+    assert lsh_tables_for(0.9, 6, 1e-4) == 19
+    # near-identical pairs need few tables
+    assert lsh_tables_for(0.99, 6, 1e-4) <= 8
+    # the sized miss rate actually meets the target
+    for thr, bits in [(0.9, 6), (0.95, 6), (0.8, 4)]:
+        t = lsh_tables_for(thr, bits, 1e-4)
+        p_table = (1 - math.acos(thr) / math.pi) ** bits
+        assert (1 - p_table) ** t <= 1e-4
+        assert (1 - p_table) ** (t - 1) > 1e-4, "not minimal"
 
 
 def test_approx_percentile_query_self_verifies(spark):
