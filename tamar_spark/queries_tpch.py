@@ -1861,15 +1861,57 @@ def dedup_clusters_star(spark, sf_dir):
     return connected_components_star(pairs)
 
 
-@query("streaming_stream_outer_join")
+@query(
+    "streaming_stream_outer_join",
+    """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts FROM events
+  WHERE event_type = 'view'
+), wm AS (
+  SELECT least(
+           (SELECT date_trunc('milliseconds', max(ts)) FROM clicks),
+           (SELECT date_trunc('milliseconds', max(view_ts)) FROM views)
+         ) - INTERVAL 10 MINUTE AS w
+)
+SELECT c.event_id AS click_id, v.view_id, c.user_id, c.ts AS click_ts
+FROM clicks c JOIN views v
+  ON c.user_id = v.user_id
+ AND v.view_ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts
+UNION ALL
+SELECT c.event_id AS click_id, NULL AS view_id, c.user_id, c.ts AS click_ts
+FROM clicks c
+WHERE NOT EXISTS (
+        SELECT 1 FROM views v
+        WHERE v.user_id = c.user_id
+          AND v.view_ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts)
+  AND c.ts + INTERVAL 1 MILLISECOND < (SELECT w FROM wm)
+""",
+)
 def streaming_stream_outer_join(spark, sf_dir):
-    """Stream-stream LEFT OUTER interval join: matches emit immediately;
-    an unmatched click emits its NULL row once join-state eviction proves no
-    view can still arrive.  WHICH unmatched clicks have been flushed at
-    end-of-stream depends on the engine's internal state-watermark batching,
-    so this entry is rows-only; the deterministic invariants (matched set ==
-    batch inner join; every NULL row genuinely unmatched and
-    watermark-closed) are pinned by
+    """Stream-stream LEFT OUTER interval join: matches emit immediately; an
+    unmatched click emits its NULL row once join-state eviction proves no
+    view can still arrive.
+
+    WHICH unmatched clicks have been flushed at end-of-stream depends on
+    the engine's internal state-watermark batching, so the raw sink output
+    is not hash-stable.  Deterministic variant (r2 VERDICT fix): keep every
+    matched row, but keep a NULL row only when the click is provably
+    evicted by the final watermark.  The watermark subtlety (measured via
+    StreamingQueryProgress): Catalyst pushes the ``event_type`` filter
+    BELOW the EventTimeWatermark operator, so each side's watermark tracks
+    its own filtered substream — the final global watermark is
+    ``least(max(click ts), max(view ts))`` truncated to Spark's
+    millisecond watermark resolution, minus the 10-minute delay, NOT
+    ``max(all events) − delay``.  Left state evicts (and NULL-emits) rows
+    with ``click_ts < watermark``; the 1 ms guard below keeps the kept set
+    strictly inside the eviction bound, so it is flushed under either
+    boundary convention and under any Spark version that does NOT push the
+    filter down (a larger watermark flushes strictly more).  The oracle
+    expresses the same set as inner join ∪ closed anti-join; the broader
+    invariants (matched set == batch inner join; every emitted NULL row
+    genuinely unmatched) stay pinned by
     ``test_stream_outer_join_invariants``."""
     from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
 
@@ -1900,7 +1942,28 @@ def streaming_stream_outer_join(spark, sf_dir):
         "user_id",
         F.col("ts").alias("click_ts"),
     )
-    return _run_to_memory(joined)
+    out = _run_to_memory(joined)
+    # reconstruct the final watermark from the batch table: min over the two
+    # filtered sides of (ms-truncated max event time) − delay; 1-row
+    # aggregate, broadcast by the cross join
+    ms_floor = lambda c: F.timestamp_millis((F.unix_micros(c) / 1000).cast("long"))
+    final_wm = load_table(spark, sf_dir, "events").agg(
+        (
+            F.least(
+                ms_floor(F.max(F.when(F.col("event_type") == "click", F.col("ts")))),
+                ms_floor(F.max(F.when(F.col("event_type") == "view", F.col("ts")))),
+            )
+            - F.expr("INTERVAL 10 MINUTES")
+        ).alias("_wm")
+    )
+    return (
+        out.join(F.broadcast(final_wm))
+        .filter(
+            F.col("view_id").isNotNull()
+            | (F.col("click_ts") + F.expr("INTERVAL 1 MILLISECOND") < F.col("_wm"))
+        )
+        .select("click_id", "view_id", "user_id", "click_ts")
+    )
 
 
 @query(
