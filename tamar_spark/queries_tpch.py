@@ -1811,7 +1811,7 @@ def dedup_clusters(spark, sf_dir):
     from tamar_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, threshold=0.5)
+    pairs = D.jaccard_pairs(docs, threshold=0.5, max_doc_freq=32)
     return connected_components(pairs)
 
 
@@ -1857,7 +1857,7 @@ def dedup_clusters_star(spark, sf_dir):
     from tamar_spark.operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, threshold=0.5)
+    pairs = D.jaccard_pairs(docs, threshold=0.5, max_doc_freq=32)
     return connected_components_star(pairs)
 
 

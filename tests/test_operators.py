@@ -119,6 +119,30 @@ def test_jaccard_identical_docs(spark):
     assert got == [(1, 2, 1.0)]
 
 
+def test_jaccard_cap_keeps_exact_values(spark):
+    """max_doc_freq prunes CANDIDATE GENERATION only: every doc shares one
+    hot boilerplate shingle, yet capped output must (a) still find the true
+    near-dup pair and (b) report its EXACT full-set jaccard — the r2 bug
+    computed intersections on pruned postings, deflating J."""
+    boiler = "all rights reserved"
+    rows = [Row(doc_id=i, text=f"unique{i} tokens{i} here{i} {boiler}") for i in range(20)]
+    # one true near-dup pair sharing real content + the boilerplate
+    rows += [
+        Row(doc_id=100, text=f"same body of shared text {boiler}"),
+        Row(doc_id=101, text=f"same body of shared text {boiler}"),
+    ]
+    df = spark.createDataFrame(rows)
+    uncapped = sorted(
+        (r.doc_id_1, r.doc_id_2, r.jaccard) for r in D.jaccard_pairs(df, 0.5).collect()
+    )
+    capped = sorted(
+        (r.doc_id_1, r.doc_id_2, r.jaccard)
+        for r in D.jaccard_pairs(df, 0.5, max_doc_freq=5).collect()
+    )
+    assert (100, 101, 1.0) in capped
+    assert capped == uncapped  # cap ≥ dup-group size ⇒ identical output
+
+
 def test_minhash_finds_exact_dupes(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="x y z w v u t s"), Row(doc_id=2, text="x y z w v u t s"),
