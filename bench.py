@@ -35,6 +35,7 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_ivf_topk",
     "doc_quality",
+    "stateful_event_numbering",
     "streaming_session_agg",
     "streaming_stream_join",
 ]

@@ -1477,20 +1477,26 @@ def stateful_event_numbering(spark, sf_dir):
     schema = "event_id long, user_id long, ts timestamp, seq long, purchases_so_far long"
 
     def walk(key, pdf: pd.DataFrame, state) -> pd.DataFrame:
+        # vectorized reference walk (r2 VERDICT perf fix: the row-at-a-time
+        # iterrows loop dominated group cost at scale) — two cumsums on the
+        # sorted frame compute the same thing; the carried state offsets
+        # keep the walk resumable across invocations
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        seqs, purchases = [], []
-        for _, row in pdf.iterrows():
-            state["seq"] += 1
-            if row["event_type"] == "purchase":
-                state["purchases"] += 1
-            seqs.append(state["seq"])
-            purchases.append(state["purchases"])
+        n = len(pdf)
+        seq = state["seq"] + pd.Series(range(1, n + 1), dtype="int64")
+        purchases = (
+            state["purchases"]
+            + (pdf["event_type"] == "purchase").cumsum().astype("int64")
+        )
+        state["seq"] += n
+        if n:
+            state["purchases"] = int(purchases.iloc[-1])
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
                 "ts": pdf["ts"],
-                "seq": seqs,
+                "seq": seq,
                 "purchases_so_far": purchases,
             }
         )
