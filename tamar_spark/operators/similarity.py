@@ -215,10 +215,12 @@ def ivf_topk(
     - rerank: exact cosine, deterministic (score DESC, id ASC) tie-break.
 
     Default centroid seed: the ``n_centroids`` corpus rows with the
-    smallest ``xxhash64(id)`` — an order-stable deterministic sample
+    smallest ``md5(id)`` hex digest — an order-stable deterministic sample
     (r2 ADVICE fix: the previous ``filter().limit()`` pick was
     partition-layout-dependent, as was ``monotonically_increasing_id`` for
-    ``list_id``).  ``orderBy(hash).limit(n)`` compiles to
+    ``list_id``).  md5 rather than xxhash64 so the DuckDB oracle can
+    reproduce the identical pick (both engines agree on md5 hex of the
+    same string).  ``orderBy(hash).limit(n)`` compiles to
     TakeOrderedAndProject — a per-partition top-n heap + single merge, NOT
     a full sort shuffle — and the hash ordering spreads picks across the
     id space.  ``list_id`` is a ``row_number`` over the ≤n_centroids-row
@@ -240,7 +242,7 @@ def ivf_topk(
         cents = centroids
     else:
         seed = (
-            c.withColumn("_h", F.xxhash64(F.col("neighbor_id")))
+            c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
             .orderBy("_h", "neighbor_id")
             .limit(n_centroids)
         )

@@ -737,11 +737,65 @@ def embed_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb, queries_df, k=5)
 
 
-@query("embed_lsh_topk")
+def _lsh_topk_oracle(dim=64, n_tables=4, n_bits=8, k=5) -> str:
+    """Bit-identical DuckDB twin of ``similarity.lsh_topk`` (the SimHash
+    oracle pattern): the deterministic projection vectors are embedded as
+    double literals, bucket ids are the same sign-bit sums, candidate
+    generation the same (table, bucket) equi-join, rerank the same exact
+    cosine with (score DESC, id ASC) ties.  Both engines widen float→double
+    and fold dot products left-to-right, so scores agree bitwise and the
+    full ANN semantics — not just a recall bound — is hash-checked
+    (r2 VERDICT: retire the rows-only ANN entries)."""
+    from tamar_spark.operators.similarity import _projection
+
+    def bucket_expr(t, col):
+        terms = []
+        for b in range(n_bits):
+            lit = "[" + ",".join(repr(x) for x in _projection(dim, t, b)) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {lit}) >= 0 THEN {1 << b} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    def side(src, idc, vc):
+        return " UNION ALL ".join(
+            f"SELECT {idc}, {vc}, {t} AS tbl, {bucket_expr(t, vc)} AS bucket FROM {src}"
+            for t in range(n_tables)
+        )
+
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+cb AS ({side('c', 'neighbor_id', 'cv')}),
+qb AS ({side('q', 'query_id', 'qv')}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id, qv, cv
+  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE neighbor_id <> query_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS s
+  FROM cand
+), ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("embed_lsh_topk", _lsh_topk_oracle())
 def embed_lsh_topk(spark, sf_dir):
     """Approximate top-5 via sign-random-projection LSH (4 tables × 8 bits)
-    with exact rerank — the scale path for ANN.  Approximate recall →
-    rows-only check."""
+    with exact rerank — the scale path for ANN.  The projections are
+    deterministic, so the DuckDB oracle replays the IDENTICAL bucketing +
+    rerank from embedded projection literals and the output is fully
+    hash-checked (see ``_lsh_topk_oracle``).  Top-k recall vs exact is a
+    property of the corpus (near-random fixture vectors → low; clustered
+    corpora → high, bounded in ``test_lsh_and_ivf_recall_bounds``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return S.lsh_topk(emb, queries_df, k=5, dim=64)

@@ -818,11 +818,57 @@ def streaming_sliding_agg(spark, sf_dir):
     return _run_to_memory(agg)
 
 
-@query("embed_ivf_topk")
+_IVF_TOPK_SQL = """
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+seed AS (
+  SELECT neighbor_id, cv, md5(CAST(neighbor_id AS VARCHAR)) AS h
+  FROM c ORDER BY h, neighbor_id LIMIT 16
+), cents AS (
+  SELECT row_number() OVER (ORDER BY h, neighbor_id) - 1 AS list_id, cv AS cent
+  FROM seed
+), assigned AS (
+  SELECT neighbor_id, cv, list_id FROM (
+    SELECT c.neighbor_id, c.cv, cents.list_id,
+           row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+             list_dot_product(c.cv, cents.cent) /
+               (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cents.cent, cents.cent))) DESC,
+             cents.list_id) AS rk
+    FROM c, cents)
+  WHERE rk = 1
+), q_lists AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, cents.list_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, cents.cent) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.cent, cents.cent))) DESC,
+             cents.list_id) AS rk
+    FROM q, cents)
+  WHERE rk <= 4
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS s
+  FROM assigned JOIN q_lists USING (list_id)
+  WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("embed_ivf_topk", _IVF_TOPK_SQL)
 def embed_ivf_topk(spark, sf_dir):
     """Approximate top-5 via IVF coarse quantization (16 lists, probe 4) with
-    exact rerank — the second ANN scale path next to LSH.  Approximate recall
-    → rows-only check."""
+    exact rerank — the second ANN scale path next to LSH.  The default
+    centroid seed orders by md5(id) hex, which DuckDB computes identically,
+    so the oracle replays the IDENTICAL seed → assignment → probe → rerank
+    pipeline and the output is fully hash-checked (r2 VERDICT: retire the
+    rows-only ANN entries)."""
     from tamar_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
