@@ -10,6 +10,17 @@ shapes that dominate the engine:
 - join_agg      : lineitem ⋈ orders shuffle join + aggregation
 - lsh_dedup     : LSH-bucketed embedding near-dup (signature GEMM →
                   bucket shuffle → in-bucket GEMM verify) over embeddings
+- stream_session_process : the pickled-blob per-key session store
+                  (applyInPandasWithState) under key-scaled streaming load
+                  — the one heavy operator whose hidden cost would be
+                  per-key Python state (r2 VERDICT probe)
+- hot_jaccard   : capped exact Jaccard dedup on a corpus where EVERY doc
+                  shares one boilerplate phrase (a hot shingle with
+                  document frequency = corpus size) but replicas are
+                  otherwise shingle-disjoint.  Capped and uncapped return
+                  IDENTICAL pairs; the capped path must stay near-linear
+                  while the uncapped contrast grows ~quadratically — the
+                  reason max_doc_freq exists
 
 Near-linear wall-clock growth here means the plans have no super-linear
 step (no cross products, no driver collects, no per-key state blowup) —
@@ -120,7 +131,96 @@ def main() -> None:
         for p in parts[1:]:
             e = e.unionByName(p)
         n_bits = 6 + round(math.log2(k)) if k > 1 else 6
-        return lsh_cosine_pairs(e, threshold=0.9, dim=64, n_bits=n_bits)
+        # n_tables pinned: this probe measures PLAN scaling at fixed work
+        # per vector (auto-sizing would also grow tables with n_bits and
+        # conflate the two effects; recall sizing is lsh_tables_for's job)
+        return lsh_cosine_pairs(
+            e, threshold=0.9, dim=64, n_tables=8, n_bits=n_bits
+        )
+
+    def stream_session_process(k):
+        # key-shifted UNION of the streaming source: the micro-batch carries
+        # k× rows over k× distinct keys, scaling the per-key session store
+        import pandas as pd
+
+        from tamar_spark.queries import _events_stream, _run_to_memory
+        from tamar_spark.stream import DataStream
+        from tamar_spark.streaming.sessions import session_process_streaming
+
+        sdf = _events_stream(spark, SF_DIR).select(
+            "user_id", "ts", "value", "event_id"
+        )
+        parts = [
+            sdf.select(
+                (F.col("user_id") + F.lit(i * 10_000_000_000)).alias("user_id"),
+                "ts",
+                "value",
+                "event_id",
+            )
+            for i in range(k)
+        ]
+        s = parts[0]
+        for p in parts[1:]:
+            s = s.unionByName(p)
+        keyed = DataStream(s, event_time="ts").key_by("user_id")
+        schema = (
+            "user_id long, window_start timestamp, window_end timestamp, "
+            "n_events long"
+        )
+
+        def per_session(key, pdf: pd.DataFrame, state) -> pd.DataFrame:
+            first, last = pdf["ts"].min(), pdf["ts"].max()
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "window_start": [first],
+                    "window_end": [last + pd.Timedelta(minutes=30)],
+                    "n_events": [len(pdf)],
+                }
+            )
+
+        out = session_process_streaming(keyed, 30 * 60, per_session, schema)
+        return _run_to_memory(out.to_df())
+
+    # hot-shingle corpus: small base (sf0.01) because the uncapped contrast
+    # is intentionally quadratic
+    documents = load_table(spark, "/root/testdata/sf0.01", "documents")
+    documents.count()
+
+    def hot_corpus(k):
+        # every word gets a per-replica suffix so replicas are DISJOINT in
+        # shingle space (true near-dup pairs stay within a replica → output
+        # grows linearly, k × 25 pairs, and capped/uncapped outputs are
+        # IDENTICAL at every scale — verified k=1,2); the untagged
+        # boilerplate suffix is the one shingle shared by ALL n docs, so the
+        # uncapped inverted-index join pays its n² candidate cost while the
+        # cap (32 ≥ any true duplicate-group size, < the 500-doc corpus)
+        # prunes it without losing a single true pair.  The corpus is
+        # materialized to parquet before timing: a k-branch in-memory union
+        # has no size stats, and the bogus tiny estimate makes Catalyst
+        # broadcast the (actually huge) verify-side doc sets — parquet-backed
+        # input is both the production shape and the honest measurement
+        parts = [
+            documents.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000_000)).alias("doc_id"),
+                F.concat(
+                    F.regexp_replace("text", r"(\S+)", f"$1_r{i}"),
+                    F.lit(" all rights reserved worldwide inc"),
+                ).alias("text"),
+            )
+            for i in range(k)
+        ]
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionByName(p)
+        path = f"spark-warehouse/_probe_hot_jaccard_{k}"
+        d.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def hot_jaccard(corpus, capped=True):
+        from tamar_spark.operators import dedup as D
+
+        return D.jaccard_pairs(corpus, 0.5, max_doc_freq=32 if capped else None)
 
     results = {}
     for name, fn in [
@@ -128,13 +228,45 @@ def main() -> None:
         ("q1_agg", q1_agg),
         ("join_agg", join_agg),
         ("lsh_dedup", lsh_dedup),
+        ("stream_session_process", stream_session_process),
     ]:
+        scales = [1, 4, 16] if name == "stream_session_process" else SCALES
         times = []
-        for k in SCALES:
+        for k in scales:
             t0 = time.perf_counter()
             fn(k).count()
             times.append(round(time.perf_counter() - t0, 2))
+            # operators persist their own intermediates (shingle sets,
+            # candidate pairs) and the probe never re-reads them; dropping
+            # them between timed runs keeps each measurement independent
+            # (accumulated cache eviction thrash inflated later runs ~4x)
+            spark.catalog.clearCache()
         results[name] = times
+
+    # 64x = 32k docs -> ~5e8 raw hot-shingle pairs: the scale where the
+    # uncapped join's quadratic term dominates.  Uncapped stops at 16x in
+    # the routine probe — the 64x cell was measured once at 502 s (vs 12.9 s
+    # capped, identical 1600-pair output; recorded in BASELINE.md) and is
+    # too slow to re-pay every run
+    results["hot_jaccard_capped"] = []
+    results["hot_jaccard_uncapped"] = []
+    for k in [1, 4, 16, 64]:
+        corpus = hot_corpus(k)
+        for label, capped in [
+            ("hot_jaccard_capped", True),
+            ("hot_jaccard_uncapped", False),
+        ]:
+            if not capped and k > 16:
+                continue
+            t0 = time.perf_counter()
+            hot_jaccard(corpus, capped=capped).count()
+            results[label].append(round(time.perf_counter() - t0, 2))
+            spark.catalog.clearCache()
+    import shutil
+
+    for k in [1, 4, 16, 64]:
+        shutil.rmtree(f"spark-warehouse/_probe_hot_jaccard_{k}", ignore_errors=True)
+
     print(json.dumps({"sf_base": 0.1, "scales": SCALES, "queries": results}))
 
 

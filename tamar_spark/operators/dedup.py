@@ -126,28 +126,26 @@ def jaccard_pairs(
         pruned = sh.join(cool, "shingle")
         pa = pruned.select(F.col(id_col).alias("doc_id_1"), "shingle")
         pb = pruned.select(F.col(id_col).alias("doc_id_2"), "shingle")
+        # persisted: the candidate set feeds three consumers below (two
+        # cand_docs projections + the final pair semi-join) — without the
+        # cache the pruned self-join subtree executes three times
         candidates = (
             pa.join(pb, "shingle")
             .filter(F.col("doc_id_1") < F.col("doc_id_2"))
             .select("doc_id_1", "doc_id_2")
             .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
     if candidates is not None:
-        # verification is candidate-bounded: restrict the inverted index to
-        # documents that appear in any candidate pair BEFORE the self-join —
-        # turns an O(corpus²-ish) join into an O(candidates) one
-        cand_docs = (
-            candidates.select(F.col("doc_id_1").alias(id_col))
-            .union(candidates.select(F.col("doc_id_2").alias(id_col)))
-            .distinct()
-        )
-        # no broadcast hint: AQE broadcasts when the candidate set is small,
-        # falls back to shuffle join when it isn't (100 TB safety)
-        sh = sh.join(cand_docs, id_col, "left_semi")
+        # verification is candidate-PAIR-bounded (not candidate-doc-bounded:
+        # in a hot-boilerplate corpus nearly every doc lands in SOME pair, so
+        # restricting the inverted-index self-join to candidate docs re-pays
+        # the full n² hot-shingle cost — measured 125 s vs 57 s uncapped at
+        # 32k docs before this fix).  Jaccard is still computed on the FULL
+        # shingle sets — max_doc_freq affects candidate generation only, so
+        # emitted values are exact.
+        return _verify_pairs(sh, candidates, id_col, threshold)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # NOTE: the intersection below always runs on the FULL shingle sets of
-    # the surviving docs — max_doc_freq affects candidate generation only,
-    # so emitted jaccard values are exact
     a = sh.select(F.col(id_col).alias("doc_id_1"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_id_2"), "shingle")
     inter = (
@@ -156,8 +154,6 @@ def jaccard_pairs(
         .groupBy("doc_id_1", "doc_id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_id_1", "doc_id_2"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("doc_id_1"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_id_2"), F.col("n_sh").alias("n_b"))
     out = (
@@ -171,6 +167,47 @@ def jaccard_pairs(
         .select("doc_id_1", "doc_id_2", "jaccard")
     )
     return out
+
+
+def _verify_pairs(
+    sh: DataFrame, candidates: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification bounded by candidate PAIRS.
+
+    Materializes each candidate doc's shingle SET as one array row and
+    verifies pairs with ``array_intersect`` — two joins on the candidate
+    set instead of re-running the inverted-index self-join.  A doc's
+    shingle set is per-row data (bounded by doc length), so this holds at
+    corpus scale; AQE broadcasts ``doc_sets`` when the candidate
+    population is small and shuffle-joins otherwise (100 TB safety).
+    Cost is O(|candidates| · avg shingle-set size), independent of any
+    shingle's corpus-wide document frequency.
+    """
+    cand_docs = (
+        candidates.select(F.col("doc_id_1").alias(id_col))
+        .union(candidates.select(F.col("doc_id_2").alias(id_col)))
+        .distinct()
+    )
+    doc_sets = (
+        sh.join(cand_docs, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("sh_set"))
+    )
+    a = doc_sets.select(
+        F.col(id_col).alias("doc_id_1"), F.col("sh_set").alias("set_a")
+    )
+    b = doc_sets.select(
+        F.col(id_col).alias("doc_id_2"), F.col("sh_set").alias("set_b")
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union_sz = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    return (
+        candidates.join(a, "doc_id_1")
+        .join(b, "doc_id_2")
+        .withColumn("jaccard", F.round(inter / union_sz, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_1", "doc_id_2", "jaccard")
+    )
 
 
 def minhash_signatures(
@@ -257,34 +294,10 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # candidate-bounded exact verification: materialize each candidate doc's
-    # shingle SET as one array row and verify pairs with array_intersect —
-    # two joins on the (small) candidate set instead of re-running the
-    # inverted-index self-join.  A doc's shingle set is per-row data (bounded
-    # by doc length), so this holds at corpus scale; AQE broadcasts doc_sets
-    # when the candidate population is small and shuffle-joins otherwise.
+    # candidate-pair-bounded exact verification (shared with the capped
+    # jaccard_pairs path — see _verify_pairs for the scale rationale)
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    cand_docs = (
-        cand.select(F.col("doc_id_1").alias(id_col))
-        .union(cand.select(F.col("doc_id_2").alias(id_col)))
-        .distinct()
-    )
-    doc_sets = (
-        sh.join(cand_docs, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("sh_set"))
-    )
-    a = doc_sets.select(F.col(id_col).alias("doc_id_1"), F.col("sh_set").alias("set_a"))
-    b = doc_sets.select(F.col(id_col).alias("doc_id_2"), F.col("sh_set").alias("set_b"))
-    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    union_sz = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
-    return (
-        cand.join(a, "doc_id_1")
-        .join(b, "doc_id_2")
-        .withColumn("jaccard", F.round(inter / union_sz, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_id_1", "doc_id_2", "jaccard")
-    )
+    return _verify_pairs(sh, cand, id_col, threshold)
 
 
 def simhash_fingerprints(

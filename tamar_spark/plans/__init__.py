@@ -61,11 +61,35 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange (shuffle) operators in the physical plan — the
-    metric to minimize; every one is a full network re-distribution."""
-    return executed_plan(df).count("Exchange hashpartitioning") + executed_plan(
-        df
-    ).count("Exchange rangepartitioning")
+    """Number of shuffle Exchange operators that execute for THIS query —
+    the metric to minimize; every one is a full network re-distribution.
+
+    Walks the physical-plan tree and stops at InMemoryTableScan
+    boundaries: a persisted subtree's build cost is paid once at cache
+    materialization, not per consumer, so counting its exchanges per
+    consumer (as the old text-scrape did) overstated cached plans ~4×.
+    Only hash/range repartitionings count — BroadcastExchange is a
+    dimension-table broadcast and Exchange SinglePartition is the
+    final gather of already-reduced partial-agg rows; neither moves
+    fact-scale data."""
+    root = df._jdf.queryExecution().executedPlan()
+    count = 0
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if "InMemoryTableScan" in name:
+            continue
+        if name.startswith("Exchange"):
+            part = node.outputPartitioning().toString().lower()
+            if "hashpartitioning" in part or "rangepartitioning" in part:
+                count += 1
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+            continue
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return count
 
 
 def salted_join(

@@ -334,7 +334,11 @@ def test_headline_plans_stay_jvm_side(spark, sf_dir):
         ("q5_region_revenue", 2),
         ("session_agg", 1),
         ("asof_join_latest_order", 1),
-        ("dedup_ngram_jaccard", 4),
+        # capped path: candidate generation (freq + pruned self-join +
+        # distinct, cached) feeds an exact candidate-bounded verify — more
+        # pipeline stages than the old uncapped join, every one of them
+        # candidate-limited
+        ("dedup_ngram_jaccard", 12),
         ("embed_cosine_topk", 2),
     ]:
         df = QUERIES[name](spark, sf_dir)
