@@ -33,6 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #      reach them) — two-round-old rows, next in line;
 #   3. queries with a fresh r2 row and no change since.
 _CHANGED_THIS_ROUND = [
+    # r3 NEW queries (queries_pipeline.py): decontamination, repetition
+    # quality filters, BM25 search, sequence packing, co-occurrence lift —
+    # never driver-checked, so they go first.
+    "decontaminate", "repetition_filters", "bm25_search",
+    "pack_sequences", "cooccur_lift",
     # r3 changes: percentile/HLL self-verify shapes, ANN oracle twins,
     # deterministic outer join, jaccard cap, vectorized stateful walk,
     # session eviction boundary, ivf md5 seed, LSH auto-sizing

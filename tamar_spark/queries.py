@@ -1359,3 +1359,7 @@ def streaming_dedup(spark, sf_dir):
 # Extended inventory (TPC-H-shaped joins/aggregates, scalar-function library,
 # embedding near-dup) registers itself into QUERIES/ORACLES on import.
 from tamar_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
+
+# Training-data pipeline extensions (decontamination, repetition filters,
+# BM25 search, sequence packing, co-occurrence lift) — same registry.
+from tamar_spark import queries_pipeline as _queries_pipeline  # noqa: E402,F401

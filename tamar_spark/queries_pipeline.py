@@ -1,0 +1,417 @@
+"""Training-data pipeline extensions: decontamination, repetition-quality
+filters, BM25 keyword search, greedy sequence packing, co-occurrence lift.
+
+The reference engine (src/lib.rs) has no corpus-preparation surface at all;
+these extend the §2.7 LLM-pipeline family (dedup / similarity / text
+analysis already in queries.py) with the remaining operations a pretraining
+corpus pipeline runs at 100 TB:
+
+- **decontaminate** — benchmark n-gram overlap (the Brown et al. / GPT-3
+  appendix-C style 13-gram check, here 5-grams against a held-out eval
+  slice).  The eval set is small by construction (benchmarks are MBs, the
+  corpus is TBs), so its distinct-shingle set is broadcast and the train
+  side never shuffles for the probe — one map-side hash join plus a
+  doc_id-keyed aggregate.
+- **repetition_filters** — Gopher-style repetition heuristics (Rae et al.
+  2021 table A1): top-word fraction and duplicate-trigram fraction.  Both
+  are explode → two-level doc_id-keyed aggregates: every shuffle is on
+  doc_id, so AQE coalesces them and no global key ever concentrates.
+- **bm25_search** — full-corpus keyword ranking.  The idf is the
+  *log-free* rational form (N - df + 0.5)/(df + 0.5): +,-,*,/ on doubles
+  are exactly-rounded IEEE ops and therefore bit-identical across engines,
+  whereas ln() differs in the last ulp between the JVM and DuckDB — with
+  the log the value-hash gate would be flaky by construction.  Per-term
+  contributions are rounded then DECIMAL-summed (order-independent).
+- **pack_sequences** — greedy first-fit sequential packing of documents
+  into fixed token-capacity contexts.  The pack boundary depends on the
+  running fill, a loop-carried dependency no closed-form window expression
+  has, so the kernel is the arbitrary-stateful path (applyInPandas per
+  shard) — exactly what the reference's keyed ``process_state``
+  (src/lib.rs:323-361) exists for.  Parallelism = number of (lang, source)
+  shards; at 100 TB you add a hash-bucket to the key so shard size, not
+  corpus size, bounds the sequential walk.
+- **cooccur_lift** — association mining over the doc-word incidence:
+  lift(a,b) = P(a,b) / (P(a)P(b)) as one exact integer ratio evaluated in
+  a single double division (deterministic), pairs bounded by a document
+  df >= N/10 frequency floor before the self-join.
+
+Registered into the same QUERIES/ORACLES registry as tamar_spark.queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tamar_spark.queries import query, _DEC
+from tamar_spark.sources import load_table
+from tamar_spark.functions import text as T
+
+
+def _word_ngrams(k: int):
+    """Array of word k-grams (space-joined), matching the DuckDB twin
+    ``w[i] || ' ' || ... || w[i+k-1]`` exactly (same trim + \\s+ split)."""
+    w = T.tokens(F.col("text"))
+    n = F.size(w)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_DECONTAM_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) t
+), eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN eval_grams e USING (gram)
+  WHERE g.doc_id % 97 <> 0 GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+@query("decontaminate", _DECONTAM_SQL)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any word
+    5-gram with the eval slice (doc_id % 97 == 0 stands in for a benchmark
+    set).  The eval shingle set is broadcast — the TB-scale train side is
+    probed map-side and only aggregates on its own doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams5 = _word_ngrams(5)
+    is_eval = F.col("doc_id") % 97 == 0
+
+    eval_grams = (
+        docs.filter(is_eval)
+        .select(F.explode(grams5).alias("gram"))
+        .distinct()
+    )
+    train = docs.filter(~is_eval)
+    hits = (
+        train.select("doc_id", F.explode(grams5).alias("gram"))
+        .distinct()
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+_REPETITION_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, w[i] AS word
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2
+), word_stats AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_tokens FROM wc GROUP BY 1
+), tri AS (
+  SELECT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS g
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+), tri_stats AS (
+  SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_tri_distinct
+  FROM tri GROUP BY 1
+)
+SELECT ws.doc_id,
+       CAST(ws.n_tokens AS BIGINT) AS n_tokens,
+       round(ws.top_c * 1.0 / ws.n_tokens, 4) AS top_word_frac,
+       round(1.0 - ts.n_tri_distinct * 1.0 / ts.n_tri, 4) AS dup_trigram_frac,
+       (ws.top_c * 1.0 / ws.n_tokens) <= 0.2
+         AND (1.0 - ts.n_tri_distinct * 1.0 / ts.n_tri) <= 0.6 AS keep
+FROM word_stats ws JOIN tri_stats ts USING (doc_id)
+"""
+
+
+@query("repetition_filters", _REPETITION_SQL)
+def repetition_filters(spark, sf_dir):
+    """Gopher-style repetition quality filters: most-frequent-word fraction
+    and duplicate-trigram fraction per document, with the keep verdict at
+    the (0.2, 0.6) thresholds.  Two explode → doc_id-keyed aggregates; the
+    per-(doc, token) combine is map-side partial, so the only shuffled rows
+    are one per distinct (doc, token)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
+    word_stats = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tokens"))
+    )
+    tri = docs.select("doc_id", F.explode(_word_ngrams(3)).alias("g"))
+    tri_stats = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"),
+        F.countDistinct("g").alias("n_tri_distinct"),
+    )
+    top_frac = F.col("top_c") * 1.0 / F.col("n_tokens")
+    dup_frac = 1.0 - F.col("n_tri_distinct") * 1.0 / F.col("n_tri")
+    return (
+        word_stats.join(tri_stats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(top_frac, 4).alias("top_word_frac"),
+            F.round(dup_frac, 4).alias("dup_trigram_frac"),
+            ((top_frac <= 0.2) & (dup_frac <= 0.6)).alias("keep"),
+        )
+    )
+
+
+_BM25_TERMS = ("spark", "join", "window")
+
+_BM25_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), dl AS (
+  SELECT doc_id, len(w) AS dl FROM words
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), tok AS (
+  SELECT doc_id, w[i] AS word
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok
+  WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2
+), df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id,
+         round(((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))),
+               6) AS c
+  FROM tf
+  JOIN df USING (word)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@query("bm25_search", _BM25_SQL)
+def bm25_search(spark, sf_dir):
+    """BM25 top-20 keyword search (k1=1.2, b=0.75) for a fixed term set.
+    Log-free rational idf (N - df + 0.5)/(df + 0.5) so both engines compute
+    bit-identical doubles (exactly-rounded IEEE ops only — ln() is not);
+    per-term contributions rounded to 6dp and DECIMAL-summed so partial-agg
+    order can't flip the hash.  Plan shape: one corpus scan explodes into a
+    (doc, term) tf aggregate; df and the global (N, avgdl) row are tiny
+    aggregates broadcast back — no fact-side shuffle beyond doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dl = docs.select("doc_id", F.size(T.tokens(F.col("text"))).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col("dl").cast(_DEC)).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (
+                    (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+                    )
+                ),
+                6,
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum(F.col("c").cast(_DEC)).cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_PACK_CAPACITY = 128
+
+_PACK_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT lang, source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), ordered AS (
+  SELECT lang, source, doc_id, n_tok,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM toks
+), packed AS (
+  SELECT lang, source, doc_id, n_tok, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_tok AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.source, o.doc_id, o.n_tok, o.rn,
+         CASE WHEN p.fill + o.n_tok <= 128 THEN p.pack_id
+              ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + o.n_tok <= 128 THEN p.fill + o.n_tok
+              ELSE o.n_tok END
+  FROM packed p
+  JOIN ordered o ON o.lang = p.lang AND o.source = p.source
+                AND o.rn = p.rn + 1
+)
+SELECT lang, source, doc_id, n_tok, pack_id FROM packed
+"""
+
+
+@query("pack_sequences", _PACK_SQL)
+def pack_sequences(spark, sf_dir):
+    """Greedy first-fit sequence packing: documents in doc_id order fill
+    128-token training contexts per (lang, source) shard; a doc that would
+    overflow starts the next pack (oversized docs get their own).  The
+    running fill is a loop-carried dependency — no window function computes
+    first-fit — so this is the reference's keyed ``process_state``
+    (src/lib.rs:323-361) as a batch kernel: one ``applyInPandas`` walk per
+    shard, numpy-typed, O(shard) sequential.  At 100 TB the grouping key
+    gains a hash bucket so shard size (not corpus size) bounds the walk;
+    the DuckDB oracle replays the identical recursion as a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        n_tok = pdf["n_tok"].to_numpy()
+        pack_ids = np.zeros(len(n_tok), dtype="int64")
+        fill, pid = 0, 0
+        for j, t in enumerate(n_tok):
+            if j > 0 and fill + t > _PACK_CAPACITY:
+                pid += 1
+                fill = 0
+            fill += t
+            pack_ids[j] = pid
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    return toks.groupBy("lang", "source").applyInPandas(
+        pack, "lang string, source string, doc_id bigint, n_tok bigint, pack_id bigint"
+    )
+
+
+_LIFT_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), dw AS (
+  SELECT DISTINCT doc_id, w[i] AS word
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+), n AS (SELECT count(*) AS n_docs FROM documents),
+freq AS (
+  SELECT word, count(*) AS df FROM dw GROUP BY 1
+  HAVING count(*) * 10 >= (SELECT n_docs FROM n)
+), fdw AS (
+  SELECT dw.doc_id, dw.word, freq.df FROM dw JOIN freq USING (word)
+), pairs AS (
+  SELECT a.word AS word_a, b.word AS word_b,
+         max(a.df) AS df_a, max(b.df) AS df_b, count(*) AS n_both
+  FROM fdw a JOIN fdw b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2
+)
+SELECT word_a, word_b, CAST(n_both AS BIGINT) AS n_both,
+       round(CAST(n_both * (SELECT n_docs FROM n) AS DOUBLE)
+             / (df_a * df_b), 4) AS lift
+FROM pairs
+ORDER BY lift DESC, word_a, word_b LIMIT 20
+"""
+
+
+@query("cooccur_lift", _LIFT_SQL)
+def cooccur_lift(spark, sf_dir):
+    """Word co-occurrence association: top-20 pairs by lift
+    P(a,b)/(P(a)P(b)) over the document-word incidence, restricted to words
+    with df >= N/10 so the per-doc pair fan-out is bounded by the frequent
+    vocabulary, not corpus size.  Lift is one exact integer ratio evaluated
+    in a single double division — deterministic across engines.  The
+    doc_id-keyed self-join shuffles both sides on doc_id once; the frequent
+    vocabulary is a broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dw = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    nrow = docs.agg(F.count("*").alias("n_docs"))
+    freq = (
+        dw.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nrow))
+        .filter(F.col("df") * 10 >= F.col("n_docs"))
+    )
+    fdw = dw.join(F.broadcast(freq), "word")
+    a = fdw.select(
+        F.col("doc_id"),
+        F.col("word").alias("word_a"),
+        F.col("df").alias("dfa"),
+        F.col("n_docs"),
+    )
+    b = fdw.select(
+        F.col("doc_id"), F.col("word").alias("word_b"), F.col("df").alias("dfb")
+    )
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(
+            F.max("dfa").alias("df_a"),
+            F.max("dfb").alias("df_b"),
+            F.max("n_docs").alias("n_docs"),
+            F.count("*").alias("n_both"),
+        )
+    )
+    return (
+        pairs.select(
+            "word_a",
+            "word_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(
+                (F.col("n_both") * F.col("n_docs")).cast("double")
+                / (F.col("df_a") * F.col("df_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "word_a", "word_b")
+        .limit(20)
+    )
