@@ -79,6 +79,17 @@ def dsum(col):
     return F.sum(_c(col).cast(_DEC)).cast("double")
 
 
+def epoch_us(col):
+    """Microseconds since epoch for TIMESTAMP *or* TIMESTAMP_NTZ columns.
+
+    The driver's parquet writes naive ``timestamp[us]``, which Spark 4 reads
+    as TIMESTAMP_NTZ; ``unix_micros`` and direct numeric casts reject NTZ.
+    The session timezone is pinned to UTC (env.py), so NTZ→LTZ is a value
+    identity and this works for either input type.
+    """
+    return F.unix_micros(_c(col).cast("timestamp_ltz"))
+
+
 def dsum_r(col, nd: int = 2):
     """`dsum` rounded to ``nd`` places — the oracle-alignment form."""
     return F.round(F.sum(_c(col).cast(_DEC)), nd).cast("double")
@@ -966,19 +977,8 @@ def streaming_session_agg(spark, sf_dir):
     Pins the no-end-of-stream-flush semantic (reference test
     src/lib.rs:1316-1345): sessions not closed by the final watermark
     (max(ts) - delay) never emit — the oracle filters to exactly those."""
-    import os
-
     prep_session(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    sdf = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
-    )
+    sdf = _events_stream(spark, sf_dir)
     agg = (
         sdf.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
         .agg(
@@ -1144,7 +1144,7 @@ def range_join_pairs(spark, sf_dir):
         "event_id_2",
         "user_id",
         F.round(
-            (F.unix_micros(F.col("ts_b")) - F.unix_micros(F.col("ts_a"))) / 1e6, 3
+            (epoch_us("ts_b") - epoch_us("ts_a")) / 1e6, 3
         ).alias("gap_sec"),
     )
 
@@ -1199,19 +1199,8 @@ def streaming_tumbling_agg(spark, sf_dir):
     """Streaming tumbling-window aggregation with watermark-gated append
     emission — windows not closed by the final watermark never emit (same
     no-end-of-stream-flush contract as the session variant)."""
-    import os
-
     prep_session(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    sdf = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
-    )
+    sdf = _events_stream(spark, sf_dir)
     agg = (
         sdf.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
         .agg(
@@ -1240,17 +1229,29 @@ def streaming_tumbling_agg(spark, sf_dir):
 
 def _events_stream(spark, sf_dir, watermark: str = "10 minutes"):
     """File-based streaming source over the events fixture with the same
-    ns→µs timestamp normalization as the batch reader (see sources/)."""
+    timestamp normalization as the batch reader (see sources/).
+
+    Adapts to the fixture's physical type: TIMESTAMP(NANOS) parquet is read
+    as long (``nanosAsLong``) and truncated ns→µs like DuckDB does;
+    TIMESTAMP(MICROS) parquet arrives as TIMESTAMP_NTZ and is cast to LTZ
+    (a value identity under the UTC session timezone) so window bounds and
+    emitted schemas are stable either way."""
     import os
 
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
+    raw_ts = {f.name: f.dataType.simpleString() for f in raw_schema.fields}["ts"]
+    ts_fix = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if raw_ts == "bigint"
+        else F.col("ts").cast("timestamp_ltz")
+    )
     return (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", ts_fix)
         .withWatermark("ts", watermark)
     )
 

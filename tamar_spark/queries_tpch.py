@@ -1158,9 +1158,12 @@ def range_frame_total(spark, sf_dir):
     from tamar_spark.queries import _DEC
 
     e = load_table(spark, sf_dir, "events")
+    # ts may be TIMESTAMP_NTZ (driver parquet is naive timestamp[us]); NTZ
+    # has no direct numeric cast, but NTZ→LTZ is identity under the UTC
+    # session timezone and LTZ→long yields epoch seconds.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
         .rangeBetween(-3600, 0)
     )
     return e.select(
@@ -2028,7 +2031,15 @@ def streaming_stream_outer_join(spark, sf_dir):
     # reconstruct the final watermark from the batch table: min over the two
     # filtered sides of (ms-truncated max event time) − delay; 1-row
     # aggregate, broadcast by the cross join
-    ms_floor = lambda c: F.timestamp_millis((F.unix_micros(c) / 1000).cast("long"))
+    # epoch_us handles TIMESTAMP_NTZ inputs; cast the reconstructed
+    # watermark back to click_ts's own type so the comparison below never
+    # mixes NTZ with LTZ.
+    from tamar_spark.queries import epoch_us
+
+    ts_type = dict(out.dtypes)["click_ts"]
+    ms_floor = lambda c: F.timestamp_millis((epoch_us(c) / 1000).cast("long")).cast(
+        ts_type
+    )
     final_wm = load_table(spark, sf_dir, "events").agg(
         (
             F.least(
