@@ -25,48 +25,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates registration order and may cap how many queries it
-# reaches per round, so registration is a priority queue (VERDICT r1/r2
-# rotation discipline):
-#   1. queries whose engine or oracle CHANGED this round (round 3) — they
-#      must re-earn a driver row;
-#   2. queries whose last driver row is round 1 (the r2 rotation didn't
-#      reach them) — two-round-old rows, next in line;
-#   3. queries with a fresh r2 row and no change since.
+# reaches per round, so registration is a priority queue (VERDICT rotation
+# discipline). Round-5 staleness state (from CORRECTNESS_r01..r04):
+#   1. queries whose engine or oracle CHANGED in round 5 — they must
+#      re-earn a driver row;
+#   2. queries whose last driver row is round 1 (three rounds stale);
+#   3. queries whose last driver row is round 2 (two rounds stale);
+#   4. queries with a fresh r4 row and no change since.
 _CHANGED_THIS_ROUND = [
-    # r3 NEW queries (queries_pipeline.py): decontamination, repetition
-    # quality filters, BM25 search, sequence packing, co-occurrence lift —
-    # never driver-checked, so they go first.
-    "decontaminate", "repetition_filters", "bm25_search",
-    "pack_sequences", "cooccur_lift",
-    # r3 changes: percentile/HLL self-verify shapes, ANN oracle twins,
-    # deterministic outer join, jaccard cap, vectorized stateful walk,
-    # session eviction boundary, ivf md5 seed, LSH auto-sizing
-    "approx_percentile_value", "approx_distinct_users",
-    "embed_lsh_topk", "embed_ivf_topk",
-    "streaming_stream_outer_join", "streaming_session_process",
-    "dedup_ngram_jaccard", "dedup_clusters", "dedup_clusters_star",
-    "stateful_event_numbering", "dedup_embedding_lsh",
-    "streaming_stream_join",
+    # r5 changes: streaming_global_state vectorized walk, jaccard
+    # lower-bound emit + persisted stats, pack_sequences shard bucketing,
+    # video frame sampling.
+    "streaming_global_state", "dedup_ngram_jaccard", "pack_sequences",
+    "video_frames",
 ]
 
-_R1_ONLY = [
-    "sliding_agg", "filter_map", "keyed_count", "running_total",
-    "q1_pricing", "q3_shipping", "q5_region_revenue", "window_rank",
-    "lead_lag", "distinct_agg", "rollup_sales", "set_ops", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "text_stats", "doc_quality",
-    "lang_id", "doc_fingerprint", "binary_meta", "semi_anti_join",
-    "cube_sales", "json_props", "word_freq", "range_join_pairs",
-    "pandas_udf_bucket", "streaming_tumbling_agg", "streaming_dedup",
-    "q4_order_priority", "q6_forecast_revenue", "q7_trade_volume",
-    "q8_market_share", "q9_product_profit", "q10_returned_top",
-    "q14_promo_share", "q15_top_supplier", "q17_small_quantity",
-    "q18_large_orders", "q19_bracket_revenue", "q22_idle_customers",
-    "stat_agg",
+_R1_STALE = [
+    "q10_returned_top", "q14_promo_share", "q15_top_supplier",
+    "q17_small_quantity", "q18_large_orders", "q19_bracket_revenue",
+    "q22_idle_customers", "stat_agg",
+]
+
+_R2_STALE = [
+    "session_agg", "session_stats", "tumbling_agg",
+    "asof_join_latest_order", "embed_cosine_topk", "streaming_session_agg",
+    "date_funcs", "string_funcs", "array_funcs", "dedup_embedding",
+    "window_analytics", "pivot_sales", "percentile_agg",
+    "streaming_sliding_agg", "regex_funcs", "conditional_funcs",
+    "date_arith", "streaming_complete_counts", "grouping_sets_sales",
+    "time_rollup", "range_frame_total", "token_counts",
+    "q2_min_cost_supplier", "q16_supplier_counts", "q21_waiting_orders",
+    "streaming_static_join", "doc_chunks", "scrub_text", "udtf_sentences",
+    "funnel_conversion", "weekly_retention", "bloom_sketch",
+    "asof_join_next_order", "train_test_split", "stratified_cap",
+    "q11_important_parts", "q12_priority_shipping",
+    "q13_order_distribution", "q20_excess_shipments",
 ]
 
 
 def _ordered(mapping: dict) -> dict:
-    head = [k for k in _CHANGED_THIS_ROUND + _R1_ONLY if k in mapping]
+    head = [
+        k
+        for k in _CHANGED_THIS_ROUND + _R1_STALE + _R2_STALE
+        if k in mapping
+    ]
     seen = set(head)
     out = {k: mapping[k] for k in head}
     out.update({k: v for k, v in mapping.items() if k not in seen})
