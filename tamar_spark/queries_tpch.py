@@ -2237,21 +2237,32 @@ def streaming_global_state(spark, sf_dir):
     )
 
     def walk(pdf: pd.DataFrame, state) -> pd.DataFrame:
+        # vectorized walk (same r2-style fix as stateful_event_numbering
+        # above): arange/cumsum/cummax on the sorted frame, offset by the
+        # carried state, replace the per-row loop while keeping the walk
+        # resumable across micro-batches
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        seqs, purchases, maxes = [], [], []
-        for _, row in pdf.iterrows():
-            state["seq"] += 1
-            if row["event_type"] == "purchase":
-                state["purchases"] += 1
-            if state["max"] is None or row["value"] > state["max"]:
-                state["max"] = row["value"]
-            seqs.append(state["seq"])
-            purchases.append(state["purchases"])
-            maxes.append(state["max"])
+        n = len(pdf)
+        seq = state["seq"] + pd.Series(range(1, n + 1), dtype="int64")
+        purchases = (
+            state["purchases"]
+            + (pdf["event_type"] == "purchase").cumsum().astype("int64")
+        )
+        # running max: NaN rows inherit the previous max (ffill), leading
+        # rows inherit the carried state; clip folds the prior max in
+        maxes = pdf["value"].cummax().ffill()
+        if state["max"] is not None:
+            maxes = maxes.clip(lower=state["max"]).fillna(state["max"])
+        state["seq"] += n
+        if n:
+            state["purchases"] = int(purchases.iloc[-1])
+            last_max = maxes.iloc[-1]
+            if pd.notna(last_max):
+                state["max"] = float(last_max)
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
-                "global_seq": seqs,
+                "global_seq": seq,
                 "purchases_so_far": purchases,
                 "max_value_so_far": maxes,
             }
