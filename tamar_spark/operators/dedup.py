@@ -136,7 +136,10 @@ def jaccard_pairs(
         # array_intersect verify only runs on near-threshold survivors
         # (measured 8.0 s → ~4 s at sf0.1 with identical output).  Per-doc
         # stats joins are left to AQE: one row per doc, so it broadcasts at
-        # bench scale but must shuffle-join at corpus scale.
+        # bench scale but must shuffle-join at corpus scale.  Persisted:
+        # the one-row-per-doc frame feeds both join sides (sa/sb) — without
+        # the cache the full-shingle + pruned-shingle groupBy subtree
+        # executes twice.
         stats = (
             sh.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_sh"))
@@ -150,6 +153,7 @@ def jaccard_pairs(
                 F.col("n_sh"),
                 (F.col("n_sh") - F.coalesce(F.col("n_cool"), F.lit(0))).alias("h"),
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         sa = stats.select(
             F.col(id_col).alias("doc_id_1"),
@@ -171,15 +175,36 @@ def jaccard_pairs(
         j_ub = (F.col("i_p") + slack) / (
             F.col("n_b") + F.col("n_a") - F.col("i_p") - slack
         )
-        # persisted: the candidate set feeds three consumers below (two
-        # cand_docs projections + the final pair semi-join) — without the
-        # cache the pruned self-join subtree executes three times
-        candidates = (
+        # persisted: the surviving candidate set feeds the direct/verify
+        # split below (and the verify branch reads it three times) —
+        # without the cache the pruned self-join subtree re-executes
+        scored = (
             i_p.join(sa, "doc_id_1")
             .join(sb, "doc_id_2")
             .filter(j_ub >= threshold)
-            .select("doc_id_1", "doc_id_2")
             .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # Exact direct-emit tier: when min(h_a, h_b) == 0, one doc has no
+        # hot (pruned) shingles at all, so every SHARED shingle is cool and
+        # the pruned intersection i_p IS the full intersection — the exact
+        # Jaccard is i_p / (n_a + n_b − i_p), no set materialization or
+        # verify join needed.  In a capped corpus only boilerplate-bearing
+        # docs have hot shingles, so most candidate pairs take this tier;
+        # only hot×hot pairs pay the array_intersect verify.  Provably
+        # lossless: the emitted value is exact, and pairs in the verify
+        # tier are handled exactly as before.
+        j_exact = F.round(
+            F.col("i_p") / (F.col("n_a") + F.col("n_b") - F.col("i_p")), 4
+        )
+        direct = (
+            scored.filter(slack == 0)
+            .withColumn("jaccard", j_exact)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_id_1", "doc_id_2", "jaccard")
+        )
+        to_verify = scored.filter(slack > 0).select("doc_id_1", "doc_id_2")
+        return _verify_pairs(sh, to_verify, id_col, threshold).unionByName(
+            direct
         )
     if candidates is not None:
         # verification is candidate-PAIR-bounded (not candidate-doc-bounded:
