@@ -2,11 +2,19 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "runs": R, "bands": {q: [min, median, max]}, "cold": {...},
+   "cold_total": N}
 
-``value`` is total wall-clock over the headline query set (each executed to
-completion via a count/collect action).  Runs on local[$SPARK_GRAFT_CPUS]
-with the engine's tuned session (AQE, broadcast joins, pruned scans).
+Variance protocol (r4 VERDICT task 3): the headline set is executed
+``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) in one session.  ``value``
+and ``queries`` are per-query MEDIANS (steady-state, robust to one-off GC
+or state-store jitter); ``bands`` carries the min/median/max spread so a
+regression can be told from machine noise; ``cold`` is the first pass,
+which absorbs each query's one-time whole-stage-codegen cost (the
+cold−median gap is the codegen share — e.g. dedup_minhash_lsh is mostly
+codegen).  Runs on local[$SPARK_GRAFT_CPUS] with the engine's tuned
+session (AQE, broadcast joins, pruned scans).
 """
 
 from __future__ import annotations
@@ -57,24 +65,37 @@ def main() -> None:
     for t in ("events", "lineitem", "orders", "customer", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
 
-    timings = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(runs):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+
+    timings = {name: median(xs) for name, xs in samples.items()}
+    bands = {
+        name: [min(xs), timings[name], max(xs)] for name, xs in samples.items()
+    }
+    cold = {name: xs[0] for name, xs in samples.items()}
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_sec",
-                "value": round(total, 3),
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": runs,
+                "bands": bands,
+                "cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
             }
         )
     )
