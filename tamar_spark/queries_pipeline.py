@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from tamar_spark.queries import query, _DEC
 from tamar_spark.sources import load_table
@@ -295,6 +295,79 @@ SELECT lang, source, doc_id, n_tok, pack_id FROM packed
 """
 
 
+def first_fit_pack(
+    toks: "DataFrame", capacity: int = _PACK_CAPACITY, n_buckets: int = 1
+) -> "DataFrame":
+    """First-fit packing kernel over ``(lang, source, doc_id, n_tok)`` rows.
+
+    ``n_buckets=1`` packs each (lang, source) shard as one sequential walk
+    — exact first-fit over the whole shard.  ``n_buckets>1`` is the scale
+    path: docs are range-bucketed by ``doc_id`` (contiguous runs, so
+    first-fit order is preserved WITHIN each bucket), each bucket packs
+    independently, and per-bucket pack ids are offset by the cumulative
+    pack count of earlier buckets so ids stay unique and ordered per
+    shard.  Packs never span a bucket boundary — the one divergence from
+    the global walk, bounded at n_buckets-1 partially-filled packs per
+    shard — and in exchange the sequential walk is bounded by bucket size,
+    not corpus size.  The offset pass aggregates one row per (shard,
+    bucket), so it is negligible at any scale."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        n_tok = pdf["n_tok"].to_numpy()
+        pack_ids = np.zeros(len(n_tok), dtype="int64")
+        fill, pid = 0, 0
+        for j, t in enumerate(n_tok):
+            if j > 0 and fill + t > capacity:
+                pid += 1
+                fill = 0
+            fill += t
+            pack_ids[j] = pid
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    if n_buckets <= 1:
+        return toks.groupBy("lang", "source").applyInPandas(
+            pack,
+            "lang string, source string, doc_id bigint, n_tok bigint,"
+            " pack_id bigint",
+        )
+
+    # range bucketing: the 1-row min/max aggregate is broadcast (the
+    # established scalar-threading pattern), so no extra shuffle on the
+    # corpus side
+    rng = toks.agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+    width = F.floor(
+        (F.col("_hi") - F.col("_lo") + F.lit(n_buckets)) / F.lit(n_buckets)
+    )
+    bucketed = (
+        toks.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "_bucket", F.floor((F.col("doc_id") - F.col("_lo")) / width)
+        )
+        .drop("_lo", "_hi")
+    )
+    packed = bucketed.groupBy("lang", "source", "_bucket").applyInPandas(
+        pack,
+        "lang string, source string, doc_id bigint, n_tok bigint,"
+        " _bucket bigint, pack_id bigint",
+    )
+    per_bucket = packed.groupBy("lang", "source", "_bucket").agg(
+        (F.max("pack_id") + 1).alias("_n_packs")
+    )
+    w = Window.partitionBy("lang", "source").orderBy("_bucket")
+    offsets = per_bucket.withColumn(
+        "_off", F.sum("_n_packs").over(w) - F.col("_n_packs")
+    ).select("lang", "source", "_bucket", "_off")
+    return packed.join(offsets, ["lang", "source", "_bucket"]).select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_tok",
+        (F.col("pack_id") + F.col("_off")).alias("pack_id"),
+    )
+
+
 @query("pack_sequences", _PACK_SQL)
 def pack_sequences(spark, sf_dir):
     """Greedy first-fit sequence packing: documents in doc_id order fill
@@ -303,9 +376,10 @@ def pack_sequences(spark, sf_dir):
     running fill is a loop-carried dependency — no window function computes
     first-fit — so this is the reference's keyed ``process_state``
     (src/lib.rs:323-361) as a batch kernel: one ``applyInPandas`` walk per
-    shard, numpy-typed, O(shard) sequential.  At 100 TB the grouping key
-    gains a hash bucket so shard size (not corpus size) bounds the walk;
-    the DuckDB oracle replays the identical recursion as a recursive CTE."""
+    shard, numpy-typed, O(shard) sequential (``first_fit_pack``).  At
+    100 TB pass ``n_buckets`` so bucket size, not corpus size, bounds the
+    walk; the DuckDB oracle replays the identical recursion as a recursive
+    CTE."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "lang",
@@ -313,24 +387,7 @@ def pack_sequences(spark, sf_dir):
         "doc_id",
         T.token_count(F.col("text")).alias("n_tok"),
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        n_tok = pdf["n_tok"].to_numpy()
-        pack_ids = np.zeros(len(n_tok), dtype="int64")
-        fill, pid = 0, 0
-        for j, t in enumerate(n_tok):
-            if j > 0 and fill + t > _PACK_CAPACITY:
-                pid += 1
-                fill = 0
-            fill += t
-            pack_ids[j] = pid
-        pdf["pack_id"] = pack_ids
-        return pdf
-
-    return toks.groupBy("lang", "source").applyInPandas(
-        pack, "lang string, source string, doc_id bigint, n_tok bigint, pack_id bigint"
-    )
+    return first_fit_pack(toks)
 
 
 _LIFT_SQL = """

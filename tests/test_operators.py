@@ -849,3 +849,73 @@ def test_approx_percentile_query_self_verifies(spark):
     assert rows, "query returned no groups"
     for r in rows:
         assert r.p50_ok and r.p90_ok and r.p99_ok, r
+
+
+def test_first_fit_pack_bucketed(spark, sf_dir):
+    """n_buckets=1 must equal the shipped query exactly; n_buckets=4 must
+    (a) preserve exact first-fit within each doc_id range bucket, (b) keep
+    pack ids unique, ordered, and gap-free per (lang, source), and (c)
+    never overfill a pack except for a single oversized doc."""
+    from pyspark.sql import functions as F
+
+    from tamar_spark.functions import text as T
+    from tamar_spark.queries_pipeline import _PACK_CAPACITY, first_fit_pack
+    from tamar_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "source", "doc_id", T.token_count(F.col("text")).alias("n_tok")
+    )
+
+    base = {
+        (r.lang, r.source, r.doc_id): (r.n_tok, r.pack_id)
+        for r in first_fit_pack(toks).collect()
+    }
+    b1 = {
+        (r.lang, r.source, r.doc_id): (r.n_tok, r.pack_id)
+        for r in first_fit_pack(toks, n_buckets=1).collect()
+    }
+    assert b1 == base
+
+    n_buckets = 4
+    rows = first_fit_pack(toks, n_buckets=n_buckets).collect()
+    assert len(rows) == len(base)
+
+    lo = min(k[2] for k in base)
+    hi = max(k[2] for k in base)
+    width = (hi - lo + n_buckets) // n_buckets
+
+    # replay exact first-fit per (shard, bucket) and compare relative pack
+    # structure; collect per-shard pack ids for the global invariants
+    from collections import defaultdict
+
+    by_shard_bucket = defaultdict(list)
+    for r in rows:
+        by_shard_bucket[(r.lang, r.source, (r.doc_id - lo) // width)].append(r)
+    per_shard_ids = defaultdict(set)
+    for (lang, source, bucket), rs in by_shard_bucket.items():
+        rs.sort(key=lambda r: r.doc_id)
+        fill, pid = 0, 0
+        local_of_first = rs[0].pack_id
+        for j, r in enumerate(rs):
+            assert r.n_tok == base[(lang, source, r.doc_id)][0]
+            if j > 0 and fill + r.n_tok > _PACK_CAPACITY:
+                pid += 1
+                fill = 0
+            fill += r.n_tok
+            assert r.pack_id == local_of_first + pid, (
+                lang, source, bucket, r.doc_id,
+            )
+            per_shard_ids[(lang, source)].add(r.pack_id)
+
+    for (lang, source), ids in per_shard_ids.items():
+        assert ids == set(range(len(ids))), (lang, source)
+
+    # capacity invariant: multi-doc packs never exceed capacity
+    pack_tot = defaultdict(int)
+    pack_n = defaultdict(int)
+    for r in rows:
+        pack_tot[(r.lang, r.source, r.pack_id)] += r.n_tok
+        pack_n[(r.lang, r.source, r.pack_id)] += 1
+    for k, tot in pack_tot.items():
+        assert tot <= _PACK_CAPACITY or pack_n[k] == 1, k
