@@ -21,6 +21,15 @@ shapes that dominate the engine:
                   IDENTICAL pairs; the capped path must stay near-linear
                   while the uncapped contrast grows ~quadratically — the
                   reason max_doc_freq exists
+- skewed_session : session-window aggregation with one user holding ~10%
+                  of ALL events at every scale — the heavy-hitter case
+                  AQE does not rebalance (aggregation, not join); pins
+                  whether the hot key's single-reducer walk stays linear
+- pack_unbucketed / pack_bucketed_k : first_fit_pack on a k×-replicated
+                  corpus with n_buckets=1 vs n_buckets=k — the bucketed
+                  walk's input is constant-size, so its wall-clock should
+                  stay near-flat while the unbucketed walk grows with the
+                  corpus
 
 Near-linear wall-clock growth here means the plans have no super-linear
 step (no cross products, no driver collects, no per-key state blowup) —
@@ -222,9 +231,46 @@ def main() -> None:
 
         return D.jaccard_pairs(corpus, 0.5, max_doc_freq=32 if capped else None)
 
+    def skewed_session(k):
+        # heavy-hitter session case (r4 VERDICT task 5): ~10% of ALL events
+        # remapped to one user at every scale, so the hot key's partition
+        # grows linearly with the corpus while every other key stays small
+        # — the case windows.py warns AQE does NOT rebalance (skew handling
+        # covers joins, not aggregations).  Deterministic pmod selection
+        # keeps the hot fraction exact under replication.
+        e = replicate(events, k, ["user_id", "event_id"])
+        e = e.withColumn(
+            "user_id",
+            F.when(F.pmod(F.col("event_id"), F.lit(10)) == 0, F.lit(-1)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        return e.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+
+    documents_sf = load_table(spark, SF_DIR, "documents")
+    documents_sf.count()
+
+    def pack_bucketed(k, n_buckets):
+        # the pack_sequences scale claim (r4 VERDICT task 6): with
+        # n_buckets=k the per-walk input is constant-size as the corpus
+        # grows, so wall-clock should stay near-flat while the unbucketed
+        # walk grows linearly (few (lang, source) shards -> parallelism
+        # capped at shard count)
+        from tamar_spark.functions import text as T
+        from tamar_spark.queries_pipeline import first_fit_pack
+
+        d = replicate(documents_sf, k, ["doc_id"])
+        toks = d.select(
+            "lang", "source", "doc_id", T.token_count(F.col("text")).alias("n_tok")
+        )
+        return first_fit_pack(toks, n_buckets=n_buckets)
+
     results = {}
     for name, fn in [
         ("session_agg", session_agg),
+        ("skewed_session", skewed_session),
         ("q1_agg", q1_agg),
         ("join_agg", join_agg),
         ("lsh_dedup", lsh_dedup),
@@ -266,6 +312,18 @@ def main() -> None:
 
     for k in [1, 4, 16, 64]:
         shutil.rmtree(f"spark-warehouse/_probe_hot_jaccard_{k}", ignore_errors=True)
+
+    results["pack_unbucketed"] = []
+    results["pack_bucketed_k"] = []
+    for k in SCALES:
+        for label, n_buckets in [
+            ("pack_unbucketed", 1),
+            ("pack_bucketed_k", k),
+        ]:
+            t0 = time.perf_counter()
+            pack_bucketed(k, n_buckets).count()
+            results[label].append(round(time.perf_counter() - t0, 2))
+            spark.catalog.clearCache()
 
     print(json.dumps({"sf_base": 0.1, "scales": SCALES, "queries": results}))
 

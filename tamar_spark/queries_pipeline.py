@@ -347,11 +347,16 @@ def first_fit_pack(
         )
         .drop("_lo", "_hi")
     )
+    # persisted: the packed frame feeds both the per-bucket offset
+    # aggregate and the final join — without the cache the replicate →
+    # tokenize → sequential-walk subtree executes once per consumer
+    from pyspark import StorageLevel
+
     packed = bucketed.groupBy("lang", "source", "_bucket").applyInPandas(
         pack,
         "lang string, source string, doc_id bigint, n_tok bigint,"
         " _bucket bigint, pack_id bigint",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     per_bucket = packed.groupBy("lang", "source", "_bucket").agg(
         (F.max("pack_id") + 1).alias("_n_packs")
     )
