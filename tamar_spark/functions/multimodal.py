@@ -12,8 +12,10 @@ real codec; otherwise they raise ``NotImplementedError`` unless
 ``fake=True``, which produces a deterministic fake decode (dimensions
 derived from the payload hash) so the Spark-side plumbing — schema,
 batching, partitioning — stays real and tested in codec-less CI.
-Video (``sample_frames``) stays stubbed — no ffmpeg-class dependency to
-detect.
+Video frame SAMPLING (``sample_frames``) is real for two containers that
+need no codec: MJPEG (structural JPEG segment walk) and rawvideo
+(fixed-size frame slicing); pixel DECODE of sampled frames remains out of
+scope (ffmpeg-class dependency).
 
 Scale notes: payload columns are heavy — always ``select`` metadata-only
 projections for filtering/joins and re-attach payloads late (column pruning
@@ -161,25 +163,132 @@ def extract_image_features(decoded: DataFrame) -> DataFrame:
     )
 
 
-def sample_frames(df: DataFrame, id_col: str = "id", payload_col: str = "payload", every_n: int = 10, fake: bool = False) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: 1→n rows per input via
-    mapInPandas (STUB decode; deterministic fake frame count = bytes % 100)."""
+def _iter_jpeg_frames(buf: bytes):
+    """Yield ``(start, end)`` byte offsets of complete JPEG images in an
+    MJPEG byte stream (concatenated JPEGs), by walking segment structure.
+
+    A naive scan for the EOI bytes is wrong twice over: ``FF D9`` can
+    appear inside an APP segment (EXIF thumbnails embed a complete JPEG,
+    EOI included), and entropy-coded scan data escapes ``FF`` as ``FF 00``
+    or restart markers.  Walking marker segments with their declared
+    lengths and skipping scans marker-aware handles both — pure Python, no
+    codec dependency; this splits frames, it does not decode pixels.
+    """
+    n = len(buf)
+    i = 0
+    while i + 1 < n:
+        if not (buf[i] == 0xFF and buf[i + 1] == 0xD8):  # seek SOI
+            i += 1
+            continue
+        start = i
+        j = i + 2
+        end = None
+        while j + 1 < n:
+            if buf[j] != 0xFF:  # corrupt structure: abandon candidate
+                break
+            m = buf[j + 1]
+            if m == 0xD9:  # EOI
+                end = j + 2
+                break
+            if m == 0xFF:  # fill byte before a marker
+                j += 1
+                continue
+            if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers
+                j += 2
+                continue
+            if j + 3 >= n:
+                break
+            j += 2 + ((buf[j + 2] << 8) | buf[j + 3])  # length incl. itself
+            if m == 0xDA:  # SOS: entropy-coded data until a real marker
+                while j + 1 < n:
+                    if buf[j] != 0xFF:
+                        j += 1
+                    elif buf[j + 1] == 0x00 or 0xD0 <= buf[j + 1] <= 0xD7:
+                        j += 2  # stuffed FF / restart marker: still data
+                    else:
+                        break
+        if end is not None:
+            yield (start, end)
+            i = end
+        else:
+            i = start + 2  # no complete frame from this SOI; rescan
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    every_n: int = 10,
+    fmt: str = "mjpeg",
+    width: int = 0,
+    height: int = 0,
+    channels: int = 3,
+    fake: bool = False,
+) -> DataFrame:
+    """Sample every ``every_n``-th frame from video payloads: 1→n rows
+    ``(id, frame_idx, n_bytes, sha)`` via Arrow-batched ``mapInPandas``.
+
+    Two pure-Python container splitters are real (no codec dependency):
+    ``fmt="mjpeg"`` walks JPEG segment structure (:func:`_iter_jpeg_frames`)
+    and ``fmt="rawvideo"`` slices fixed-size ``width*height*channels``
+    frames.  Other containers raise ``NotImplementedError`` at execution —
+    an ffmpeg-class decoder is out of scope in this environment.
+    ``fake=True`` keeps the legacy deterministic plumbing fake
+    (frame count = bytes % 100 + 1, empty frames).  Each emitted row
+    carries the frame's byte length and content sha256, so downstream
+    dedup/feature stages key on frames without re-reading payloads.
+    """
+    if fmt == "rawvideo" and not fake and (width <= 0 or height <= 0 or channels <= 0):
+        raise ValueError("rawvideo frame sampling needs width/height/channels")
+    frame_size = width * height * channels
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video codec not available; pass fake=True for plumbing tests"
-                )
-            rows = []
-            for _, r in pdf.iterrows():
-                n_frames = (len(bytes(r[payload_col] or b"")) % 100) + 1
-                for i in range(0, n_frames, every_n):
-                    rows.append({"id": r[id_col], "frame_idx": i})
-            yield pd.DataFrame(rows, columns=["id", "frame_idx"])
+            ids: list = []
+            idxs: list = []
+            sizes: list = []
+            shas: list = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload or b"")
+                if fake:
+                    n_frames = (len(buf) % 100) + 1
+                    for k in range(0, n_frames, every_n):
+                        ids.append(rid)
+                        idxs.append(k)
+                        sizes.append(0)
+                        shas.append(
+                            hashlib.sha256(f"{rid}:{k}".encode()).hexdigest()
+                        )
+                    continue
+                if fmt == "mjpeg":
+                    bounds = list(_iter_jpeg_frames(buf))
+                elif fmt == "rawvideo":
+                    bounds = [
+                        (k * frame_size, (k + 1) * frame_size)
+                        for k in range(len(buf) // frame_size)
+                    ]
+                else:
+                    raise NotImplementedError(
+                        f"video container {fmt!r} not supported "
+                        "(mjpeg, rawvideo)"
+                    )
+                for k in range(0, len(bounds), every_n):
+                    s, e = bounds[k]
+                    ids.append(rid)
+                    idxs.append(k)
+                    sizes.append(e - s)
+                    shas.append(hashlib.sha256(buf[s:e]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "sha": pd.Series(shas, dtype="object"),
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(
-        sample, schema="id long, frame_idx int"
+        sample, schema="id long, frame_idx int, n_bytes long, sha string"
     )
 
 

@@ -937,6 +937,46 @@ def binary_meta(spark, sf_dir):
     )
 
 
+@query(
+    "video_frames",
+    """
+WITH p AS (
+  SELECT doc_id, text,
+         CAST(floor(length(text) / 32) AS BIGINT) AS n_frames
+  FROM documents
+), idx AS (
+  SELECT doc_id, text, unnest(range(0, n_frames, 2)) AS i FROM p
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(32 AS BIGINT) AS n_bytes,
+       sha256(substring(text, CAST(i * 32 + 1 AS BIGINT), 32)) AS sha
+FROM idx
+""",
+)
+def video_frames(spark, sf_dir):
+    """Video frame sampling through the REAL rawvideo splitter
+    (:func:`tamar_spark.functions.multimodal.sample_frames`): each
+    document's utf-8 bytes stand in for an 8×4×1 rawvideo payload (the
+    fixture set has no binary video column; documents are pure ASCII at
+    every SF, so byte slicing and the oracle's character slicing agree),
+    every 2nd frame is sampled, and each emitted row carries the frame's
+    exact byte length and content sha256.  The kernel is the production
+    path — Arrow-batched ``mapInPandas``, 1→n fan-out, frame hash computed
+    in the executor — only the payload synthesis is fixture-driven."""
+    from tamar_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    vids = docs.select(
+        F.col("doc_id").alias("id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    frames = M.sample_frames(
+        vids, every_n=2, fmt="rawvideo", width=8, height=4, channels=1
+    )
+    return frames.select(
+        F.col("id").alias("doc_id"), "frame_idx", "n_bytes", "sha"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming parity (reference execution model, SURVEY §3, §5)
 # ---------------------------------------------------------------------------

@@ -919,3 +919,87 @@ def test_first_fit_pack_bucketed(spark, sf_dir):
         pack_n[(r.lang, r.source, r.pack_id)] += 1
     for k, tot in pack_tot.items():
         assert tot <= _PACK_CAPACITY or pack_n[k] == 1, k
+
+
+def _fake_jpeg(entropy: bytes, app_extra: bytes = b"") -> bytes:
+    """Minimal structurally-valid JPEG: SOI, APP0 (+optional extra APP1
+    payload), DQT, SOS header, entropy-coded data, EOI.  The entropy bytes
+    are used verbatim — callers must pre-escape 0xFF as 0xFF 0x00."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00" + b"\x01\x02\x00" + b"\x00\x48\x00\x48\x00\x00")
+    if app_extra:
+        out += seg(0xE1, app_extra)
+    out += seg(0xDB, b"\x00" + bytes(64))  # DQT
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS header
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def test_mjpeg_frame_splitter_adversarial():
+    """The structural splitter must survive the two traps a naive FFD9 scan
+    dies on: an EXIF APP1 segment embedding a COMPLETE JPEG thumbnail (its
+    own EOI included), and entropy data full of stuffed FF00s and restart
+    markers."""
+    from tamar_spark.functions.multimodal import _iter_jpeg_frames
+
+    thumb = _fake_jpeg(b"\x12\x34\xff\x00\x56")  # complete JPEG incl. EOI
+    f1 = _fake_jpeg(
+        b"\x01\xff\x00\x02" + b"\xff\xd1" + b"\x03\xff\x00\x04",
+        app_extra=b"Exif\x00\x00" + thumb,
+    )
+    f2 = _fake_jpeg(b"\xaa\xbb\xff\x00\xcc" + b"\xff\xd7" + b"\xdd")
+    f3 = _fake_jpeg(b"")
+    stream = f1 + f2 + f3
+
+    bounds = list(_iter_jpeg_frames(stream))
+    assert bounds == [
+        (0, len(f1)),
+        (len(f1), len(f1) + len(f2)),
+        (len(f1) + len(f2), len(stream)),
+    ]
+
+
+def test_sample_frames_real_paths(spark):
+    """Both real container paths end-to-end through mapInPandas: MJPEG
+    (frame count + per-frame hashes of the exact byte slices) and rawvideo
+    (fixed-size slicing with every_n sampling); unknown containers raise."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import Row
+
+    from tamar_spark.functions import multimodal as M
+
+    frames = [_fake_jpeg(bytes([i, 0xFF, 0x00, i])) for i in range(5)]
+    mjpeg = b"".join(frames)
+    df = spark.createDataFrame([Row(id=1, payload=bytearray(mjpeg))])
+    got = sorted(
+        M.sample_frames(df, every_n=2, fmt="mjpeg").collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in got] == [0, 2, 4]
+    for r in got:
+        assert r.n_bytes == len(frames[r.frame_idx])
+        assert r.sha == hashlib.sha256(frames[r.frame_idx]).hexdigest()
+
+    raw = bytes(range(100))
+    df2 = spark.createDataFrame([Row(id=7, payload=bytearray(raw))])
+    got2 = sorted(
+        M.sample_frames(
+            df2, every_n=1, fmt="rawvideo", width=3, height=3, channels=1
+        ).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert len(got2) == 11  # floor(100/9)
+    for r in got2:
+        sl = raw[r.frame_idx * 9 : r.frame_idx * 9 + 9]
+        assert r.n_bytes == 9 and r.sha == hashlib.sha256(sl).hexdigest()
+
+    with pytest.raises(Exception, match="not supported"):
+        M.sample_frames(df2, fmt="mp4").collect()
