@@ -35,9 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_THIS_ROUND = [
     # r5 changes: streaming_global_state vectorized walk, jaccard
     # lower-bound emit + persisted stats, pack_sequences shard bucketing,
-    # video frame sampling.
+    # video frame sampling, WAV audio decode.
     "streaming_global_state", "dedup_ngram_jaccard", "pack_sequences",
-    "video_frames",
+    "video_frames", "audio_wav_meta",
 ]
 
 _R1_STALE = [

@@ -45,8 +45,10 @@ __all__ = [
     "HAS_PIL",
     "MEDIA_SCHEMA",
     "attach_media_meta",
+    "decode_audio",
     "decode_image",
     "extract_image_features",
+    "make_wav",
     "resize_images",
     "sample_frames",
 ]
@@ -289,6 +291,126 @@ def sample_frames(
 
     return df.select(id_col, payload_col).mapInPandas(
         sample, schema="id long, frame_idx int, n_bytes long, sha string"
+    )
+
+
+def make_wav(
+    data: bytes, sample_rate: int = 8000, n_channels: int = 1, bits: int = 16
+) -> bytes:
+    """Assemble a canonical RIFF/WAVE PCM container around raw sample bytes
+    — the synthesis twin of :func:`decode_audio`, used by tests and the
+    fixture-driven oracle query (the fixture set carries no audio column).
+    Odd-length data gets the spec's word-alignment pad byte (excluded from
+    the declared data size)."""
+    import struct
+
+    block = n_channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _parse_wav(buf: bytes):
+    """Walk RIFF chunk structure and return ``(sample_rate, n_channels,
+    bits_per_sample, n_samples)`` for PCM WAV, or ``None`` for anything
+    else.  Chunk-walking (not fixed 44-byte offsets) so extra chunks
+    (LIST/INFO, fact) and word-alignment padding are handled per spec."""
+    import struct
+
+    if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        csize = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, ch, sr = struct.unpack("<HHI", body[0:8])
+            bps = struct.unpack("<H", body[14:16])[0]
+            fmt = (audio_fmt, ch, sr, bps)
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None or fmt[0] != 1:  # PCM only
+        return None
+    _, ch, sr, bps = fmt
+    block = ch * (bps // 8)
+    if block == 0 or sr == 0:
+        return None
+    return (sr, ch, bps, data_size // block)
+
+
+_AUDIO_SCHEMA = (
+    "id long, sample_rate int, n_channels int, bits_per_sample int,"
+    " n_samples long, duration_ms double"
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode audio payload headers to ``(sample_rate, n_channels,
+    bits_per_sample, n_samples, duration_ms)`` via Arrow-batched
+    ``mapInPandas``.
+
+    RIFF/WAV PCM is parsed for REAL (:func:`_parse_wav` — pure Python
+    chunk walk, no codec dependency; this reads container metadata, it
+    does not decode compressed audio).  Other containers raise
+    ``NotImplementedError`` at execution; ``fake=True`` substitutes a
+    deterministic hash-derived decode for plumbing tests, mirroring
+    :func:`decode_image`.  ``duration_ms`` is the raw IEEE division
+    ``n_samples * 1000.0 / sample_rate`` (exactly-rounded, so
+    cross-engine deterministic)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            srs: list = []
+            chs: list = []
+            bits: list = []
+            ns: list = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload or b"")
+                if fake:
+                    h = hashlib.sha256(buf).hexdigest()
+                    meta = (8000, 1, 16, int(h[:6], 16) % 100000)
+                else:
+                    meta = _parse_wav(buf)
+                    if meta is None:
+                        raise NotImplementedError(
+                            "audio container not supported (RIFF/WAV PCM"
+                            " only); pass fake=True for plumbing tests"
+                        )
+                sr, ch, bps, n = meta
+                ids.append(rid)
+                srs.append(sr)
+                chs.append(ch)
+                bits.append(bps)
+                ns.append(n)
+            out = pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(srs, dtype="int32"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "bits_per_sample": pd.Series(bits, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                }
+            )
+            out["duration_ms"] = (
+                out["n_samples"] * 1000.0 / out["sample_rate"]
+            ).astype("float64")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, schema=_AUDIO_SCHEMA
     )
 
 

@@ -977,6 +977,53 @@ def video_frames(spark, sf_dir):
     )
 
 
+@query(
+    "audio_wav_meta",
+    """
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST(floor(length(text) / 2) AS BIGINT) AS n_samples,
+       CAST(floor(length(text) / 2) AS BIGINT) * 1000.0 / 8000
+         AS duration_ms
+FROM documents
+""",
+)
+def audio_wav_meta(spark, sf_dir):
+    """Audio metadata through the REAL RIFF/WAV chunk parser
+    (:func:`tamar_spark.functions.multimodal.decode_audio`): each
+    document's utf-8 bytes are wrapped in a canonical 8 kHz mono 16-bit
+    PCM container (``make_wav`` — the fixture set has no audio column),
+    then the decode stage walks the RIFF chunks for real on the executor.
+    The oracle derives the same header fields arithmetically from the
+    text length (ASCII fixture: chars == bytes; 16-bit mono → n_samples =
+    bytes/2; duration is an exactly-rounded IEEE division, so the value
+    hash is engine-stable)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from tamar_spark.functions import multimodal as M
+
+    def _to_wav(texts):
+        return texts.map(lambda t: M.make_wav((t or "").encode("utf-8")))
+
+    to_wav = pandas_udf(_to_wav, "binary")
+
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = docs.select(
+        F.col("doc_id").alias("id"), to_wav(F.col("text")).alias("payload")
+    )
+    return M.decode_audio(wavs).select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "n_samples",
+        "duration_ms",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming parity (reference execution model, SURVEY §3, §5)
 # ---------------------------------------------------------------------------

@@ -1003,3 +1003,49 @@ def test_sample_frames_real_paths(spark):
 
     with pytest.raises(Exception, match="not supported"):
         M.sample_frames(df2, fmt="mp4").collect()
+
+
+def test_wav_decode_real_and_adversarial(spark):
+    """decode_audio must parse canonical WAVs, WAVs with extra chunks
+    before/after data (LIST/INFO, fact) and odd-length word-aligned data,
+    and must reject non-PCM and non-RIFF payloads loudly."""
+    import struct
+
+    import pytest
+    from pyspark.sql import Row
+
+    from tamar_spark.functions import multimodal as M
+
+    # canonical: 101 bytes of 16-bit mono 8kHz -> 50 samples
+    wav1 = M.make_wav(bytes(101))
+    # extra chunks + odd data: LIST before fmt, fact after data
+    data = bytes(range(7))  # odd length
+    body = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    fmtc = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    body += b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+    body += b"data" + struct.pack("<I", len(data)) + data + b"\x00"
+    body += b"fact" + struct.pack("<I", 4) + struct.pack("<I", 1)
+    wav2 = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    df = spark.createDataFrame(
+        [Row(id=1, payload=bytearray(wav1)), Row(id=2, payload=bytearray(wav2))]
+    )
+    rows = {r.id: r for r in M.decode_audio(df).collect()}
+    assert rows[1].sample_rate == 8000 and rows[1].n_channels == 1
+    assert rows[1].n_samples == 50 and rows[1].bits_per_sample == 16
+    assert rows[1].duration_ms == 50 * 1000.0 / 8000
+    assert rows[2].sample_rate == 44100 and rows[2].n_channels == 2
+    assert rows[2].n_samples == 1  # 7 bytes // block 4
+
+    # non-PCM (format tag 3 = IEEE float) and garbage must raise
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    nb = b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+    nb += b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    non_pcm = b"RIFF" + struct.pack("<I", 4 + len(nb)) + b"WAVE" + nb
+    for payload in (non_pcm, b"not audio at all"):
+        bad = spark.createDataFrame([Row(id=9, payload=bytearray(payload))])
+        with pytest.raises(Exception, match="not supported"):
+            M.decode_audio(bad).collect()
+    # fake path still runs the plumbing on unparseable bytes
+    bad = spark.createDataFrame([Row(id=9, payload=bytearray(b"xx"))])
+    assert M.decode_audio(bad, fake=True).count() == 1
