@@ -37,7 +37,7 @@ _CHANGED_THIS_ROUND = [
     # lower-bound emit + persisted stats, pack_sequences shard bucketing,
     # video frame sampling, WAV audio decode.
     "streaming_global_state", "dedup_ngram_jaccard", "pack_sequences",
-    "video_frames", "audio_wav_meta",
+    "video_frames", "audio_wav_meta", "corpus_shuffle",
 ]
 
 _R1_STALE = [

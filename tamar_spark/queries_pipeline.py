@@ -34,6 +34,10 @@ corpus pipeline runs at 100 TB:
   lift(a,b) = P(a,b) / (P(a)P(b)) as one exact integer ratio evaluated in
   a single double division (deterministic), pairs bounded by a document
   df >= N/10 frequency floor before the self-join.
+- **corpus_shuffle** — deterministic seeded reshuffle into training
+  shards: (shard, pos) from md5(doc_id:seed), numbered per-shard so no
+  global sort serializes through one task; md5 hex is engine-identical,
+  so the oracle pins the exact permutation.
 
 Registered into the same QUERIES/ORACLES registry as tamar_spark.queries.
 """
@@ -476,4 +480,50 @@ def cooccur_lift(spark, sf_dir):
         )
         .orderBy(F.col("lift").desc(), "word_a", "word_b")
         .limit(20)
+    )
+
+
+_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS h FROM documents
+)
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT)
+         AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY substring(h, 1, 1) ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
+@query("corpus_shuffle", _SHUFFLE_SQL)
+def corpus_shuffle(spark, sf_dir):
+    """Deterministic training-data shuffle: every doc gets a pseudo-random
+    but reproducible (shard, pos) coordinate from a seeded md5 of its id —
+    the standard pre-training corpus op (epoch order must be shuffled,
+    reproducible across reruns, and engine-independent).  md5 hex is
+    bit-identical across Spark and DuckDB, so the oracle hash pins the
+    exact permutation, not just the shape.
+
+    Scale: pos is numbered WITHIN each shard (row_number partitioned by
+    shard, ordered by hash) — a global ORDER BY would serialize through
+    one task, while per-shard numbering shuffles once on shard and sorts
+    shard-locally.  16 hex-prefix shards here; at 100 TB widen the prefix
+    (256/4096 shards) so each sort fits an executor — the op is O(n log
+    n/shards) with no cross-shard coordination."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    with_shard = docs.select(
+        "doc_id",
+        h.alias("h"),
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1)
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return with_shard.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
     )
