@@ -188,3 +188,30 @@ def test_dedup_embedding_lsh_matches_exact_pairs(spark, sf_dir):
     got = sorted((r.src_id, r.dup_id, r.score) for r in lsh.collect())
     want = sorted((r.src_id, r.dup_id, r.score) for r in exact.collect())
     assert got == want and len(got) > 0
+
+
+def test_corpus_shuffle_plan(spark, sf_dir):
+    """The seeded shard shuffle must be exactly one exchange (hash on
+    shard), never a global sort, and the scan must read only doc_id —
+    the op touches no payload columns."""
+    df = QUERIES["corpus_shuffle"](spark, sf_dir)
+    assert not has_python_stage(df)
+    assert shuffle_count(df) == 1
+    plan = executed_plan(df)
+    assert "hashpartitioning(shard" in plan, "expected shard hash exchange"
+    assert "rangepartitioning" not in plan, "global sort crept in"
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert read_schema.count(":") == 1 and "doc_id" in read_schema
+
+
+def test_media_queries_prune_to_used_columns(spark, sf_dir):
+    """video_frames / audio_wav_meta run deliberate Python (Arrow) stages,
+    but the scan under them must still prune to (doc_id, text)."""
+    for name in ("video_frames", "audio_wav_meta"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = executed_plan(df)
+        read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+        assert read_schema.count(":") <= 2 and "text" in read_schema, (
+            name,
+            read_schema,
+        )
