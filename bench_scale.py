@@ -325,6 +325,24 @@ def main() -> None:
             results[label].append(round(time.perf_counter() - t0, 2))
             spark.catalog.clearCache()
 
+    # walk-bound contrast: ONE (lang, source) shard of 10M synthetic docs,
+    # where the ~0.6 µs/row sequential walk dominates (the regime the
+    # corpus probe above can't reach at sf0.1) — bucketing must win here
+    from tamar_spark.queries_pipeline import first_fit_pack
+
+    toks_1shard = spark.range(10_000_000).select(
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), F.lit(100)) + 1).alias("n_tok"),
+    )
+    results["pack_walkbound"] = []
+    for n_buckets in [1, 32]:
+        t0 = time.perf_counter()
+        first_fit_pack(toks_1shard, n_buckets=n_buckets).count()
+        results["pack_walkbound"].append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+
     print(json.dumps({"sf_base": 0.1, "scales": SCALES, "queries": results}))
 
 
