@@ -38,6 +38,7 @@ _CHANGED_THIS_ROUND = [
     # video frame sampling, WAV audio decode.
     "streaming_global_state", "dedup_ngram_jaccard", "pack_sequences",
     "video_frames", "audio_wav_meta", "corpus_shuffle",
+    "embed_filtered_topk",
 ]
 
 _R1_STALE = [

@@ -748,6 +748,54 @@ def embed_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb, queries_df, k=5)
 
 
+@query(
+    "embed_filtered_topk",
+    """
+WITH allowed AS (
+  SELECT doc_id FROM documents WHERE lang = 'en'
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+  FROM embeddings JOIN allowed ON vec_id = doc_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS s
+  FROM q, c WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def embed_filtered_topk(spark, sf_dir):
+    """Filtered vector search: exact cosine top-5 restricted to candidates
+    whose document metadata passes a predicate (lang = 'en') — the
+    pre-filter form (filter THEN search), which keeps k results guaranteed,
+    unlike post-filtering a top-k.  The metadata restriction is a left-semi
+    join on the id (keys only cross the shuffle, no payload duplication);
+    the predicate is pushed into the documents scan, and at corpus scale
+    the semi join shuffles while the broadcast query side stays small —
+    the standard metadata-filtered ANN layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    cand = emb.join(
+        allowed, emb.vec_id == allowed.doc_id, "left_semi"
+    )
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.cosine_topk(cand, queries_df, k=5)
+
+
 def _lsh_topk_oracle(dim=64, n_tables=4, n_bits=8, k=5) -> str:
     """Bit-identical DuckDB twin of ``similarity.lsh_topk`` (the SimHash
     oracle pattern): the deterministic projection vectors are embedded as
