@@ -137,3 +137,64 @@ def test_asof_join_matches_linear_scan(spark, data):
         expect[i] = match
     got = {r.lid: r.rid for r in out}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Pure-kernel round-trips (no Spark session: these run hundreds of examples)
+# ---------------------------------------------------------------------------
+
+jpeg_frames_strategy = st.lists(
+    st.tuples(
+        st.binary(min_size=0, max_size=40),   # raw entropy payload
+        st.booleans(),                        # embed a thumbnail in APP1?
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(frames=jpeg_frames_strategy)
+@settings(max_examples=200, deadline=None)
+def test_mjpeg_splitter_roundtrip(frames):
+    """For ANY concatenation of structurally-valid JPEGs — arbitrary
+    entropy bytes (FF pre-escaped, as encoders emit), optional
+    EXIF-embedded thumbnails — the splitter must recover the exact
+    original frame boundaries."""
+    from tamar_spark.functions.multimodal import _iter_jpeg_frames
+    from tests.test_operators import _fake_jpeg
+
+    def escape(raw: bytes) -> bytes:
+        return raw.replace(b"\xff", b"\xff\x00")
+
+    blobs = []
+    for raw, with_thumb in frames:
+        extra = b"Exif\x00\x00" + _fake_jpeg(escape(b"\x01\xff")) if with_thumb else b""
+        blobs.append(_fake_jpeg(escape(raw), app_extra=extra))
+    stream = b"".join(blobs)
+
+    expected, pos = [], 0
+    for b in blobs:
+        expected.append((pos, pos + len(b)))
+        pos += len(b)
+    assert list(_iter_jpeg_frames(stream)) == expected
+
+
+wav_strategy = st.tuples(
+    st.sampled_from([8000, 16000, 44100, 48000]),
+    st.integers(min_value=1, max_value=8),     # channels
+    st.sampled_from([8, 16, 24, 32]),          # bits
+    st.binary(min_size=0, max_size=200),       # sample data
+)
+
+
+@given(params=wav_strategy)
+@settings(max_examples=200, deadline=None)
+def test_wav_header_roundtrip(params):
+    """make_wav → _parse_wav must round-trip every PCM parameter
+    combination, with n_samples = data bytes // block size."""
+    from tamar_spark.functions.multimodal import _parse_wav, make_wav
+
+    sr, ch, bits, data = params
+    got = _parse_wav(make_wav(data, sample_rate=sr, n_channels=ch, bits=bits))
+    block = ch * (bits // 8)
+    assert got == (sr, ch, bits, len(data) // block)
