@@ -198,3 +198,70 @@ def test_wav_header_roundtrip(params):
     got = _parse_wav(make_wav(data, sample_rate=sr, n_channels=ch, bits=bits))
     block = ch * (bits // 8)
     assert got == (sr, ch, bits, len(data) // block)
+
+
+pack_strategy = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),      # shard choice
+            st.integers(min_value=1, max_value=200),    # n_tok (can exceed cap)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=5),              # n_buckets
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=pack_strategy)
+def test_first_fit_pack_matches_model(spark, data):
+    """For arbitrary token-length sequences and bucket counts, the packed
+    output must equal a direct first-fit replay run per (shard, bucket)
+    with cumulative pack-id offsets — the full semantics, not just
+    invariants."""
+    from tamar_spark.queries_pipeline import _PACK_CAPACITY, first_fit_pack
+
+    docs, n_buckets = data
+    rows = [
+        ("en", "web" if s == 0 else "book", i, t)
+        for i, (s, t) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, source string, doc_id long, n_tok long"
+    )
+
+    lo, hi = 0, len(docs) - 1
+    width = (hi - lo + n_buckets) // n_buckets if n_buckets > 1 else None
+
+    def replay():
+        from collections import defaultdict
+
+        shard_rows = defaultdict(list)
+        for lang, source, i, t in rows:
+            b = (i - lo) // width if width else 0
+            shard_rows[(lang, source)].append((b, i, t))
+        out = {}
+        for key, rs in shard_rows.items():
+            rs.sort()
+            offset, cur_b, fill, pid = 0, None, 0, -1
+            for b, i, t in rs:
+                if b != cur_b:
+                    offset += pid + 1 if cur_b is not None else 0
+                    cur_b, fill, pid = b, 0, -1
+                if pid < 0 or fill + t > _PACK_CAPACITY:
+                    pid += 1
+                    fill = 0
+                fill += t
+                out[i] = offset + pid
+        return out
+
+    got = {
+        r.doc_id: r.pack_id
+        for r in first_fit_pack(df, n_buckets=n_buckets).collect()
+    }
+    assert got == replay()
