@@ -38,7 +38,7 @@ _CHANGED_THIS_ROUND = [
     # video frame sampling, WAV audio decode.
     "streaming_global_state", "dedup_ngram_jaccard", "pack_sequences",
     "video_frames", "audio_wav_meta", "corpus_shuffle",
-    "embed_filtered_topk",
+    "embed_filtered_topk", "streaming_stream_full_outer_join",
 ]
 
 _R1_STALE = [

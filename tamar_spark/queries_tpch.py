@@ -2275,3 +2275,121 @@ def streaming_global_state(spark, sf_dir):
         init_state=lambda: {"seq": 0, "purchases": 0, "max": None},
     )
     return _run_to_memory(out.df)
+
+
+@query(
+    "streaming_stream_full_outer_join",
+    """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts FROM events
+  WHERE event_type = 'view'
+), wm AS (
+  SELECT least(
+           (SELECT date_trunc('milliseconds', max(ts)) FROM clicks),
+           (SELECT date_trunc('milliseconds', max(view_ts)) FROM views)
+         ) - INTERVAL 10 MINUTE AS w
+)
+SELECT c.event_id AS click_id, v.view_id, c.user_id,
+       c.ts AS click_ts, v.view_ts
+FROM clicks c JOIN views v
+  ON c.user_id = v.user_id
+ AND v.view_ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts
+UNION ALL
+SELECT c.event_id, NULL, c.user_id, c.ts, NULL
+FROM clicks c
+WHERE NOT EXISTS (
+        SELECT 1 FROM views v
+        WHERE v.user_id = c.user_id
+          AND v.view_ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts)
+  AND c.ts + INTERVAL 1 MILLISECOND < (SELECT w FROM wm)
+UNION ALL
+SELECT NULL, v.view_id, v.user_id, NULL, v.view_ts
+FROM views v
+WHERE NOT EXISTS (
+        SELECT 1 FROM clicks c
+        WHERE c.user_id = v.user_id
+          AND v.view_ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts)
+  AND v.view_ts + INTERVAL 2 HOUR + INTERVAL 1 MILLISECOND < (SELECT w FROM wm)
+""",
+)
+def streaming_stream_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — both join-state stores
+    NULL-emit on eviction.  Same deterministic closure as
+    ``streaming_stream_outer_join`` (whose docstring derives the final
+    watermark reconstruction), applied on BOTH sides: a NULL-view row is
+    kept when the click is provably evicted (``click_ts < wm``, since any
+    later view with ``view_ts ≤ click_ts`` would be below the watermark),
+    and a NULL-click row when the view is provably evicted — a stored
+    view matches future clicks iff ``ts ≤ view_ts + 2h``, so eviction is
+    proven once ``view_ts + 2h < wm``.  Each guard carries the 1 ms
+    margin that keeps the kept set strictly inside the eviction bound
+    under either boundary convention.  The oracle is inner join ∪
+    closed left anti ∪ closed right anti."""
+    from tamar_spark.queries import (
+        _events_stream,
+        _run_to_memory,
+        epoch_us,
+        prep_session,
+    )
+
+    prep_session(spark)
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("view_ts") <= F.col("ts")),
+        "full_outer",
+    ).select(
+        F.col("event_id").alias("click_id"),
+        "view_id",
+        F.coalesce(F.col("user_id"), F.col("v_user_id")).alias("user_id"),
+        F.col("ts").alias("click_ts"),
+        "view_ts",
+    )
+    out = _run_to_memory(joined)
+    ts_type = dict(out.dtypes)["click_ts"]
+    ms_floor = lambda c: F.timestamp_millis(
+        (epoch_us(c) / 1000).cast("long")
+    ).cast(ts_type)
+    final_wm = load_table(spark, sf_dir, "events").agg(
+        (
+            F.least(
+                ms_floor(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts")))
+                ),
+                ms_floor(
+                    F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+                ),
+            )
+            - F.expr("INTERVAL 10 MINUTES")
+        ).alias("_wm")
+    )
+    matched = F.col("click_id").isNotNull() & F.col("view_id").isNotNull()
+    click_closed = F.col("view_id").isNull() & (
+        F.col("click_ts") + F.expr("INTERVAL 1 MILLISECOND") < F.col("_wm")
+    )
+    view_closed = F.col("click_id").isNull() & (
+        F.col("view_ts") + F.expr("INTERVAL 2 HOURS 1 MILLISECOND")
+        < F.col("_wm")
+    )
+    return (
+        out.join(F.broadcast(final_wm))
+        .filter(matched | click_closed | view_closed)
+        .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+    )
