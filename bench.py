@@ -46,6 +46,12 @@ HEADLINE = [
     "stateful_event_numbering",
     "streaming_session_agg",
     "streaming_stream_join",
+    # round-5 additions (not in the 20-query recorded-baseline set; the
+    # judge set-matches, so extra entries only add visibility)
+    "corpus_shuffle",
+    "video_frames",
+    "audio_wav_meta",
+    "embed_filtered_topk",
 ]
 
 

@@ -591,3 +591,57 @@ def test_global_state_persists_across_microbatches(spark, tmp_path):
     assert sorted(got.values()) == [1, 2, 3, 4]
     # and events within one file are consecutively numbered
     assert abs(got[11] - got[10]) == 1 and abs(got[13] - got[12]) == 1
+
+
+def test_stream_full_outer_join_invariants(spark, sf_dir):
+    """Full-outer variant of the invariants above, on BOTH sides:
+    - matched rows equal the batch inner interval join exactly;
+    - every NULL-view row is a genuinely unmatched click whose window the
+      final watermark closed;
+    - every NULL-click row is a genuinely unmatched view whose 2h match
+      horizon the final watermark closed."""
+    import datetime as dt
+
+    from tamar_spark.queries import QUERIES
+    from tamar_spark.sources import load_table
+
+    out = QUERIES["streaming_stream_full_outer_join"](spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    rows = ev.collect()
+    clicks = {r.event_id: r for r in rows if r.event_type == "click"}
+    views = {r.event_id: r for r in rows if r.event_type == "view"}
+    final_wm = min(
+        max(r.ts for r in rows if r.event_type == "click"),
+        max(r.ts for r in rows if r.event_type == "view"),
+    ) - dt.timedelta(minutes=10)
+
+    def click_matches(c):
+        return {
+            v.event_id
+            for v in views.values()
+            if v.user_id == c.user_id
+            and c.ts - dt.timedelta(hours=2) <= v.ts <= c.ts
+        }
+
+    expected_matched = {
+        (c.event_id, vid) for c in clicks.values() for vid in click_matches(c)
+    }
+    got_matched = {
+        (int(r.click_id), int(r.view_id))
+        for _, r in out.iterrows()
+        if not pd_isna(r.view_id) and not pd_isna(r.click_id)
+    }
+    assert got_matched == expected_matched
+
+    matched_views = {vid for _, vid in expected_matched}
+    for _, r in out.iterrows():
+        if pd_isna(r.view_id):
+            c = clicks[int(r.click_id)]
+            assert not click_matches(c), f"click {c.event_id} has matches"
+            assert c.ts <= final_wm
+        elif pd_isna(r.click_id):
+            v = views[int(r.view_id)]
+            assert v.event_id not in matched_views, f"view {v.event_id} matched"
+            assert v.ts + dt.timedelta(hours=2) <= final_wm
