@@ -84,8 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted → rows-only check for the
-    approximate operators: simhash pairs, LSH top-k)."""
+    """DuckDB-equivalent SQL per query — every registered query has one
+    (the approximate operators carry bit-identical deterministic twins,
+    see the LSH/IVF oracle builders in tamar_spark.queries)."""
     from tamar_spark.queries import ORACLES
 
     return _ordered(dict(ORACLES))
