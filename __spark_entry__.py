@@ -39,6 +39,8 @@ _CHANGED_THIS_ROUND = [
     "streaming_global_state", "dedup_ngram_jaccard", "pack_sequences",
     "video_frames", "audio_wav_meta", "corpus_shuffle",
     "embed_filtered_topk", "streaming_stream_full_outer_join",
+    "tfidf_top_terms", "dedup_containment", "embed_kmeans",
+    "pagerank_nations",
 ]
 
 _R1_STALE = [

@@ -33,6 +33,7 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "jaccard_pairs",
+    "containment_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
@@ -277,6 +278,72 @@ def _verify_pairs(
         .withColumn("jaccard", F.round(inter / union_sz, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_1", "doc_id_2", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Max-containment near-dup pairs: ``C = |A∩B| / min(|A|, |B|)``.
+
+    Detects near-SUBSET duplication that symmetric Jaccard misses: a doc
+    fully embedded in one 10× longer has J ≈ 0.1 but C = 1.0 — the
+    common quote/aggregator/boilerplate-wrapper case in web corpora
+    (Broder's containment measure).
+
+    Candidate generation is the pruned inverted-index self-join (DISTINCT
+    pairs sharing a cool shingle — no count needed, so it is one
+    dedup-shuffle cheaper than the Jaccard path); verification is exact
+    on full shingle sets via ``array_intersect``, candidate-PAIR-bounded.
+    ``max_doc_freq`` recall rule matches :func:`jaccard_pairs`: a true
+    pair is missed only if EVERY shared shingle exceeds the cap, and a
+    contained doc shares all its shingles with its container, so set the
+    cap ≥ the largest duplicate-group size.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    postings = sh
+    if max_doc_freq is not None:
+        cool = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        postings = sh.join(cool, "shingle")
+    candidates = (
+        postings.select(F.col(id_col).alias("doc_id_1"), "shingle")
+        .join(postings.select(F.col(id_col).alias("doc_id_2"), "shingle"), "shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    cand_docs = (
+        candidates.select(F.col("doc_id_1").alias(id_col))
+        .union(candidates.select(F.col("doc_id_2").alias(id_col)))
+        .distinct()
+    )
+    doc_sets = (
+        sh.join(cand_docs, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("sh_set"))
+    )
+    a = doc_sets.select(F.col(id_col).alias("doc_id_1"), F.col("sh_set").alias("set_a"))
+    b = doc_sets.select(F.col(id_col).alias("doc_id_2"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    denom = F.least(F.size("set_a"), F.size("set_b"))
+    return (
+        candidates.join(a, "doc_id_1")
+        .join(b, "doc_id_2")
+        .withColumn("containment", F.round(inter / denom, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_id_1", "doc_id_2", "containment")
     )
 
 

@@ -1499,3 +1499,7 @@ from tamar_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 # Training-data pipeline extensions (decontamination, repetition filters,
 # BM25 search, sequence packing, co-occurrence lift) — same registry.
 from tamar_spark import queries_pipeline as _queries_pipeline  # noqa: E402,F401
+
+# Corpus-mining extensions (TF-IDF keyterms, containment dedup, k-means,
+# trade-graph PageRank) — same registry.
+from tamar_spark import queries_ml as _queries_ml  # noqa: E402,F401

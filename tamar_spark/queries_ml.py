@@ -1,0 +1,267 @@
+"""Corpus-mining extensions: TF-IDF keyterms, containment dedup, k-means
+clustering, trade-graph PageRank.
+
+The reference engine (src/lib.rs) has no analytics surface; these extend
+the §2.7 LLM-pipeline family with the remaining corpus-curation staples:
+
+- **tfidf_top_terms** — per-document keyterm extraction, the classic
+  relevance weight tf · N/df in its log-free rational form (one exact
+  integer product, one double division — deterministic across engines,
+  same reasoning as bm25_search's rational idf).
+- **dedup_containment** — Broder's containment C = |A∩B|/min(|A|,|B|),
+  the asymmetric near-SUBSET detector Jaccard misses (quote pages,
+  aggregator wrappers).  Pruned-postings candidates, exact array verify.
+- **embed_kmeans** — Lloyd's k-means over the embedding column with
+  deterministic init (k smallest ids) and a fixed 2 iterations; the
+  coarse-quantizer / domain-clustering primitive.  The DuckDB twin
+  unrolls both iterations in CTEs; decimal-summed centroid means keep
+  the float chain engine-identical.
+- **pagerank_nations** — weighted PageRank on the customer→supplier
+  nation trade graph, 3 unrolled iterations, the link-graph quality
+  weight used for corpus source scoring (e.g. Common Crawl host ranks).
+
+Registered into the same QUERIES/ORACLES registry as tamar_spark.queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from tamar_spark.operators import clustering as C
+from tamar_spark.operators import dedup as D
+from tamar_spark.queries import query
+from tamar_spark.sources import load_table
+from tamar_spark.functions import text as T
+
+
+@query(
+    "tfidf_top_terms",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, word, tf,
+         round(CAST(tf * n_docs AS DOUBLE) / df, 6) AS tfidf
+  FROM tf JOIN dfreq USING (word), n
+), ranked AS (
+  SELECT doc_id, word, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word) AS rank
+  FROM scored
+)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 keyterms per document by tf·idf with the LOG-FREE rational
+    idf N/df: tf·N is an exact integer product and the single double
+    division is an exactly-rounded IEEE op, so scores are bit-identical
+    across engines (ln() differs in the last ulp between JVM and DuckDB —
+    same determinism reasoning as bm25_search).  Ties break on the word.
+
+    Scale: tf is a (doc_id, word) aggregate (shuffle on a high-cardinality
+    compound key), df a word aggregate over the DISTINCT incidence —
+    both partial-aggregated map-side; N threads through as a broadcast
+    1-row cross join; the per-doc top-3 is a window over doc_id, the
+    same key tf already shuffled on, so AQE reuses the partitioning."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tf", "tfidf", "rank")
+    )
+
+
+@query(
+    "dedup_containment",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2,
+       round(n_inter * 1.0 / least(sa.n_sh, sb.n_sh), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_1
+JOIN sizes sb ON sb.doc_id = doc_id_2
+WHERE n_inter * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.8
+""",
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric near-subset pairs at containment ≥ 0.8 (Broder's
+    C = |A∩B|/min(|A|,|B|)) — catches a doc embedded in a longer one,
+    which Jaccard scores at ~len ratio.  Posting-list cap engaged with
+    the same ≥-group-size rule as dedup_ngram_jaccard (fixture groups
+    ≤10, cap 32); verification is exact on full shingle sets, so the
+    output hash equals the uncapped oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.8, max_doc_freq=32)
+
+
+def _kmeans_oracle(k: int = 8) -> str:
+    dist = (
+        "list_dot_product(v, v) - 2 * list_dot_product(v, cv)"
+        " + list_dot_product(cv, cv)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         v AS cv
+  FROM e ORDER BY vec_id LIMIT {k}
+), a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY {dist}, cluster) AS rn
+    FROM e, c0
+  ) WHERE rn = 1
+), s1 AS (
+  SELECT cluster, i AS pos,
+         round(CAST(SUM(CAST(round(v[i], 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM a1 JOIN e USING (vec_id),
+       LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) t
+  GROUP BY cluster, i
+), c1 AS (
+  SELECT cluster, list(c ORDER BY pos) AS cv FROM s1 GROUP BY cluster
+), a2 AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT vec_id, cluster, {dist} AS d,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY {dist}, cluster) AS rn
+    FROM e, c1
+  ) WHERE rn = 1
+)
+SELECT vec_id, cluster, round(d, 6) AS dist FROM a2
+"""
+
+
+@query("embed_kmeans", _kmeans_oracle())
+def embed_kmeans(spark, sf_dir):
+    """Lloyd's k-means (k=8, 2 iterations) over the embedding table with
+    deterministic init — the embedding-space clustering primitive (domain
+    mixing weights, IVF coarse quantizer, cluster-level dedup summaries).
+    The DuckDB twin unrolls assign→update→assign in CTEs; identical
+    fixed-order float chains and decimal-summed means make the hash
+    exact.  See operators/clustering.py for the 100 TB plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.kmeans(emb, k=8, iters=2)
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    sql = """
+WITH edges AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE cn.n_name <> sn.n_name
+  GROUP BY 1, 2
+), outw AS (
+  SELECT src, SUM(w) AS out_w FROM edges GROUP BY 1
+), e AS (
+  SELECT edges.src, edges.dst, edges.w, outw.out_w
+  FROM edges JOIN outw USING (src)
+), nodes AS (
+  SELECT n_name AS node FROM nation
+), nn AS (
+  SELECT count(*) AS n_nodes FROM nodes
+), pr0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS pr FROM nodes, nn
+)"""
+    for i in range(1, iters + 1):
+        sql += f""", c{i} AS (
+  SELECT dst AS node,
+         SUM(CAST(round(pr * w / out_w, 12) AS DECIMAL(28,12))) AS s
+  FROM e JOIN pr{i - 1} p ON e.src = p.node
+  GROUP BY 1
+), pr{i} AS (
+  SELECT nodes.node,
+         round(CAST(0.15 AS DOUBLE) / n_nodes
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(CAST(s AS DOUBLE), CAST(0.0 AS DOUBLE)),
+               12) AS pr
+  FROM nodes LEFT JOIN c{i} USING (node), nn
+)"""
+    sql += f"\nSELECT node AS n_name, pr FROM pr{iters}"
+    return sql
+
+
+@query("pagerank_nations", _pagerank_oracle())
+def pagerank_nations(spark, sf_dir):
+    """Weighted PageRank (d=0.85, 3 iterations) on the customer-nation →
+    supplier-nation trade graph, edge weight = lineitem count — the
+    link-graph quality-weighting primitive (host-rank style source
+    scoring for web corpora).  Edges come from the TPC-H join chain
+    (every join a broadcast of the nation/supplier/customer dims at this
+    shape); iterations are unrolled DataFrame rounds per
+    operators/clustering.py.  The oracle unrolls the same 3 rounds in
+    CTEs; 12-decimal rounded contributions summed as DECIMAL keep the
+    float chain engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == cn["c_nk"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), supp["s_nationkey"] == sn["s_nk"])
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = nation.select(F.col("n_name").alias("node"))
+    pr = C.pagerank(edges, damping=0.85, iters=3, nodes=nodes)
+    return pr.select(F.col("node").alias("n_name"), "pr")
