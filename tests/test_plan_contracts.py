@@ -46,6 +46,11 @@ CONTRACTS = [
     ("q12_priority_shipping", 1, 1),
     ("q13_order_distribution", 2, 1),
     ("q20_excess_shipments", 1, 2),
+    # corpus-mining family (queries_ml): all pure-JVM expression plans
+    ("tfidf_top_terms", 4, 1),
+    ("embed_kmeans", 4, 1),  # 2 iterations: assign is broadcast-k, no shuffle
+    ("pagerank_nations", 8, 4),  # 3 iterations, edges built once, dims bcast
+    ("dedup_containment", 20, 5),  # persisted shingle subtree feeds 4 readers
 ]
 
 
