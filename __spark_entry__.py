@@ -40,7 +40,7 @@ _CHANGED_THIS_ROUND = [
     "video_frames", "audio_wav_meta", "corpus_shuffle",
     "embed_filtered_topk", "streaming_stream_full_outer_join",
     "tfidf_top_terms", "dedup_containment", "embed_kmeans",
-    "pagerank_nations",
+    "pagerank_nations", "heavy_hitters_cms", "ewma_user_value",
 ]
 
 _R1_STALE = [

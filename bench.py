@@ -52,6 +52,12 @@ HEADLINE = [
     "video_frames",
     "audio_wav_meta",
     "embed_filtered_topk",
+    "tfidf_top_terms",
+    "dedup_containment",
+    "embed_kmeans",
+    "pagerank_nations",
+    "heavy_hitters_cms",
+    "ewma_user_value",
 ]
 
 

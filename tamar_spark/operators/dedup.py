@@ -296,10 +296,16 @@ def containment_pairs(
     common quote/aggregator/boilerplate-wrapper case in web corpora
     (Broder's containment measure).
 
-    Candidate generation is the pruned inverted-index self-join (DISTINCT
-    pairs sharing a cool shingle — no count needed, so it is one
-    dedup-shuffle cheaper than the Jaccard path); verification is exact
-    on full shingle sets via ``array_intersect``, candidate-PAIR-bounded.
+    Mirrors :func:`jaccard_pairs`' capped three-tier structure (the
+    measured-fast shape — the first cut used a DISTINCT candidate
+    self-join + unconditional array verify and benched 8.1 s at sf0.1 vs
+    ~1 s for the tiered path): count shared COOL shingles ``i_p`` per
+    pair, discard pairs whose provable upper bound
+    ``(i_p + min(h_a, h_b)) / min(n_a, n_b)`` misses the threshold, emit
+    ``i_p / min(n_a, n_b)`` directly when one doc has no hot shingles
+    (every shared shingle is then cool, so ``i_p`` IS the intersection —
+    the cool filter is per-shingle, so a shingle of an all-cool doc is
+    cool in BOTH postings), and array-verify only hot×hot survivors.
     ``max_doc_freq`` recall rule matches :func:`jaccard_pairs`: a true
     pair is missed only if EVERY shared shingle exceeds the cap, and a
     contained doc shares all its shingles with its container, so set the
@@ -308,25 +314,84 @@ def containment_pairs(
     from pyspark import StorageLevel
 
     sh = shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    postings = sh
-    if max_doc_freq is not None:
-        cool = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
+    if max_doc_freq is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        inter = (
+            sh.select(F.col(id_col).alias("doc_id_1"), "shingle")
+            .join(sh.select(F.col(id_col).alias("doc_id_2"), "shingle"), "shingle")
+            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-        postings = sh.join(cool, "shingle")
-    candidates = (
-        postings.select(F.col(id_col).alias("doc_id_1"), "shingle")
-        .join(postings.select(F.col(id_col).alias("doc_id_2"), "shingle"), "shingle")
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .select("doc_id_1", "doc_id_2")
-        .distinct()
+        sa = sizes.select(F.col(id_col).alias("doc_id_1"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("doc_id_2"), F.col("n_sh").alias("n_b"))
+        return (
+            inter.join(sa, "doc_id_1")
+            .join(sb, "doc_id_2")
+            .withColumn(
+                "containment",
+                F.round(F.col("n_inter") / F.least("n_a", "n_b"), 4),
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("doc_id_1", "doc_id_2", "containment")
+        )
+    cool = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
     )
+    pruned = sh.join(cool, "shingle")
+    stats = (
+        sh.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .join(
+            pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_cool")),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_sh"),
+            (F.col("n_sh") - F.coalesce(F.col("n_cool"), F.lit(0))).alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    i_p = (
+        pruned.select(F.col(id_col).alias("doc_id_1"), "shingle")
+        .join(pruned.select(F.col(id_col).alias("doc_id_2"), "shingle"), "shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("i_p"))
+    )
+    sa = stats.select(
+        F.col(id_col).alias("doc_id_1"),
+        F.col("n_sh").alias("n_a"),
+        F.col("h").alias("h_a"),
+    )
+    sb = stats.select(
+        F.col(id_col).alias("doc_id_2"),
+        F.col("n_sh").alias("n_b"),
+        F.col("h").alias("h_b"),
+    )
+    slack = F.least(F.col("h_a"), F.col("h_b"))
+    denom = F.least(F.col("n_a"), F.col("n_b"))
+    scored = (
+        i_p.join(sa, "doc_id_1")
+        .join(sb, "doc_id_2")
+        .filter((F.col("i_p") + slack) / denom >= threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    direct = (
+        scored.filter(slack == 0)
+        .withColumn("containment", F.round(F.col("i_p") / denom, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_id_1", "doc_id_2", "containment")
+    )
+    to_verify = scored.filter(slack > 0).select("doc_id_1", "doc_id_2")
     cand_docs = (
-        candidates.select(F.col("doc_id_1").alias(id_col))
-        .union(candidates.select(F.col("doc_id_2").alias(id_col)))
+        to_verify.select(F.col("doc_id_1").alias(id_col))
+        .union(to_verify.select(F.col("doc_id_2").alias(id_col)))
         .distinct()
     )
     doc_sets = (
@@ -336,15 +401,16 @@ def containment_pairs(
     )
     a = doc_sets.select(F.col(id_col).alias("doc_id_1"), F.col("sh_set").alias("set_a"))
     b = doc_sets.select(F.col(id_col).alias("doc_id_2"), F.col("sh_set").alias("set_b"))
-    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    denom = F.least(F.size("set_a"), F.size("set_b"))
-    return (
-        candidates.join(a, "doc_id_1")
+    v_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    v_denom = F.least(F.size("set_a"), F.size("set_b"))
+    verified = (
+        to_verify.join(a, "doc_id_1")
         .join(b, "doc_id_2")
-        .withColumn("containment", F.round(inter / denom, 4))
+        .withColumn("containment", F.round(v_inter / v_denom, 4))
         .filter(F.col("containment") >= threshold)
         .select("doc_id_1", "doc_id_2", "containment")
     )
+    return verified.unionByName(direct)
 
 
 def minhash_signatures(

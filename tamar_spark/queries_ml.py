@@ -265,3 +265,140 @@ def pagerank_nations(spark, sf_dir):
     nodes = nation.select(F.col("n_name").alias("node"))
     pr = C.pagerank(edges, damping=0.85, iters=3, nodes=nodes)
     return pr.select(F.col("node").alias("n_name"), "pr")
+
+
+@query(
+    "heavy_hitters_cms",
+    """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS u FROM events
+), pos AS (
+  SELECT u, k,
+         CAST(CAST(('0x' || substr(md5(u), 1 + 8 * k, 8)) AS UBIGINT) % 64
+              AS BIGINT) AS pos
+  FROM e, LATERAL (SELECT unnest([0, 1, 2]) AS k) t
+), cells AS (
+  SELECT k, pos, count(*) AS cnt FROM pos GROUP BY 1, 2
+), exact AS (
+  SELECT u, count(*) AS exact_cnt FROM e GROUP BY 1
+), upos AS (
+  SELECT DISTINCT u, k, pos FROM pos
+), est AS (
+  SELECT u, min(cnt) AS cm_est FROM upos JOIN cells USING (k, pos) GROUP BY 1
+)
+SELECT CAST(u AS BIGINT) AS user_id, exact_cnt,
+       CAST(cm_est AS BIGINT) AS cm_est,
+       cm_est >= exact_cnt AS never_under
+FROM exact JOIN est USING (u)
+ORDER BY exact_cnt DESC, user_id LIMIT 20
+""",
+)
+def heavy_hitters_cms(spark, sf_dir):
+    """Heavy hitters via a 3×64 count-min sketch (Cormode & Muthukrishnan):
+    per-event counter increments at 3 md5-derived cell positions, estimate
+    = min over the 3 rows.  The sketch is the 100 TB point: frequency
+    state is 192 mergeable counters regardless of key cardinality, vs an
+    exact groupBy whose state is one row per key.  Output joins the
+    estimate to the exact count for the true top-20 and pins the
+    sketch's one-sided-error invariant as a ``never_under`` boolean.
+    Hash family is md5-hex-slice (engine-identical, same as bloom_sketch);
+    everything is integer arithmetic, so the hash gate is exact.
+
+    Scale: the cells aggregate is a 192-group partial-aggregated count
+    (map-side combine collapses each partition to ≤192 rows — this is the
+    operator's entire shuffle); cells broadcast to the probe join."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    pos_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                (
+                    F.conv(F.substring(F.md5("u"), 1 + 8 * k, 8), 16, 10).cast(
+                        "bigint"
+                    )
+                    % 64
+                ).alias("pos"),
+            )
+            for k in range(3)
+        ]
+    )
+    pos = e.select("u", F.explode(pos_structs).alias("kp")).select(
+        "u", F.col("kp.k").alias("k"), F.col("kp.pos").alias("pos")
+    )
+    cells = pos.groupBy("k", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = e.groupBy("u").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    upos = pos.distinct()
+    est = (
+        upos.join(F.broadcast(cells), ["k", "pos"])
+        .groupBy("u")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return (
+        exact.join(est, "u")
+        .select(
+            F.col("u").cast("bigint").alias("user_id"),
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") >= F.col("exact_cnt")).alias("never_under"),
+        )
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(20)
+    )
+
+
+def _ewma_oracle(depth: int = 8) -> str:
+    num_terms, den_terms = [], []
+    for i in range(depth):
+        wt = 2.0 ** -(i + 1)
+        src = "value" if i == 0 else f"lag(value, {i}) OVER w"
+        num_terms.append(
+            f"CASE WHEN {src} IS NOT NULL"
+            f" THEN {src} * CAST({wt!r} AS DOUBLE)"
+            f" ELSE CAST(0 AS DOUBLE) END"
+        )
+        den_terms.append(
+            f"CASE WHEN {src} IS NOT NULL THEN CAST({wt!r} AS DOUBLE)"
+            f" ELSE CAST(0 AS DOUBLE) END"
+        )
+    num = "\n      + ".join(num_terms)
+    den = "\n      + ".join(den_terms)
+    return f"""
+SELECT event_id, user_id,
+       round(({num})
+             / ({den}), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("ewma_user_value", _ewma_oracle())
+def ewma_user_value(spark, sf_dir):
+    """Per-user exponentially-decayed value (EWMA, α=1/2, depth 8) — the
+    rolling time-series feature (decayed engagement/quality signals).
+    Weights are negative powers of two, so every ``value * 2^-k`` is an
+    EXACT double scaling and the 8-term sums evaluate in a fixed
+    left-associative order on both engines — the whole chain is
+    bit-deterministic without decimal staging; the depth cap is what
+    bounds it (an unbounded running EWMA is a loop-carried dependency —
+    that shape lives in stateful_event_numbering's kernel instead).
+
+    Scale: one shuffle on user_id + per-partition sort — the same
+    ROWS-frame plan as running_total; lag(k) reads within the frame, no
+    extra shuffle per term."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num, den = None, None
+    for i in range(8):
+        src = F.col("value") if i == 0 else F.lag("value", i).over(w)
+        wt = F.lit(2.0 ** -(i + 1))
+        t = F.when(src.isNotNull(), src * wt).otherwise(F.lit(0.0))
+        d = F.when(src.isNotNull(), wt).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return ev.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )

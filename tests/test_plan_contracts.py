@@ -50,7 +50,9 @@ CONTRACTS = [
     ("tfidf_top_terms", 4, 1),
     ("embed_kmeans", 4, 1),  # 2 iterations: assign is broadcast-k, no shuffle
     ("pagerank_nations", 8, 4),  # 3 iterations, edges built once, dims bcast
-    ("dedup_containment", 20, 5),  # persisted shingle subtree feeds 4 readers
+    ("dedup_containment", 8, 5),  # tiered: prefilter + direct-emit + verify
+    ("heavy_hitters_cms", 4, 2),  # 192-cell sketch agg + broadcast probe
+    ("ewma_user_value", 1, 0),  # one user_id shuffle, in-frame lags
 ]
 
 
