@@ -41,6 +41,7 @@ _CHANGED_THIS_ROUND = [
     "embed_filtered_topk", "streaming_stream_full_outer_join",
     "tfidf_top_terms", "dedup_containment", "embed_kmeans",
     "pagerank_nations", "heavy_hitters_cms", "ewma_user_value",
+    "session_agg_salted",
 ]
 
 _R1_STALE = [

@@ -146,6 +146,38 @@ def session_agg(spark, sf_dir):
     )
 
 
+@query("session_agg_salted", _SESSION_ORACLE)
+def session_agg_salted(spark, sf_dir):
+    """The flagship session aggregation through the SALTED plan
+    (``windows.salted_sessions``): sessionize per (user, 6-hour time
+    bucket), then stitch boundary-straddling sub-sessions with a
+    lag+cumsum chain over session rows.  This is the heavy-hitter
+    mitigation BASELINE.md's `skewed_session` probe documents, now real
+    and oracle-checked — same oracle as ``session_agg``, so the driver
+    hash proves the two plans are equivalent.
+
+    Scale: the per-event shuffle key is (user_id, salt), so one user
+    holding 10% of a 100 TB corpus spreads over span/bucket parallel
+    tasks; the per-user sequential pass in step 2 touches only session
+    rows (≥ gap apart — bounded by span/gap per user, not by events)."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = windows.salted_sessions(
+        ev,
+        keys=["user_id"],
+        ts="ts",
+        gap="30 minutes",
+        sums=(("sum_value", "value"),),
+        bucket_seconds=6 * 3600,
+    )
+    return merged.select(
+        "window_start",
+        "window_end",
+        "user_id",
+        "n_events",
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+    )
+
+
 @query(
     "session_stats",
     """

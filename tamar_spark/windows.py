@@ -37,6 +37,7 @@ __all__ = [
     "session",
     "tumbling",
     "sliding",
+    "salted_sessions",
 ]
 
 
@@ -132,6 +133,91 @@ class SlidingWindowFactory(_WindowFactoryBase):
 
     def _window_expr(self, ts: str) -> Column:
         return F.window(F.col(ts), self.size, self.slide)
+
+
+def salted_sessions(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    gap: str,
+    sums: Sequence[tuple] = (),
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Heavy-hitter-safe sessionization: salt by coarse time bucket, then
+    merge adjacent sub-sessions.
+
+    The plain session plan shuffles on ``keys`` alone, so one hot key's
+    entire event history lands in a single task (the `skewed_session`
+    probe in BASELINE.md shows the exponent holds to 32× but the hot key
+    caps speedup at its corpus share).  This operator engages the
+    documented mitigation:
+
+    1. sessionize per ``(keys, floor(event_time / bucket_seconds))`` — the
+       salt splits a hot key's rows across ``span / bucket_seconds``
+       parallel tasks, and within a bucket Spark's native
+       ``session_window`` merge applies unchanged;
+    2. merge sub-sessions that straddle bucket boundaries with the
+       lag + cumulative-sum chain (the same gap-merge the DuckDB oracle
+       uses, here over SESSION rows — orders of magnitude fewer than
+       event rows, so the per-key sequential pass is no longer the
+       bottleneck).
+
+    Identical output to the unsalted plan by construction: a session
+    entirely inside one bucket is produced by step 1; a session spanning
+    buckets is a chain of boundary-adjacent sub-sessions (each ≤ gap
+    apart) that step 2 stitches transitively.  The merge condition uses
+    the same inclusive boundary as Spark (``next_start > prev_last + gap``
+    starts a new session; equality merges).
+
+    ``sums`` is a sequence of ``(out_name, col)`` pairs accumulated in
+    DECIMAL(28,6) — exact and associative, so the two-phase reduction is
+    bit-identical to the single-phase one.  Output columns:
+    ``window_start``, ``window_end`` (= last event + gap, Spark
+    convention), ``*keys``, ``n_events``, and one DECIMAL column per
+    ``sums`` entry (callers round/cast for presentation).
+    """
+    from pyspark.sql.window import Window as W
+
+    gap_iv = F.expr(f"INTERVAL {gap}")
+    salt = F.floor(
+        F.unix_micros(F.col(ts).cast("timestamp_ltz"))
+        / F.lit(bucket_seconds * 1_000_000)
+    ).alias("_salt")
+    sub = df.groupBy(
+        F.session_window(F.col(ts), gap).alias("_w"),
+        *[F.col(k) for k in keys],
+        salt,
+    ).agg(
+        F.min(ts).alias("_first"),
+        F.max(ts).alias("_last"),
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.col(c).cast("decimal(28,6)")).alias(f"_s_{name}")
+            for name, c in sums
+        ],
+    )
+    w = W.partitionBy(*keys).orderBy("_first")
+    prev_last = F.lag("_last").over(w)
+    chained = sub.withColumn(
+        "_new",
+        F.when(prev_last.isNull() | (F.col("_first") > prev_last + gap_iv), 1).otherwise(0),
+    ).withColumn(
+        "_chain",
+        F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    merged = chained.groupBy(*keys, "_chain").agg(
+        F.min("_first").alias("window_start"),
+        F.max("_last").alias("_last"),
+        F.sum("_n").alias("n_events"),
+        *[F.sum(f"_s_{name}").alias(name) for name, _ in sums],
+    )
+    return merged.select(
+        "window_start",
+        (F.col("_last") + gap_iv).alias("window_end"),
+        *keys,
+        "n_events",
+        *[name for name, _ in sums],
+    )
 
 
 def session(gap: str) -> SessionWindowFactory:

@@ -1049,3 +1049,26 @@ def test_wav_decode_real_and_adversarial(spark):
     # fake path still runs the plumbing on unparseable bytes
     bad = spark.createDataFrame([Row(id=9, payload=bytearray(b"xx"))])
     assert M.decode_audio(bad, fake=True).count() == 1
+
+
+def test_salted_sessions_match_plain_session_agg(spark, sf_dir):
+    """The salted two-phase session plan (sessionize per (key, time-bucket
+    salt), merge boundary-straddling sub-sessions) must be indistinguishable
+    from the single-phase plan — including sessions that span bucket
+    boundaries, which a 30-minute bucket forces plenty of."""
+    from tamar_spark.queries import QUERIES
+    from tamar_spark import windows
+
+    plain = QUERIES["session_agg"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # deliberately tiny bucket (30 min == gap) to maximize boundary crossings
+    salted = windows.salted_sessions(
+        ev, keys=["user_id"], ts="ts", gap="30 minutes",
+        sums=(("sum_value", "value"),), bucket_seconds=1800,
+    ).select(
+        "window_start", "window_end", "user_id", "n_events",
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
