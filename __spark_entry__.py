@@ -41,7 +41,7 @@ _CHANGED_THIS_ROUND = [
     "embed_filtered_topk", "streaming_stream_full_outer_join",
     "tfidf_top_terms", "dedup_containment", "embed_kmeans",
     "pagerank_nations", "heavy_hitters_cms", "ewma_user_value",
-    "session_agg_salted",
+    "session_agg_salted", "dedup_substring_spans", "data_mixture",
 ]
 
 _R1_STALE = [

@@ -527,3 +527,140 @@ def corpus_shuffle(spark, sf_dir):
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+_SPAN_K = 8
+
+_SPAN_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id, {"||' '||".join(f"w[i+{j}]" for j in range(_SPAN_K))} AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-{_SPAN_K - 1})) AS i) t
+  WHERE len(w) >= {_SPAN_K}
+), per AS (
+  SELECT doc_id, gram, count(*) AS m FROM g GROUP BY 1, 2
+), tot AS (
+  SELECT gram, sum(m) AS c FROM per GROUP BY 1
+), stats AS (
+  SELECT doc_id, sum(m) AS n_windows,
+         sum(CASE WHEN c >= 2 THEN m ELSE 0 END) AS n_dup
+  FROM per JOIN tot USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       round(coalesce(s.n_dup * 1.0 / s.n_windows, 0.0), 6) AS dup_frac,
+       coalesce(s.n_dup * 1.0 / s.n_windows, 0.0) >= 0.2 AS flagged
+FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+
+@query("dedup_substring_spans", _SPAN_SQL)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact substring-span duplication profile (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact-match
+    approach, token-windowed): every word-8-gram window whose text occurs
+    more than once ANYWHERE in the corpus (another doc, or another position
+    of the same doc) is a duplicated span; per document we report total
+    windows, duplicated windows, their fraction, and a ≥20% cut flag.
+    Complements the pairwise dedup family: Jaccard/MinHash find whole-doc
+    near-dups, this finds verbatim passages (licenses, headers, quoted
+    chunks) pairwise scoring never isolates.
+
+    Scale: unlike pair generation this is LINEAR — no self-join anywhere.
+    Window rows explode ~L per doc; the occurrence count is a gram-keyed
+    partial aggregate; the count join-back is gram-co-partitioned (the
+    aggregate's own partitioning is reused, no extra shuffle); the final
+    per-doc rollup shuffles on doc_id.  A boilerplate gram shared by d
+    documents costs d rows here, not d² — hot keys fatten one aggregate
+    bucket, never a pair space."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = docs.select("doc_id", F.explode(_word_ngrams(_SPAN_K)).alias("gram"))
+    per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("m"))
+    tot = per.groupBy("gram").agg(F.sum("m").alias("c"))
+    stats = (
+        per.join(tot, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_windows"),
+            F.sum(F.when(F.col("c") >= 2, F.col("m")).otherwise(0)).alias("n_dup"),
+        )
+    )
+    frac = F.col("n_dup") * F.lit(1.0) / F.col("n_windows")
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.round(F.coalesce(frac, F.lit(0.0)), 6).alias("dup_frac"),
+            (F.coalesce(frac, F.lit(0.0)) >= 0.2).alias("flagged"),
+        )
+    )
+
+
+_MIXTURE_WEIGHTS = [("en", 40), ("de", 15), ("es", 15), ("fr", 15), ("zh", 15)]
+
+_MIXTURE_SQL = f"""
+WITH wts AS (
+  SELECT * FROM (VALUES {", ".join(f"('{l}', {w})" for l, w in _MIXTURE_WEIGHTS)}) AS t(lang, w)
+), counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), t AS (
+  SELECT min(n * 100 // w) AS t_total FROM counts JOIN wts USING (lang)
+), quotas AS (
+  SELECT lang, (w * t_total) // 100 AS quota FROM wts, t
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS samp_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang,
+       CAST(r.samp_rank AS BIGINT) AS samp_rank,
+       CAST(q.quota AS BIGINT) AS quota
+FROM ranked r JOIN quotas q USING (lang)
+WHERE r.samp_rank <= q.quota
+"""
+
+
+@query("data_mixture", _MIXTURE_SQL)
+def data_mixture(spark, sf_dir):
+    """Training-mixture resampling: draw the LARGEST corpus that hits a
+    target language mix (en 40%, de/es/fr/zh 15% each) exactly, selecting
+    documents deterministically.  The feasible total is
+    T = min_s floor(n_s·100 / w_s) (the stratum that runs out first binds
+    everyone); each stratum contributes floor(w_s·T/100) docs, picked by
+    md5(doc_id) rank — a reproducible uniform draw both engines replay
+    bit-identically.  All arithmetic is integer (div, not /), so the
+    quotas carry no float rounding.
+
+    Scale: counts are one partial aggregate; T and the quota table are a
+    broadcast 5-row join.  The per-stratum hash rank is the one wide step
+    (sort within lang).  At 100 TB replace exact ranking with two-phase
+    threshold selection — keep hash < (quota/n + ε), then exact-rank only
+    the ~quota·(1+ε) survivors — same result, sort bounded by the
+    oversample instead of the stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    wts = spark.createDataFrame(_MIXTURE_WEIGHTS, "lang string, w int")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    t_total = (
+        counts.join(wts, "lang")
+        .select(F.min(F.expr("n * 100 div w")).alias("t_total"))
+    )
+    quotas = wts.crossJoin(F.broadcast(t_total)).select(
+        "lang", F.expr("w * t_total div 100").alias("quota")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("samp_rank")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("samp_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "samp_rank", F.col("quota").cast("bigint").alias("quota"))
+    )
