@@ -23,7 +23,16 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_topk", "ivf_topk", "sign_lsh_buckets"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "pq_topk",
+    "sign_lsh_buckets",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -289,6 +298,160 @@ def ivf_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dim: Optional[int] = None,
+    codebooks: Optional[DataFrame] = None,
+    rerank: Optional[int] = None,
+) -> DataFrame:
+    """Approximate top-k via product quantization (PQ) with ADC scoring.
+
+    The memory-bound tier of the ANN family: each vector is compressed to
+    ``n_sub`` codebook indices (here 4×4 bits = 2 bytes vs 256 bytes of
+    floats — a 128× compression), and query-to-vector inner products are
+    approximated **asymmetrically** (ADC, Jégou et al. 2011): the exact
+    query chunk is dotted against each subspace codebook once, producing a
+    per-query lookup table of ``n_sub × n_codes`` partial scores; scoring a
+    compressed vector is then ``n_sub`` table lookups + adds, no float
+    vector ever touched.
+
+    As DataFrame ops:
+    - codebooks: deterministic seed (the ``n_codes`` corpus rows with
+      smallest ``md5(id)``, the IVF pattern) sliced into per-subspace
+      chunks — a ≤``n_sub·n_codes``-row broadcast table.  At 100 TB pass
+      ``codebooks=`` an offline-trained table ``(m, code, _ce)`` — plan
+      shape unchanged.
+    - encode (one-off, amortized across queries): corpus chunks ⋈
+      broadcast codebook, nearest code per (vector, subspace) by squared
+      L2 — no shuffle of the corpus beyond the tiny per-key ``min_by``.
+    - ADC scan: the code table ⋈ broadcast LUT is a map-side join; the
+      only shuffle is the per-(query, neighbor) 4-row rollup and the
+      per-query top-k — both on well-distributed keys.
+    - rerank (default ``4·k``, ``rerank=0`` for pure ADC): the ADC scan
+      PRUNES to the top-``rerank`` candidates, which are then scored by
+      exact cosine — the standard PQ+rerank pipeline.  Compression this
+      coarse (n_codes^n_sub cells) collapses ultra-close neighbors onto
+      one code word, so pure ADC cannot order within a tight cluster;
+      rerank touches only R float vectors per query and restores exact
+      ordering among survivors.
+
+    Determinism: every float op is an exactly-rounded IEEE double op in a
+    FIXED order — ``d² = (⟨x,x⟩ − 2⟨x,c⟩) + ⟨c,c⟩`` left-to-right, the ADC
+    sum added in subspace order (never a ``sum()`` whose order the engine
+    chooses) — so the DuckDB twin replays scores bitwise and ties break on
+    (score DESC, id).
+    """
+    if dim is None:
+        dim = corpus.schema[vec_col].metadata.get("dim")
+    if dim is None:
+        raise ValueError(
+            "pq_topk needs the embedding dimension: pass dim= or attach "
+            f'{{"dim": N}} metadata to the {vec_col!r} schema field'
+        )
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    sub_dim = dim // n_sub
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    )
+
+    def chunks(vec: Column) -> Column:
+        return F.array(*[F.slice(vec, m * sub_dim + 1, sub_dim) for m in range(n_sub)])
+
+    if codebooks is None:
+        seed = (
+            c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
+            .orderBy("_h", "neighbor_id")
+            .limit(n_codes)
+        )
+        cents = seed.select(
+            (F.row_number().over(Window.orderBy("_h", "neighbor_id")) - 1).alias("code"),
+            F.col("_cv"),
+        )
+        codebooks = cents.select(
+            "code", F.posexplode(chunks(F.col("_cv"))).alias("m", "_ce")
+        )
+
+    d2 = (
+        dot(F.col("_ch"), F.col("_ch")) - 2 * dot(F.col("_ch"), F.col("_ce"))
+    ) + dot(F.col("_ce"), F.col("_ce"))
+    c_chunks = c.select(
+        "neighbor_id", F.posexplode(chunks(F.col("_cv"))).alias("m", "_ch")
+    )
+    codes = (
+        c_chunks.join(F.broadcast(codebooks), "m")
+        .withColumn("_d2", d2)
+        .groupBy("neighbor_id", "m")
+        .agg(F.min_by("code", F.struct("_d2", "code")).alias("code"))
+    )
+
+    q_chunks = q.select(
+        query_id_col, F.posexplode(chunks(F.col("_qv"))).alias("m", "_qh")
+    )
+    lut = q_chunks.join(F.broadcast(codebooks), "m").select(
+        query_id_col, "m", "code", dot(F.col("_qh"), F.col("_ce")).alias("_p")
+    )
+    parts = codes.join(F.broadcast(lut), ["m", "code"]).filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    pivot = parts.groupBy(query_id_col, "neighbor_id").agg(
+        *[
+            F.sum(F.when(F.col("m") == j, F.col("_p"))).alias(f"_p{j}")
+            for j in range(n_sub)
+        ]
+    )
+    score = F.col("_p0")
+    for j in range(1, n_sub):
+        score = score + F.col(f"_p{j}")
+    scored = pivot.withColumn("score", score)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        rerank = 4 * k
+    if rerank:
+        # PQ's resolution is n_codes^n_sub cells: ultra-close neighbors
+        # collapse to one code word and tie under ADC, so the compressed
+        # scan is a PRUNER, not a ranker.  Keep the ADC top-``rerank`` and
+        # rank those exactly — only R float vectors per query are touched.
+        cand = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= rerank)
+            .select(query_id_col, "neighbor_id")
+        )
+        cw = c.withColumn("_cn", l2_norm(F.col("_cv")))
+        qw = q.withColumn("_qn", l2_norm(F.col("_qv")))
+        scored = (
+            cand.join(cw, "neighbor_id")
+            .join(F.broadcast(qw), query_id_col)
+            .withColumn(
+                "score",
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            )
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -876,6 +876,81 @@ def embed_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, queries_df, k=5)
 
 
+_PQ_TOPK_SQL = """
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+seed AS (
+  SELECT neighbor_id, cv, md5(CAST(neighbor_id AS VARCHAR)) AS h
+  FROM c ORDER BY h, neighbor_id LIMIT 16
+), cents AS (
+  SELECT row_number() OVER (ORDER BY h, neighbor_id) - 1 AS code, cv AS cent
+  FROM seed
+), mm AS (
+  SELECT CAST(unnest(range(4)) AS INT) AS m
+), cb AS (
+  SELECT m, code, list_slice(cent, m*16+1, m*16+16) AS ce FROM cents, mm
+), cchunk AS (
+  SELECT neighbor_id, m, list_slice(cv, m*16+1, m*16+16) AS ch FROM c, mm
+), codes AS (
+  SELECT neighbor_id, m, code FROM (
+    SELECT cchunk.neighbor_id, cchunk.m, cb.code,
+           row_number() OVER (PARTITION BY cchunk.neighbor_id, cchunk.m ORDER BY
+             (list_dot_product(ch, ch) - 2*list_dot_product(ch, ce)) + list_dot_product(ce, ce),
+             cb.code) AS rk
+    FROM cchunk JOIN cb USING (m))
+  WHERE rk = 1
+), qchunk AS (
+  SELECT query_id, m, list_slice(qv, m*16+1, m*16+16) AS qh FROM q, mm
+), lut AS (
+  SELECT query_id, m, code, list_dot_product(qh, ce) AS p FROM qchunk JOIN cb USING (m)
+), scored AS (
+  SELECT query_id, neighbor_id,
+         ((sum(CASE WHEN m = 0 THEN p END) + sum(CASE WHEN m = 1 THEN p END))
+           + sum(CASE WHEN m = 2 THEN p END)) + sum(CASE WHEN m = 3 THEN p END) AS s
+  FROM codes JOIN lut USING (m, code)
+  WHERE neighbor_id <> query_id GROUP BY 1, 2
+), adc AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rk
+  FROM scored
+), rr AS (
+  SELECT a.query_id, a.neighbor_id,
+         list_dot_product(q.qv, c.cv) /
+           (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+  FROM adc a
+  JOIN c ON a.neighbor_id = c.neighbor_id
+  JOIN q ON a.query_id = q.query_id
+  WHERE a.rk <= 20
+), ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+  FROM rr
+)
+SELECT query_id, neighbor_id, round(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("embed_pq_topk", _PQ_TOPK_SQL)
+def embed_pq_topk(spark, sf_dir):
+    """Approximate top-5 via product quantization with asymmetric-distance
+    (ADC) pruning + exact rerank — the memory-bound ANN tier completing
+    the family (brute force / LSH / IVF / PQ): vectors compress to 4
+    codebook indices, the ADC scan (4 lookup-table adds per vector, no
+    floats touched) keeps the top-20, and only those 20 float vectors per
+    query are scored exactly.  Codebook seeding uses the md5-order pick
+    both engines compute identically; every double op is exactly-rounded
+    IEEE in a pinned order (see ``similarity.pq_topk``), so the DuckDB
+    twin replays the encode → LUT → ADC → rerank pipeline bitwise and the
+    output is fully hash-checked.  Quality gate:
+    ``test_pq_recall_and_compression``."""
+    from tamar_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.pq_topk(emb, queries_df, k=5, dim=64)
+
+
 @query(
     "regex_funcs",
     """

@@ -1072,3 +1072,42 @@ def test_salted_sessions_match_plain_session_agg(spark, sf_dir):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_pq_recall_and_compression(spark):
+    """PQ+rerank quality gate on the planted-cluster corpus (same regime as
+    the LSH/IVF gate): the ADC scan collapses tight clusters onto one code
+    word, so pure ADC only PRUNES — the exact rerank stage must restore
+    neighbor ordering.  Also pins layout-independence: identical output
+    whatever the corpus partitioning (the codebook seed is order-stable)."""
+    import random
+
+    from tamar_spark.operators.similarity import cosine_topk, pq_topk
+
+    rng = random.Random(17)
+    dim, n_clusters, per_cluster = 16, 10, 20
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_clusters * per_cluster):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+
+    exact = _topk_sets(cosine_topk(emb, queries_df, k=5))
+    pq = _topk_sets(pq_topk(emb, queries_df, k=5, dim=dim))
+    hits = sum(len(pq.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.values())
+    assert hits / total >= 0.8, f"PQ+rerank recall too low: {hits / total}"
+
+    # pure ADC must still emit k rows per query (it ranks, coarsely)
+    adc = pq_topk(emb, queries_df, k=5, dim=dim, rerank=0)
+    counts = {r.query_id for r in adc.groupBy("query_id").count().filter("count = 5").collect()}
+    assert len(counts) == 10
+
+    # layout-independence: same result from a reshuffled corpus
+    a = sorted(map(tuple, pq_topk(emb, queries_df, k=5, dim=dim).collect()))
+    b = sorted(map(tuple, pq_topk(emb.repartition(7), queries_df, k=5, dim=dim).collect()))
+    assert a == b
