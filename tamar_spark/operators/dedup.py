@@ -36,6 +36,7 @@ __all__ = [
     "containment_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_lsh_join",
     "simhash_fingerprints",
     "simhash_pairs",
     "embedding_neardup_pairs",
@@ -447,6 +448,18 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_keys(rows: int, bands: int):
+    """One xxhash64 bucket key per band over ``rows`` signature columns —
+    shared by the self-join and cross-corpus LSH paths so both sides of
+    any band join bucket identically."""
+    return F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
@@ -477,15 +490,9 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, text_col, id_col, n, num_perm, sh=sh).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    band_keys = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
     banded = sig.select(
         F.col(id_col),
-        F.posexplode(band_keys).alias("band", "bucket"),
+        F.posexplode(_band_keys(rows, bands)).alias("band", "bucket"),
     )
     a = banded.select(F.col(id_col).alias("doc_id_1"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("doc_id_2"), "band", "bucket")
@@ -501,6 +508,60 @@ def minhash_lsh_pairs(
     # jaccard_pairs path — see _verify_pairs for the scale rationale)
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     return _verify_pairs(sh, cand, id_col, threshold)
+
+
+def minhash_lsh_join(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 16,
+    verify: bool = True,
+) -> DataFrame:
+    """Incremental (cross-corpus) near-dup join: match NEW documents
+    against an EXISTING corpus — the "dedup this crawl against everything
+    already ingested" operation, which self-join dedup cannot express
+    without re-pairing the old corpus against itself.
+
+    Same deterministic MinHash family and banding as
+    :func:`minhash_lsh_pairs`; the band join is new×old instead of
+    self×self, so cost is O(new-side candidates) — the old corpus
+    contributes only its (1 row/doc) signature table.  At 100 TB the old
+    side's signatures/band buckets are the persisted INDEX (write them
+    once per ingest, bucketed by band key); an incremental batch computes
+    its own signatures and equi-joins the index — nothing about the old
+    corpus is rescanned.  Ids must be disjoint across the two frames.
+
+    Returns ``(doc_id_1 = new id, doc_id_2 = old id, jaccard)``, exact-
+    Jaccard verified at ``threshold`` when ``verify`` (pair-bounded, as
+    everywhere in this module).
+    """
+    from pyspark import StorageLevel
+
+    rows = num_perm // bands
+    sh_new = shingles(new_df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh_old = shingles(old_df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_new = minhash_signatures(new_df, text_col, id_col, n, num_perm, sh=sh_new)
+    sig_old = minhash_signatures(old_df, text_col, id_col, n, num_perm, sh=sh_old)
+    keys = _band_keys(rows, bands)
+    a = sig_new.select(
+        F.col(id_col).alias("doc_id_1"), F.posexplode(keys).alias("band", "bucket")
+    )
+    b = sig_old.select(
+        F.col(id_col).alias("doc_id_2"), F.posexplode(keys).alias("band", "bucket")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    return _verify_pairs(sh_new.union(sh_old), cand, id_col, threshold)
 
 
 def simhash_fingerprints(

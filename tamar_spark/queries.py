@@ -705,6 +705,44 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, threshold=0.5, num_perm=64, bands=16)
 
 
+@query(
+    "dedup_incremental",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_1
+JOIN sizes sb ON sb.doc_id = doc_id_2
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+""",
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup: match a NEW batch (odd doc ids stand in
+    for today's crawl) against the EXISTING corpus (even ids) via the
+    cross-corpus MinHash-LSH join — the operation a running pipeline
+    performs on every ingest, where self-join dedup would re-pair the
+    whole old corpus against itself.  The old side contributes only its
+    1-row/doc signature table (at 100 TB: a persisted band-bucket index,
+    nothing rescanned); verification is exact and pair-bounded, so the
+    output hash equals the exact cross-Jaccard oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    return D.minhash_lsh_join(new, old, threshold=0.5, num_perm=64, bands=16)
+
+
 def _simhash_oracle() -> str:
     """DuckDB twin of the 60-bit md5-family SimHash (operators.dedup):
     same shingles, same hash slice, same sign-of-sums construction — the
