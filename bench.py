@@ -58,6 +58,11 @@ HEADLINE = [
     "pagerank_nations",
     "heavy_hitters_cms",
     "ewma_user_value",
+    "session_agg_salted",
+    "dedup_substring_spans",
+    "data_mixture",
+    "embed_pq_topk",
+    "dedup_incremental",
 ]
 
 
