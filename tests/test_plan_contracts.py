@@ -53,6 +53,12 @@ CONTRACTS = [
     ("dedup_containment", 8, 5),  # tiered: prefilter + direct-emit + verify
     ("heavy_hitters_cms", 4, 2),  # 192-cell sketch agg + broadcast probe
     ("ewma_user_value", 1, 0),  # one user_id shuffle, in-frame lags
+    # second-wave round-5 family: all pure-JVM expression plans
+    ("session_agg_salted", 2, 0),  # (key,salt) session agg + chain merge
+    ("dedup_substring_spans", 4, 2),  # gram agg + count-back + doc rollup
+    ("data_mixture", 2, 2),  # counts + per-lang rank; quotas broadcast
+    ("embed_pq_topk", 3, 5),  # codebook/LUT broadcast; encode + ADC rollup
+    ("dedup_incremental", 4, 7),  # one tagged signature pass + band join
 ]
 
 
