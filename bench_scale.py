@@ -267,6 +267,26 @@ def main() -> None:
         )
         return first_fit_pack(toks, n_buckets=n_buckets)
 
+    def span_dedup(k):
+        # dedup_substring_spans' linearity claim: replicated text makes
+        # EVERY gram corpus-hot (count >= k), the worst case for any
+        # pairwise plan — here it must stay linear because the plan never
+        # self-joins: hot grams fatten one aggregate bucket each
+        from tamar_spark.queries_pipeline import _word_ngrams
+
+        d = replicate(documents_sf, k, ["doc_id"])
+        g = d.select("doc_id", F.explode(_word_ngrams(8)).alias("gram"))
+        per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("m"))
+        tot = per.groupBy("gram").agg(F.sum("m").alias("c"))
+        return (
+            per.join(tot, "gram")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("m").alias("nw"),
+                F.sum(F.when(F.col("c") >= 2, F.col("m")).otherwise(0)).alias("nd"),
+            )
+        )
+
     results = {}
     for name, fn in [
         ("session_agg", session_agg),
@@ -274,6 +294,7 @@ def main() -> None:
         ("q1_agg", q1_agg),
         ("join_agg", join_agg),
         ("lsh_dedup", lsh_dedup),
+        ("span_dedup", span_dedup),
         ("stream_session_process", stream_session_process),
     ]:
         scales = [1, 4, 16] if name == "stream_session_process" else SCALES
