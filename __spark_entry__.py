@@ -42,7 +42,7 @@ _CHANGED_THIS_ROUND = [
     "tfidf_top_terms", "dedup_containment", "embed_kmeans",
     "pagerank_nations", "heavy_hitters_cms", "ewma_user_value",
     "session_agg_salted", "dedup_substring_spans", "data_mixture",
-    "embed_pq_topk", "dedup_incremental",
+    "embed_pq_topk", "dedup_incremental", "corpus_curate",
 ]
 
 _R1_STALE = [

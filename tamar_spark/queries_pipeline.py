@@ -664,3 +664,124 @@ def data_mixture(spark, sf_dir):
         .filter(F.col("samp_rank") <= F.col("quota"))
         .select("doc_id", "lang", "samp_rank", F.col("quota").cast("bigint").alias("quota"))
     )
+
+
+_CURATE_SQL = """
+WITH base AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0
+), words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM base
+), tok AS (
+  SELECT doc_id, w[i] AS word
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2
+), word_stats AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_tokens FROM wc GROUP BY 1
+), tri AS (
+  SELECT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS g
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+), tri_stats AS (
+  SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_tri_distinct
+  FROM tri GROUP BY 1
+), canon AS (
+  SELECT text, min(doc_id) AS canon_id FROM base GROUP BY 1
+), allwords AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS gram
+  FROM allwords, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) t
+), eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN eval_grams e USING (gram)
+  WHERE g.doc_id % 97 <> 0 GROUP BY 1
+)
+SELECT b.doc_id, b.lang,
+       (ws.top_c * 1.0 / ws.n_tokens) <= 0.2
+         AND (1.0 - ts.n_tri_distinct * 1.0 / ts.n_tri) <= 0.6 AS keep_quality,
+       b.doc_id = c.canon_id AS keep_canonical,
+       coalesce(h.n_hits, 0) = 0 AS keep_clean,
+       (ws.top_c * 1.0 / ws.n_tokens) <= 0.2
+         AND (1.0 - ts.n_tri_distinct * 1.0 / ts.n_tri) <= 0.6
+         AND b.doc_id = c.canon_id
+         AND coalesce(h.n_hits, 0) = 0 AS keep
+FROM base b
+JOIN word_stats ws USING (doc_id)
+JOIN tri_stats ts USING (doc_id)
+JOIN canon c ON b.text = c.text
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@query("corpus_curate", _CURATE_SQL)
+def corpus_curate(spark, sf_dir):
+    """The full curation DAG as ONE composed plan — the way the pieces are
+    actually run in production: Gopher repetition-quality filters + exact
+    dedup (canonical min-id per distinct text) + benchmark decontamination,
+    each as a per-document verdict column and a final conjunctive ``keep``.
+    Demonstrates that the pipeline operators compose inside a single
+    Catalyst plan (one optimizer pass over the whole DAG) rather than as
+    materialized hops.
+
+    Scale: three independent flag subtrees — (doc, token) aggregates,
+    a text-keyed min (exact dedup), and the broadcast eval-gram probe —
+    each shuffling on its own well-distributed key, joined back on
+    doc_id.  The documents scan is read per subtree but pruned to
+    (doc_id, text, lang); at 100 TB persist the tokenized projection once
+    (the same persist-the-shingles pattern the dedup module uses) and all
+    three subtrees share it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    is_eval = F.col("doc_id") % 97 == 0
+    base = docs.filter(~is_eval)
+
+    tok = base.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
+    word_stats = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tokens"))
+    )
+    tri_stats = (
+        base.select("doc_id", F.explode(_word_ngrams(3)).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.countDistinct("g").alias("n_tri_distinct"),
+        )
+    )
+    canon = base.groupBy("text").agg(F.min("doc_id").alias("canon_id"))
+
+    grams5 = _word_ngrams(5)
+    eval_grams = (
+        docs.filter(is_eval).select(F.explode(grams5).alias("gram")).distinct()
+    )
+    hits = (
+        base.select("doc_id", F.explode(grams5).alias("gram"))
+        .distinct()
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+    q = (F.col("top_c") * 1.0 / F.col("n_tokens") <= 0.2) & (
+        1.0 - F.col("n_tri_distinct") * 1.0 / F.col("n_tri") <= 0.6
+    )
+    c = F.col("doc_id") == F.col("canon_id")
+    clean = F.coalesce(F.col("n_hits"), F.lit(0)) == 0
+    return (
+        base.join(word_stats, "doc_id")
+        .join(tri_stats, "doc_id")
+        .join(canon, "text")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            q.alias("keep_quality"),
+            c.alias("keep_canonical"),
+            clean.alias("keep_clean"),
+            (q & c & clean).alias("keep"),
+        )
+    )
