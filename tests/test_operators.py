@@ -1111,3 +1111,19 @@ def test_pq_recall_and_compression(spark):
     a = sorted(map(tuple, pq_topk(emb, queries_df, k=5, dim=dim).collect()))
     b = sorted(map(tuple, pq_topk(emb.repartition(7), queries_df, k=5, dim=dim).collect()))
     assert a == b
+
+
+def test_orc_source_sink_roundtrip(spark, tmp_path):
+    """Connector coverage: ORC through the same Environment source/sink
+    surface as csv/json/parquet (reference Source/Sink traits,
+    src/lib.rs:60-76 — columnar formats come free from Spark)."""
+    from tamar_spark.env import Environment
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.25), (3, "a", 1.0)], "id long, k string, v double"
+    )
+    orc_dir = str(tmp_path / "orc")
+    env = Environment(spark)
+    env.add_source(src).add_sink("orc", path=orc_dir)
+    got = env.add_source(orc_dir, fmt="orc", schema=src.schema).to_df().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, src.collect()))

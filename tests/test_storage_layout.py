@@ -144,3 +144,69 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_dedup_index_is_bucketed(spark, sf_dir, tmp_path_factory):
+    """The minhash_lsh_join docstring claims the old corpus's band table is
+    a persistable INDEX an ingest batch joins without the old side ever
+    re-shuffling.  Prove it: write the old-corpus band rows bucketed by
+    (band, bucket), join a fresh batch's band rows against the stored
+    table, and pin that the only Exchange in the plan belongs to the NEW
+    side — plus that the candidate set equals the in-memory join's."""
+    from tamar_spark.operators import dedup as D
+    from tamar_spark.operators.dedup import _band_keys
+    from tamar_spark.sources import load_table
+
+    wh = tmp_path_factory.mktemp("lsh_index_wh")
+    spark.sql("DROP TABLE IF EXISTS lsh_index")
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    num_perm, bands = 64, 16
+    rows = num_perm // bands
+
+    old_banded = D.minhash_signatures(old, num_perm=num_perm).select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.posexplode(_band_keys(rows, bands)).alias("band", "bucket"),
+    )
+    (
+        old_banded.write.bucketBy(8, "band", "bucket")
+        .sortBy("band", "bucket")
+        .option("path", str(wh / "lsh_index"))
+        .mode("overwrite")
+        .saveAsTable("lsh_index")
+    )
+
+    new_banded = D.minhash_signatures(new, num_perm=num_perm).select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.posexplode(_band_keys(rows, bands)).alias("band_n", "bucket_n"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffled-join path: broadcast would trivially satisfy
+        # the no-Exchange-on-the-index-side assertion
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cand = (
+            new_banded.join(
+                spark.table("lsh_index"),
+                (F.col("band_n") == F.col("band"))
+                & (F.col("bucket_n") == F.col("bucket")),
+            )
+            .select("doc_id_1", "doc_id_2")
+            .distinct()
+        )
+        plan = executed_plan(cand)
+        assert "hashpartitioning(band_n" in plan, plan  # new side shuffles
+        assert "hashpartitioning(band#" not in plan.replace(
+            "hashpartitioning(band_n", ""
+        ), plan  # index side must NOT
+        got = sorted(map(tuple, cand.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    want = sorted(
+        map(tuple, D.minhash_lsh_join(new, old, 0.5, num_perm=num_perm,
+                                      bands=bands, verify=False).collect())
+    )
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS lsh_index")
