@@ -63,6 +63,7 @@ HEADLINE = [
     "data_mixture",
     "embed_pq_topk",
     "dedup_incremental",
+    "corpus_curate",
 ]
 
 

@@ -626,6 +626,62 @@ WHERE r.samp_rank <= q.quota
 """
 
 
+def mixture_sample(
+    docs,
+    weights,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    prefilter_margin: float | None = None,
+):
+    """Exact-quota mixture resampling kernel (see ``data_mixture`` for the
+    semantics).  ``prefilter_margin`` engages the two-phase scale path:
+    keep only rows whose 48-bit md5 prefix falls under
+    ``(quota/n)·(1+margin)`` BEFORE the per-stratum rank, so the sort
+    touches ~quota·(1+margin) rows instead of the whole stratum.  The
+    prefilter is lossless iff every stratum keeps ≥ quota survivors —
+    P[shortfall] ≈ exp(−quota·margin²/3), so pick margin with
+    quota·margin² ≳ 40 (margin 0.1 suffices for quota ≥ 4000); for a
+    hard guarantee, count survivors per stratum and widen the margin on
+    the (vanishingly rare) shortfall before ranking.
+    ``test_mixture_prefilter_is_lossless`` pins exact/prefiltered
+    equality on a quota≪stratum corpus."""
+    spark = docs.sparkSession
+    wts = spark.createDataFrame(list(weights), f"{key_col} string, w int")
+    counts = docs.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    t_total = (
+        counts.join(wts, key_col)
+        .select(F.min(F.expr("n * 100 div w")).alias("t_total"))
+    )
+    quotas = wts.crossJoin(F.broadcast(t_total)).select(
+        key_col, F.expr("w * t_total div 100").alias("quota")
+    )
+    base = docs.select(
+        id_col, key_col, F.md5(F.col(id_col).cast("string")).alias("_h")
+    )
+    if prefilter_margin is not None:
+        m = 16 ** 12  # the rank key's first 12 hex chars as a 48-bit int
+        cut = F.least(
+            F.lit(float(m)),
+            F.ceil(F.col("quota") * (1.0 + prefilter_margin) / F.col("n") * m),
+        )
+        qn = quotas.join(counts, key_col).select(key_col, cut.alias("_cut"))
+        base = (
+            base.join(F.broadcast(qn), key_col)
+            .filter(F.conv(F.substring("_h", 1, 12), 16, 10).cast("long") < F.col("_cut"))
+        )
+    w = Window.partitionBy(key_col).orderBy("_h", id_col)
+    ranked = base.select(
+        id_col, key_col, F.row_number().over(w).cast("bigint").alias("samp_rank")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), key_col)
+        .filter(F.col("samp_rank") <= F.col("quota"))
+        .select(
+            id_col, key_col, "samp_rank", F.col("quota").cast("bigint").alias("quota")
+        )
+    )
+
+
 @query("data_mixture", _MIXTURE_SQL)
 def data_mixture(spark, sf_dir):
     """Training-mixture resampling: draw the LARGEST corpus that hits a
@@ -639,31 +695,13 @@ def data_mixture(spark, sf_dir):
 
     Scale: counts are one partial aggregate; T and the quota table are a
     broadcast 5-row join.  The per-stratum hash rank is the one wide step
-    (sort within lang).  At 100 TB replace exact ranking with two-phase
-    threshold selection — keep hash < (quota/n + ε), then exact-rank only
-    the ~quota·(1+ε) survivors — same result, sort bounded by the
-    oversample instead of the stratum."""
+    (sort within lang); when quotas ≪ strata, ``mixture_sample``'s
+    ``prefilter_margin`` bounds the sort by the oversample instead of the
+    stratum (lossless, pinned by ``test_mixture_prefilter_is_lossless``).
+    This fixture draws ~84% of the corpus, so the registered query runs
+    the exact path — a prefilter that keeps everything proves nothing."""
     docs = load_table(spark, sf_dir, "documents")
-    wts = spark.createDataFrame(_MIXTURE_WEIGHTS, "lang string, w int")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    t_total = (
-        counts.join(wts, "lang")
-        .select(F.min(F.expr("n * 100 div w")).alias("t_total"))
-    )
-    quotas = wts.crossJoin(F.broadcast(t_total)).select(
-        "lang", F.expr("w * t_total div 100").alias("quota")
-    )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    ranked = docs.select(
-        "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("samp_rank")
-    )
-    return (
-        ranked.join(F.broadcast(quotas), "lang")
-        .filter(F.col("samp_rank") <= F.col("quota"))
-        .select("doc_id", "lang", "samp_rank", F.col("quota").cast("bigint").alias("quota"))
-    )
+    return mixture_sample(docs, _MIXTURE_WEIGHTS)
 
 
 _CURATE_SQL = """

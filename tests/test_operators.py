@@ -1127,3 +1127,27 @@ def test_orc_source_sink_roundtrip(spark, tmp_path):
     env.add_source(src).add_sink("orc", path=orc_dir)
     got = env.add_source(orc_dir, fmt="orc", schema=src.schema).to_df().collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, src.collect()))
+
+
+def test_mixture_prefilter_is_lossless(spark):
+    """The two-phase mixture path (hash-threshold prefilter before the
+    per-stratum rank) must return EXACTLY the exact-rank selection on a
+    corpus where quotas are far below stratum sizes — the regime the
+    prefilter exists for (here it discards ~95% of the big stratum before
+    any sort)."""
+    from tamar_spark.queries_pipeline import mixture_sample
+
+    rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(900)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    weights = [("a", 90), ("b", 10)]
+    exact = sorted(map(tuple, mixture_sample(docs, weights).collect()))
+    pre = sorted(
+        map(tuple, mixture_sample(docs, weights, prefilter_margin=0.5).collect())
+    )
+    assert exact == pre and len(exact) > 0
+    # quotas: T = min(100*100//90, 900*100//10) = 111 -> a: 99, b: 11
+    by_lang = {}
+    for _, lang, _, quota in exact:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+        q = quota
+    assert by_lang == {"a": 99, "b": 11}
