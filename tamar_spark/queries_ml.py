@@ -267,9 +267,7 @@ def pagerank_nations(spark, sf_dir):
     return pr.select(F.col("node").alias("n_name"), "pr")
 
 
-@query(
-    "heavy_hitters_cms",
-    """
+_CMS_SQL = """
 WITH e AS (
   SELECT CAST(user_id AS VARCHAR) AS u FROM events
 ), pos AS (
@@ -291,8 +289,29 @@ SELECT CAST(u AS BIGINT) AS user_id, exact_cnt,
        cm_est >= exact_cnt AS never_under
 FROM exact JOIN est USING (u)
 ORDER BY exact_cnt DESC, user_id LIMIT 20
-""",
-)
+"""
+
+
+def _cms_positions(u: str):
+    """3 md5-derived (row, cell) positions per key — shared by the batch
+    and streaming sketch builders so both hash identically."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                (
+                    F.conv(F.substring(F.md5(u), 1 + 8 * k, 8), 16, 10).cast(
+                        "bigint"
+                    )
+                    % 64
+                ).alias("pos"),
+            )
+            for k in range(3)
+        ]
+    )
+
+
+@query("heavy_hitters_cms", _CMS_SQL)
 def heavy_hitters_cms(spark, sf_dir):
     """Heavy hitters via a 3×64 count-min sketch (Cormode & Muthukrishnan):
     per-event counter increments at 3 md5-derived cell positions, estimate
@@ -310,21 +329,7 @@ def heavy_hitters_cms(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("u")
     )
-    pos_structs = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                (
-                    F.conv(F.substring(F.md5("u"), 1 + 8 * k, 8), 16, 10).cast(
-                        "bigint"
-                    )
-                    % 64
-                ).alias("pos"),
-            )
-            for k in range(3)
-        ]
-    )
-    pos = e.select("u", F.explode(pos_structs).alias("kp")).select(
+    pos = e.select("u", F.explode(_cms_positions("u")).alias("kp")).select(
         "u", F.col("kp.k").alias("k"), F.col("kp.pos").alias("pos")
     )
     cells = pos.groupBy("k", "pos").agg(F.count(F.lit(1)).alias("cnt"))
@@ -401,4 +406,56 @@ def ewma_user_value(spark, sf_dir):
         den = d if den is None else den + d
     return ev.select(
         "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )
+
+
+@query("streaming_heavy_hitters", _CMS_SQL)
+def streaming_heavy_hitters(spark, sf_dir):
+    """The count-min sketch as STREAMING state: the 192-cell counter
+    aggregate runs as a complete-mode streaming query, so the state store
+    holds ≤192 rows no matter how many distinct keys the stream carries —
+    the unbounded-cardinality frequency tracker an exact streaming groupBy
+    (state = one row per key) cannot be at 100 TB.  Count-min cells are
+    mergeable across micro-batches by construction, so the final sink
+    table equals the batch sketch exactly and the whole query shares the
+    batch oracle.  The probe/rank side (exact counts for the true top-20
+    and the one-sided-error pin) reads the same fixture in batch."""
+    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.sources import load_table as _lt
+
+    prep_session(spark)
+    e_s = _events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    pos_s = e_s.select("u", F.explode(_cms_positions("u")).alias("kp")).select(
+        F.col("kp.k").alias("k"), F.col("kp.pos").alias("pos")
+    )
+    cells = _run_to_memory(
+        pos_s.groupBy("k", "pos").agg(F.count(F.lit(1)).alias("cnt")),
+        mode="complete",
+    )
+
+    e = _lt(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    pos = e.select("u", F.explode(_cms_positions("u")).alias("kp")).select(
+        "u", F.col("kp.k").alias("k"), F.col("kp.pos").alias("pos")
+    )
+    exact = e.groupBy("u").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = (
+        pos.distinct()
+        .join(F.broadcast(cells), ["k", "pos"])
+        .groupBy("u")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return (
+        exact.join(est, "u")
+        .select(
+            F.col("u").cast("bigint").alias("user_id"),
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") >= F.col("exact_cnt")).alias("never_under"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(20)
     )
