@@ -210,3 +210,54 @@ def test_incremental_dedup_index_is_bucketed(spark, sf_dir, tmp_path_factory):
     )
     assert got == want and len(got) > 0
     spark.sql("DROP TABLE IF EXISTS lsh_index")
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
+    """Runtime Bloom-filter join pruning — the third scale lever next to
+    bucketing and AQE skew handling: when one join side is selective,
+    Spark builds a Bloom filter over its keys and applies might_contain
+    on the big side BEFORE the shuffle, so non-matching fact rows never
+    cross the wire.  Local fixtures sit under the production size
+    thresholds, so the test overrides them; at 100 TB the defaults
+    (creation side ≤ 10 MB after filtering, application scan ≥ 10 GB)
+    engage on their own."""
+    from tamar_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = executed_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        got = {(r.o_orderpriority, r.n) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got == {(r.o_orderpriority, r.n) for r in plain.collect()}
