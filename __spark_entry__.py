@@ -43,7 +43,7 @@ _CHANGED_THIS_ROUND = [
     "pagerank_nations", "heavy_hitters_cms", "ewma_user_value",
     "session_agg_salted", "dedup_substring_spans", "data_mixture",
     "embed_pq_topk", "dedup_incremental", "corpus_curate",
-    "streaming_heavy_hitters",
+    "streaming_heavy_hitters", "embed_hard_negatives",
 ]
 
 _R1_STALE = [

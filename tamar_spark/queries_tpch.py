@@ -876,6 +876,77 @@ def embed_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, queries_df, k=5)
 
 
+_HARDNEG_SQL = """
+WITH c AS (SELECT vec_id AS neighbor_id, label AS n_label, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS q_label, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT query_id, neighbor_id, n_label,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS s
+  FROM c, q
+  WHERE neighbor_id <> query_id AND n_label <> q_label
+), ranked AS (
+  SELECT query_id, neighbor_id, n_label, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(n_label AS INT) AS neg_label,
+       round(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("embed_hard_negatives", _HARDNEG_SQL)
+def embed_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-5 most-similar corpus vectors whose LABEL differs —
+    the near-miss negatives that make embedding models learn, which
+    random negative sampling almost never finds.  Same exact-cosine scan
+    shape as ``cosine_topk`` (broadcast anchors, embarrassingly parallel
+    corpus pass, per-anchor top-k) with the label-mismatch predicate
+    fused into the join — the filter drops same-label rows BEFORE any
+    scoring or ranking work.
+
+    Scale: identical to the brute-force search tier — one corpus scan,
+    no shuffle until the per-anchor top-k; compose with the LSH/IVF/PQ
+    candidate generators for sub-scan cost once the corpus outgrows a
+    single pass."""
+    from tamar_spark.operators.similarity import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("n_label") != F.col("q_label")),
+    ).withColumn(
+        "score", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("n_label").cast("int").alias("neg_label"),
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 _PQ_TOPK_SQL = """
 WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
