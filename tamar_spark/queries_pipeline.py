@@ -67,6 +67,19 @@ def _word_ngrams(k: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _ngrams_arr(w, k: int):
+    """Positional word k-grams from a token-array column: element i of the
+    result is the gram starting at token i (0-based via ``posexplode``).
+    Same element_at assembly as ``operators.dedup.shingles``."""
+    count = F.size(w) - F.lit(k - 1)
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+    )
+
+
 _DECONTAM_SQL = """
 WITH words AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
@@ -821,5 +834,107 @@ def corpus_curate(spark, sf_dir):
             c.alias("keep_canonical"),
             clean.alias("keep_clean"),
             (q & c & clean).alias("keep"),
+        )
+    )
+
+
+_SPAN_RW_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), wins AS (
+  SELECT doc_id, i - 1 AS pos0,
+         {"||' '||".join(f"w[i+{j}]" for j in range(_SPAN_K))} AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-{_SPAN_K - 1})) AS i) t
+  WHERE len(w) >= {_SPAN_K}
+), marked AS (
+  SELECT doc_id, pos0,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos0) AS rn
+  FROM wins
+), dropped AS (
+  SELECT DISTINCT doc_id, idx
+  FROM marked, LATERAL (SELECT unnest(generate_series(pos0, pos0 + {_SPAN_K - 1})) AS idx) t
+  WHERE rn >= 2
+), toks AS (
+  SELECT doc_id, i - 1 AS idx, w[i] AS tok
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+), kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM toks t LEFT JOIN dropped d ON t.doc_id = d.doc_id AND t.idx = d.idx
+  WHERE d.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, count(*) AS n_after,
+         md5(string_agg(tok, ' ' ORDER BY idx)) AS cleaned_fp
+  FROM kept GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_before,
+       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+       coalesce(a.cleaned_fp, md5('')) AS cleaned_fp
+FROM words w LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("dedup_span_rewrite", _SPAN_RW_SQL)
+def dedup_span_rewrite(spark, sf_dir):
+    """The full exact-substring dedup REWRITE (Lee et al. 2022): every
+    word-8-gram occurring more than once in the corpus keeps exactly its
+    canonical occurrence (global (doc_id, position) minimum); tokens
+    covered by any non-canonical occurrence are cut and the document is
+    reassembled from the surviving tokens in order.  Where
+    ``dedup_substring_spans`` profiles duplication, this emits the
+    deduplicated corpus — output carries before/after token counts and
+    the md5 fingerprint of each rewritten text, so the oracle hash pins
+    the exact reconstruction.
+
+    Scale: still no self-join — canonical marking is one row_number over
+    gram (the same shuffle key as the profile's count), the drop set is a
+    bounded explode (K rows per duplicated window), and reassembly is a
+    doc_id-keyed sort-aggregate.  A gram duplicated d times contributes
+    d−1 drop windows — linear in occurrences, never pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w_arr = T.tokens(F.col("text"))
+    words = docs.select("doc_id", w_arr.alias("_w"))
+
+    wins = words.select(
+        "doc_id", F.posexplode(_ngrams_arr(F.col("_w"), _SPAN_K)).alias("pos0", "gram")
+    )
+    marked = wins.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("gram").orderBy("doc_id", "pos0")
+        ),
+    )
+    dropped = (
+        marked.filter(F.col("rn") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos0"), F.col("pos0") + F.lit(_SPAN_K - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    toks = words.select("doc_id", F.posexplode(F.col("_w")).alias("idx", "tok"))
+    kept = toks.join(dropped, ["doc_id", "idx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("cleaned_fp"),
+    )
+    return (
+        words.select("doc_id", F.size("_w").cast("bigint").alias("n_before"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
+            F.coalesce(F.col("cleaned_fp"), F.md5(F.lit(""))).alias("cleaned_fp"),
         )
     )
