@@ -64,6 +64,9 @@ HEADLINE = [
     "embed_pq_topk",
     "dedup_incremental",
     "corpus_curate",
+    "streaming_heavy_hitters",
+    "embed_hard_negatives",
+    "dedup_span_rewrite",
 ]
 
 
