@@ -59,6 +59,9 @@ CONTRACTS = [
     ("data_mixture", 2, 2),  # counts + per-lang rank; quotas broadcast
     ("embed_pq_topk", 3, 5),  # codebook/LUT broadcast; encode + ADC rollup
     ("dedup_incremental", 4, 7),  # one tagged signature pass + band join
+    ("embed_hard_negatives", 1, 0),  # broadcast-anchor scan + top-k window
+    ("dedup_span_rewrite", 3, 2),  # gram mark + drop anti-join + reassembly
+    ("corpus_curate", 8, 5),  # three flag subtrees joined on doc_id
 ]
 
 
