@@ -1151,3 +1151,41 @@ def test_mixture_prefilter_is_lossless(spark):
         by_lang[lang] = by_lang.get(lang, 0) + 1
         q = quota
     assert by_lang == {"a": 99, "b": 11}
+
+
+def test_operators_tolerate_null_and_empty_text(spark):
+    """Fixture corpora carry no NULL/empty text, so the oracle gate never
+    exercises those rows — pin the behavior here: the text-pipeline
+    kernels must not throw, must not emit phantom shingles for NULL/empty
+    docs, and must still pair the real duplicates."""
+    from tamar_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, None),
+            (4, ""),
+            (5, "   "),
+            (6, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    # shingles: NULL text contributes no rows; empty/whitespace yield no 3-grams
+    sh = D.shingles(docs)
+    by_doc = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
+    assert by_doc == {1, 2}
+    # pairwise dedup still finds the one true pair, ignores degenerate docs
+    pairs = D.jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r.doc_id_1, r.doc_id_2, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
+    mh = D.minhash_lsh_pairs(docs, threshold=0.5, num_perm=64, bands=16).collect()
+    assert [(r.doc_id_1, r.doc_id_2) for r in mh] == [(1, 2)]
+    # scalar text functions: no exceptions, NULL-in → NULL-out
+    out = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n"),
+        T.lang_id(F.col("text")).alias("lang"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    row3 = {r.doc_id: r for r in out}[3]
+    assert row3.n is None and row3.fp is None
