@@ -938,3 +938,88 @@ def dedup_span_rewrite(spark, sf_dir):
             F.coalesce(F.col("cleaned_fp"), F.md5(F.lit(""))).alias("cleaned_fp"),
         )
     )
+
+
+_WINNOW_K, _WINNOW_W = 4, 5
+
+_WINNOW_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos0,
+         {"||' '||".join(f"w[i+{j}]" for j in range(_WINNOW_K))} AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-{_WINNOW_K - 1})) AS i) t
+  WHERE len(w) >= {_WINNOW_K}
+), h AS (
+  SELECT doc_id, pos0,
+         CAST(CAST(('0x' || substr(md5(gram), 1, 12)) AS UBIGINT) AS BIGINT) AS hv
+  FROM grams
+), wmin AS (
+  SELECT doc_id, pos0,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos0
+                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM h
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wmin WHERE pos0 <= n_grams - {_WINNOW_W}
+), pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared_fp
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2, CAST(shared_fp AS BIGINT) AS shared_fp
+FROM pairs WHERE shared_fp >= 3
+"""
+
+
+@query("fingerprint_winnow", _WINNOW_SQL)
+def fingerprint_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
+    hash every word-4-gram, keep the MINIMUM hash of each window of 5
+    consecutive gram hashes, and pair documents sharing ≥ 3 distinct
+    fingerprints.  The winnowing guarantee: any verbatim run of at least
+    w + k − 1 = 8 tokens shared by two documents yields at least one
+    COMMON fingerprint — local detection robust to edits elsewhere in the
+    doc, at a ~2/(w+1) sampling density instead of every-gram indexing
+    (the density/guarantee trade the shingle inverted index doesn't
+    offer).
+
+    Scale: the window-min is a per-doc sort (doc_id-partitioned, bounded
+    by doc length); the fingerprint index joins on a 48-bit md5-derived
+    key, engine-identical on both sides.  The pair join carries the same
+    hot-key caveat as every inverted index — a fingerprint shared by d
+    docs costs d² pair rows, so cap fingerprint document-frequency at
+    corpus scale exactly as ``jaccard_pairs.max_doc_freq`` does."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select("doc_id", T.tokens(F.col("text")).alias("_w"))
+    grams = words.select(
+        "doc_id", F.posexplode(_ngrams_arr(F.col("_w"), _WINNOW_K)).alias("pos0", "gram")
+    )
+    h = grams.select(
+        "doc_id",
+        "pos0",
+        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("bigint").alias("hv"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wmin = h.select(
+        "doc_id",
+        "pos0",
+        F.min("hv")
+        .over(wdoc.orderBy("pos0").rowsBetween(0, _WINNOW_W - 1))
+        .alias("fp"),
+        F.count(F.lit(1)).over(wdoc).alias("n_grams"),
+    )
+    fps = (
+        wmin.filter(F.col("pos0") <= F.col("n_grams") - _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("doc_id_1"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_id_2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 3)
+    )
