@@ -44,7 +44,7 @@ _CHANGED_THIS_ROUND = [
     "session_agg_salted", "dedup_substring_spans", "data_mixture",
     "embed_pq_topk", "dedup_incremental", "corpus_curate",
     "streaming_heavy_hitters", "embed_hard_negatives",
-    "dedup_span_rewrite", "fingerprint_winnow",
+    "dedup_span_rewrite", "fingerprint_winnow", "chunk_cdc",
 ]
 
 _R1_STALE = [

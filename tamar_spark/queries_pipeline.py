@@ -1023,3 +1023,112 @@ def fingerprint_winnow(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("shared_fp"))
         .filter(F.col("shared_fp") >= 3)
     )
+
+
+_CDC_K, _CDC_D = 4, 16
+
+_CDC_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), toks AS (
+  SELECT doc_id, i - 1 AS idx, w[i] AS tok, len(w) AS n
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+), marks AS (
+  SELECT doc_id, idx, tok,
+         CASE WHEN idx > 0 AND idx <= n - {_CDC_K}
+                   AND CAST(CAST(('0x' || substr(md5(
+                         {"||' '||".join(f"w[idx + {j + 1}]" for j in range(_CDC_K))}
+                       ), 1, 12)) AS UBIGINT) AS BIGINT) % {_CDC_D} = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM toks JOIN words USING (doc_id)
+), chunked AS (
+  SELECT doc_id, idx, tok,
+         sum(cut) OVER (PARTITION BY doc_id ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM marks
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(tok, ' ' ORDER BY idx)) AS fp
+  FROM chunked GROUP BY 1, 2
+), reuse AS (
+  SELECT fp, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1
+), per_doc AS (
+  SELECT c.doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN r.n_docs >= 2 THEN 1 ELSE 0 END) AS n_reused
+  FROM chunks c JOIN reuse r USING (fp) GROUP BY 1
+)
+SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_reused AS BIGINT) AS n_reused,
+       round(n_reused * 1.0 / n_chunks, 6) AS reuse_frac
+FROM per_doc
+"""
+
+
+@query("chunk_cdc", _CDC_SQL)
+def chunk_cdc(spark, sf_dir):
+    """Content-defined chunking (the LBFS/rsync/restic family): cut a
+    document wherever the hash of the 4-gram starting at that token is
+    ≡ 0 mod 16, so chunk boundaries are decided by CONTENT, not position —
+    an insertion early in a copied document shifts every byte but leaves
+    all later chunk boundaries (and hence their fingerprints) intact,
+    which fixed-size blocking destroys.  Expected chunk length is the
+    divisor (16 tokens).  Output profiles cross-document chunk reuse: the
+    storage-dedup view of near-duplication, complementing the pairwise
+    (Jaccard), windowed (spans), and sampled (winnowing) views.
+
+    Scale: cut marks are stateless per-position expressions; the chunk
+    assignment is one per-doc cumulative sum (doc-bounded sort); chunk
+    fingerprints aggregate on (doc, chunk) then on fp — all
+    well-distributed keys, no self-join anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select("doc_id", T.tokens(F.col("text")).alias("_w"))
+    n = F.size("_w")
+    gram_at = lambda idx: F.concat_ws(
+        " ", *[F.element_at(F.col("_w"), idx + F.lit(j + 1)) for j in range(_CDC_K)]
+    )
+    toks = words.select(
+        "doc_id",
+        "_w",
+        n.alias("_n"),
+        F.posexplode(F.col("_w")).alias("idx", "tok"),
+    )
+    hv = F.conv(F.substring(F.md5(gram_at(F.col("idx"))), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    cut = F.when(
+        (F.col("idx") > 0)
+        & (F.col("idx") <= F.col("_n") - _CDC_K)
+        & (hv % _CDC_D == 0),
+        1,
+    ).otherwise(0)
+    wdoc = Window.partitionBy("doc_id").orderBy("idx")
+    chunked = toks.withColumn("cut", cut).withColumn(
+        "chunk_id",
+        F.sum("cut").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("fp")
+    )
+    reuse = chunks.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
+    per_doc = (
+        chunks.join(reuse, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_reused"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.col("n_reused").cast("bigint").alias("n_reused"),
+        F.round(F.col("n_reused") * 1.0 / F.col("n_chunks"), 6).alias("reuse_frac"),
+    )
