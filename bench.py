@@ -67,6 +67,8 @@ HEADLINE = [
     "streaming_heavy_hitters",
     "embed_hard_negatives",
     "dedup_span_rewrite",
+    "fingerprint_winnow",
+    "chunk_cdc",
 ]
 
 

@@ -62,6 +62,8 @@ CONTRACTS = [
     ("embed_hard_negatives", 1, 0),  # broadcast-anchor scan + top-k window
     ("dedup_span_rewrite", 3, 2),  # gram mark + drop anti-join + reassembly
     ("corpus_curate", 8, 5),  # three flag subtrees joined on doc_id
+    ("fingerprint_winnow", 2, 1),  # doc-bounded window-min + fp index join
+    ("chunk_cdc", 3, 1),  # per-doc cumsum + (doc,chunk) and fp aggregates
 ]
 
 
