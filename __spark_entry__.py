@@ -33,9 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. queries whose last driver row is round 2 (two rounds stale);
 #   4. queries with a fresh r4 row and no change since.
 _CHANGED_THIS_ROUND = [
-    # r5 changes: streaming_global_state vectorized walk, jaccard
+    # r5 changes, wave 1: streaming_global_state vectorized walk, jaccard
     # lower-bound emit + persisted stats, pack_sequences shard bucketing,
-    # video frame sampling, WAV audio decode.
+    # video frame sampling, WAV audio decode, corpus-mining family.
+    # Waves 2-3: salted sessions, substring spans + rewrite, mixture,
+    # PQ ANN, incremental dedup (single-pass refactor), curation DAG,
+    # streaming CMS, hard negatives, winnowing, CDC chunking.
     "streaming_global_state", "dedup_ngram_jaccard", "pack_sequences",
     "video_frames", "audio_wav_meta", "corpus_shuffle",
     "embed_filtered_topk", "streaming_stream_full_outer_join",
