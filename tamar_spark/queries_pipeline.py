@@ -874,29 +874,16 @@ FROM words w LEFT JOIN agg a USING (doc_id)
 """
 
 
-@query("dedup_span_rewrite", _SPAN_RW_SQL)
-def dedup_span_rewrite(spark, sf_dir):
-    """The full exact-substring dedup REWRITE (Lee et al. 2022): every
-    word-8-gram occurring more than once in the corpus keeps exactly its
-    canonical occurrence (global (doc_id, position) minimum); tokens
-    covered by any non-canonical occurrence are cut and the document is
-    reassembled from the surviving tokens in order.  Where
-    ``dedup_substring_spans`` profiles duplication, this emits the
-    deduplicated corpus — output carries before/after token counts and
-    the md5 fingerprint of each rewritten text, so the oracle hash pins
-    the exact reconstruction.
-
-    Scale: still no self-join — canonical marking is one row_number over
-    gram (the same shuffle key as the profile's count), the drop set is a
-    bounded explode (K rows per duplicated window), and reassembly is a
-    doc_id-keyed sort-aggregate.  A gram duplicated d times contributes
-    d−1 drop windows — linear in occurrences, never pairs."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def span_rewrite(docs, k: int = _SPAN_K):
+    """The span-rewrite kernel on any (doc_id, text) frame — see
+    ``dedup_span_rewrite`` for semantics; ``k`` is the window width
+    (exposed for the property test, which exercises tiny widths where
+    duplications are dense)."""
     w_arr = T.tokens(F.col("text"))
     words = docs.select("doc_id", w_arr.alias("_w"))
 
     wins = words.select(
-        "doc_id", F.posexplode(_ngrams_arr(F.col("_w"), _SPAN_K)).alias("pos0", "gram")
+        "doc_id", F.posexplode(_ngrams_arr(F.col("_w"), k)).alias("pos0", "gram")
     )
     marked = wins.withColumn(
         "rn",
@@ -909,7 +896,7 @@ def dedup_span_rewrite(spark, sf_dir):
         .select(
             "doc_id",
             F.explode(
-                F.sequence(F.col("pos0"), F.col("pos0") + F.lit(_SPAN_K - 1))
+                F.sequence(F.col("pos0"), F.col("pos0") + F.lit(k - 1))
             ).alias("idx"),
         )
         .distinct()
@@ -938,6 +925,27 @@ def dedup_span_rewrite(spark, sf_dir):
             F.coalesce(F.col("cleaned_fp"), F.md5(F.lit(""))).alias("cleaned_fp"),
         )
     )
+
+
+@query("dedup_span_rewrite", _SPAN_RW_SQL)
+def dedup_span_rewrite(spark, sf_dir):
+    """The full exact-substring dedup REWRITE (Lee et al. 2022): every
+    word-8-gram occurring more than once in the corpus keeps exactly its
+    canonical occurrence (global (doc_id, position) minimum); tokens
+    covered by any non-canonical occurrence are cut and the document is
+    reassembled from the surviving tokens in order.  Where
+    ``dedup_substring_spans`` profiles duplication, this emits the
+    deduplicated corpus — output carries before/after token counts and
+    the md5 fingerprint of each rewritten text, so the oracle hash pins
+    the exact reconstruction.
+
+    Scale: still no self-join — canonical marking is one row_number over
+    gram (the same shuffle key as the profile's count), the drop set is a
+    bounded explode (K rows per duplicated window), and reassembly is a
+    doc_id-keyed sort-aggregate.  A gram duplicated d times contributes
+    d−1 drop windows — linear in occurrences, never pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_rewrite(docs, _SPAN_K)
 
 
 _WINNOW_K, _WINNOW_W = 4, 5

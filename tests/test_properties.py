@@ -265,3 +265,101 @@ def test_first_fit_pack_matches_model(spark, data):
         for r in first_fit_pack(df, n_buckets=n_buckets).collect()
     }
     assert got == replay()
+
+
+salted_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user id
+        st.integers(min_value=0, max_value=600),    # minute offset
+        st.integers(min_value=1, max_value=100),    # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=salted_events_strategy)
+def test_salted_sessions_match_reference_model(spark, events):
+    """The salted two-phase session plan must match the reference gap-merge
+    model on arbitrary event sets — with a bucket (60 min) far smaller than
+    the event span, so nearly every multi-bucket session exercises the
+    sub-session merge."""
+    from tamar_spark import windows
+
+    gap = 30
+    rows = [
+        (u, BASE + dt.timedelta(minutes=m), float(v)) for u, m, v in events
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    merged = windows.salted_sessions(
+        df, keys=["user_id"], ts="ts", gap=f"{gap} minutes",
+        sums=(("s", "value"),), bucket_seconds=3600,
+    )
+    got = {
+        (r.user_id, r.window_start, r.window_end): (r.n_events, int(r.s))
+        for r in merged.collect()
+    }
+    assert got == ref_sessions(events, gap)
+
+
+span_corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def ref_span_rewrite(token_lists, k):
+    """Direct model of the exact-substring rewrite: global canonical (min
+    (doc, pos)) occurrence per duplicated k-gram survives, tokens covered
+    by any other occurrence are cut, docs reassemble in order."""
+    occ = {}
+    for d, toks in enumerate(token_lists):
+        for p in range(len(toks) - k + 1):
+            occ.setdefault(tuple(toks[p:p + k]), []).append((d, p))
+    drop = {}
+    for gram, places in occ.items():
+        for d, p in sorted(places)[1:]:
+            drop.setdefault(d, set()).update(range(p, p + k))
+    out = {}
+    for d, toks in enumerate(token_lists):
+        kept = [t for i, t in enumerate(toks) if i not in drop.get(d, set())]
+        out[d] = (len(toks), len(kept), " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=span_corpus_strategy)
+def test_span_rewrite_matches_model(spark, corpus):
+    """Spark span-rewrite vs the direct Python model on tiny 3-letter-vocab
+    corpora, where k=2 duplications are dense and overlapping windows,
+    intra-doc repeats, and whole-doc erasures all occur."""
+    import hashlib
+
+    from tamar_spark.queries_pipeline import span_rewrite
+
+    k = 2
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_before, r.n_after, r.cleaned_fp)
+        for r in span_rewrite(docs, k=k).collect()
+    }
+    want = {
+        d: (nb, na, hashlib.md5(txt.encode()).hexdigest())
+        for d, (nb, na, txt) in ref_span_rewrite(corpus, k).items()
+    }
+    assert got == want
