@@ -459,3 +459,69 @@ def streaming_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("exact_cnt").desc(), "user_id")
         .limit(20)
     )
+
+
+def _semdedup_oracle(tau: float = 0.4) -> str:
+    """DuckDB twin of SemDeDup: the unrolled k-means CTE chain (shared
+    with ``embed_kmeans``) extended with the within-cluster exact-cosine
+    pair join."""
+    cos = (
+        "list_dot_product(x.v, y.v) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    final = "SELECT vec_id, cluster, round(d, 6) AS dist FROM a2"
+    pairs = f""", pv AS (
+  SELECT a2.vec_id, a2.cluster, e.v FROM a2 JOIN e USING (vec_id)
+)
+SELECT x.vec_id AS src_id, y.vec_id AS dup_id,
+       CAST(x.cluster AS INT) AS cluster,
+       round({cos}, 6) AS score
+FROM pv x JOIN pv y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE {cos} >= {tau}"""
+    base = _kmeans_oracle()
+    assert final in base
+    return base.replace(final, pairs)
+
+
+@query("dedup_semantic", _semdedup_oracle())
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+    by clustering the embedding space first (the shared k-means kernel,
+    deterministic init, 2 Lloyd iterations) and scoring exact cosine only
+    WITHIN clusters — the pruning that makes semantic dedup tractable:
+    pairwise cost drops from n² to ~n²/k, and the cross-cluster pairs it
+    skips are the pairs k-means already deemed far apart.  Threshold 0.4
+    (this corpus is near-random; real corpora run ~0.95+).
+
+    Scale: clustering is the kmeans plan (broadcast centroids, one
+    id-shuffle per iteration); the pair join shuffles on cluster — at
+    production k (thousands), clusters are small and the per-cluster
+    quadratic term is bounded; skewed clusters split with a sub-cluster
+    salt exactly like any hot aggregation key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = C.kmeans(emb, k=8, iters=2).select("vec_id", "cluster")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    pv = asg.join(v, "vec_id")
+    from tamar_spark.operators.similarity import dot, l2_norm
+
+    x = pv.select(
+        F.col("vec_id").alias("src_id"), "cluster", F.col("_v").alias("_xv")
+    ).withColumn("_xn", l2_norm(F.col("_xv")))
+    y = pv.select(
+        F.col("vec_id").alias("dup_id"), "cluster", F.col("_v").alias("_yv")
+    ).withColumn("_yn", l2_norm(F.col("_yv")))
+    score = dot(F.col("_xv"), F.col("_yv")) / (F.col("_xn") * F.col("_yn"))
+    return (
+        x.join(y, "cluster")
+        .filter(F.col("src_id") < F.col("dup_id"))
+        .withColumn("_s", score)
+        .filter(F.col("_s") >= 0.4)
+        .select(
+            "src_id",
+            "dup_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.round("_s", 6).alias("score"),
+        )
+    )
