@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_span_rewrite",
     "fingerprint_winnow",
     "chunk_cdc",
+    "dedup_semantic",
 ]
 
 

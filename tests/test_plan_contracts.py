@@ -64,6 +64,7 @@ CONTRACTS = [
     ("corpus_curate", 8, 5),  # three flag subtrees joined on doc_id
     ("fingerprint_winnow", 2, 1),  # doc-bounded window-min + fp index join
     ("chunk_cdc", 3, 1),  # per-doc cumsum + (doc,chunk) and fp aggregates
+    ("dedup_semantic", 10, 4),  # 2 kmeans iterations + in-cluster pair join
 ]
 
 
