@@ -48,7 +48,7 @@ _CHANGED_THIS_ROUND = [
     "embed_pq_topk", "dedup_incremental", "corpus_curate",
     "streaming_heavy_hitters", "embed_hard_negatives",
     "dedup_span_rewrite", "fingerprint_winnow", "chunk_cdc",
-    "dedup_semantic",
+    "dedup_semantic", "blocklist_tag",
 ]
 
 _R1_STALE = [

@@ -1140,3 +1140,73 @@ def chunk_cdc(spark, sf_dir):
         F.col("n_reused").cast("bigint").alias("n_reused"),
         F.round(F.col("n_reused") * 1.0 / F.col("n_chunks"), 6).alias("reuse_frac"),
     )
+
+
+_LEXICON = [
+    ("slow", "perf"), ("fast", "perf"),
+    ("big", "size"), ("small", "size"),
+]
+
+_BLOCKLIST_SQL = f"""
+WITH lex AS (
+  SELECT * FROM (VALUES {", ".join(f"('{t}', '{c}')" for t, c in _LEXICON)}) AS t(term, category)
+), words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, w[i] AS word
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+), hits AS (
+  SELECT doc_id, category FROM tok JOIN lex ON word = term
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY 1
+), cats AS (
+  SELECT doc_id, string_agg(category, ',' ORDER BY category) AS categories
+  FROM (SELECT DISTINCT doc_id, category FROM hits) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(c.categories, '') AS categories,
+       coalesce(p.n_hits, 0) >= 3 AS flagged
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN cats c USING (doc_id)
+"""
+
+
+@query("blocklist_tag", _BLOCKLIST_SQL)
+def blocklist_tag(spark, sf_dir):
+    """Term-blocklist tagging — the safety/topic filter every web-corpus
+    pipeline runs (wordlist hits per document, category rollup, flag
+    threshold).  The lexicon (here two toy categories over fixture
+    vocabulary) is a broadcast map-side join: the corpus scan is probed
+    in place, the only shuffles are doc_id-keyed aggregates, and a
+    production lexicon of 10⁵ terms is still KBs broadcast to every
+    executor.  Categories emit as a sorted comma-joined string so the
+    value hash is order-insensitive by construction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = docs.sparkSession.createDataFrame(_LEXICON, "term string, category string")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
+    hits = tok.join(
+        F.broadcast(lex), tok.word == lex.term
+    ).select("doc_id", "category")
+    per_doc = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    cats = (
+        hits.distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("category"))).alias(
+                "categories"
+            )
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(cats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce(F.col("categories"), F.lit("")).alias("categories"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias("flagged"),
+        )
+    )
