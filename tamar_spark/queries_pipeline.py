@@ -980,6 +980,32 @@ FROM pairs WHERE shared_fp >= 3
 """
 
 
+def winnow_fingerprints(docs, k: int = _WINNOW_K, w: int = _WINNOW_W):
+    """Winnowing fingerprint set per document — ``(doc_id, fp)`` distinct
+    rows (see ``fingerprint_winnow``); k/w exposed for the property test."""
+    words = docs.select("doc_id", T.tokens(F.col("text")).alias("_w"))
+    grams = words.select(
+        "doc_id", F.posexplode(_ngrams_arr(F.col("_w"), k)).alias("pos0", "gram")
+    )
+    h = grams.select(
+        "doc_id",
+        "pos0",
+        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("bigint").alias("hv"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wmin = h.select(
+        "doc_id",
+        "pos0",
+        F.min("hv").over(wdoc.orderBy("pos0").rowsBetween(0, w - 1)).alias("fp"),
+        F.count(F.lit(1)).over(wdoc).alias("n_grams"),
+    )
+    return (
+        wmin.filter(F.col("pos0") <= F.col("n_grams") - w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 @query("fingerprint_winnow", _WINNOW_SQL)
 def fingerprint_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
@@ -999,29 +1025,7 @@ def fingerprint_winnow(spark, sf_dir):
     docs costs d² pair rows, so cap fingerprint document-frequency at
     corpus scale exactly as ``jaccard_pairs.max_doc_freq`` does."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select("doc_id", T.tokens(F.col("text")).alias("_w"))
-    grams = words.select(
-        "doc_id", F.posexplode(_ngrams_arr(F.col("_w"), _WINNOW_K)).alias("pos0", "gram")
-    )
-    h = grams.select(
-        "doc_id",
-        "pos0",
-        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("bigint").alias("hv"),
-    )
-    wdoc = Window.partitionBy("doc_id")
-    wmin = h.select(
-        "doc_id",
-        "pos0",
-        F.min("hv")
-        .over(wdoc.orderBy("pos0").rowsBetween(0, _WINNOW_W - 1))
-        .alias("fp"),
-        F.count(F.lit(1)).over(wdoc).alias("n_grams"),
-    )
-    fps = (
-        wmin.filter(F.col("pos0") <= F.col("n_grams") - _WINNOW_W)
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    fps = winnow_fingerprints(docs, _WINNOW_K, _WINNOW_W)
     a = fps.select(F.col("doc_id").alias("doc_id_1"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_id_2"), "fp")
     return (

@@ -363,3 +363,68 @@ def test_span_rewrite_matches_model(spark, corpus):
         for d, (nb, na, txt) in ref_span_rewrite(corpus, k).items()
     }
     assert got == want
+
+
+winnow_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=15),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _md5_48(s):
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def ref_winnow(token_lists, k, w):
+    """Direct winnowing model: per doc, the distinct window-mins over each
+    run of w consecutive k-gram hashes (complete windows only)."""
+    out = {}
+    for d, toks in enumerate(token_lists):
+        hs = [
+            _md5_48(" ".join(toks[p:p + k]))
+            for p in range(len(toks) - k + 1)
+        ]
+        fps = {
+            min(hs[p:p + w]) for p in range(len(hs) - w + 1)
+        }
+        if fps:
+            out[d] = fps
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=winnow_corpus_strategy)
+def test_winnow_matches_model(spark, corpus):
+    """Spark winnowing vs the direct Python model, plus the winnowing
+    GUARANTEE itself: two docs sharing a verbatim run of >= w + k - 1
+    tokens must share at least one fingerprint."""
+    from tamar_spark.queries_pipeline import winnow_fingerprints
+
+    k, w = 2, 3
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in winnow_fingerprints(docs, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    assert got == ref_winnow(corpus, k, w)
+
+    # guarantee check on a constructed pair: plant a (w+k-1)-token run
+    run = ["x1", "x2", "x3", "x4"]  # w + k - 1 = 4
+    pair = [["p"] + run + ["q"], ["r", "s"] + run]
+    pdocs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in enumerate(pair)],
+        "doc_id long, text string",
+    )
+    sets = {}
+    for r in winnow_fingerprints(pdocs, k=k, w=w).collect():
+        sets.setdefault(r.doc_id, set()).add(r.fp)
+    assert sets[0] & sets[1], "winnowing guarantee violated"
