@@ -49,6 +49,9 @@ _CHANGED_THIS_ROUND = [
     "streaming_heavy_hitters", "embed_hard_negatives",
     "dedup_span_rewrite", "fingerprint_winnow", "chunk_cdc",
     "dedup_semantic", "blocklist_tag",
+    # Wave 4: data-layout + monitoring family.
+    "zorder_layout", "cdc_upsert", "streaming_dedup_bounded",
+    "anomaly_zscore", "drift_bins",
 ]
 
 _R1_STALE = [

@@ -70,6 +70,11 @@ HEADLINE = [
     "fingerprint_winnow",
     "chunk_cdc",
     "dedup_semantic",
+    "zorder_layout",
+    "cdc_upsert",
+    "anomaly_zscore",
+    "drift_bins",
+    "streaming_dedup_bounded",
 ]
 
 

@@ -1573,3 +1573,7 @@ from tamar_spark import queries_pipeline as _queries_pipeline  # noqa: E402,F401
 # Corpus-mining extensions (TF-IDF keyterms, containment dedup, k-means,
 # trade-graph PageRank) — same registry.
 from tamar_spark import queries_ml as _queries_ml  # noqa: E402,F401
+
+# Data-layout + monitoring extensions (z-order clustering, CDC upsert,
+# bounded-state streaming dedup, anomaly/drift monitors) — same registry.
+from tamar_spark import queries_layout as _queries_layout  # noqa: E402,F401

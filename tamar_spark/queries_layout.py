@@ -1,0 +1,375 @@
+"""Data-layout & operational-monitoring extensions (round-5 wave 4).
+
+Families added here, each an oracle-checked ``(Spark, DuckDB-SQL)`` pair:
+
+- **Z-order layout** (``zorder_layout``): Morton bit-interleave of two join
+  keys as a pure JVM expression — the multi-dimensional clustering key that
+  makes parquet min/max row-group pruning effective for 2-D range
+  predicates (Delta/Iceberg ``OPTIMIZE ZORDER`` equivalent).  The pruning
+  benefit itself is pinned in tests/test_storage_layout.py.
+- **CDC upsert / MERGE** (``cdc_upsert``): apply an insert/update/delete
+  change batch to a base table via one full-outer join — the lakehouse
+  snapshot-maintenance primitive.
+- **Bounded-state streaming dedup** (``streaming_dedup_bounded``):
+  ``dropDuplicatesWithinWatermark`` — the variant of streaming dedup whose
+  state store is bounded by the watermark horizon instead of growing with
+  key cardinality (the reference's dedup-by-state, src/lib.rs:323-361, has
+  the same unbounded-growth hazard this solves).
+- **Monitoring** (``anomaly_zscore``, ``drift_bins``): per-key z-score
+  outlier detection and period-over-period distribution drift — the data
+  quality gates a 100 TB ingest pipeline runs continuously.
+
+Determinism follows the house rules (queries.py module docstring): exact
+integer math wherever possible, doubles rounded before hashing, total
+orderings on every output.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from tamar_spark.env import prep_session
+from tamar_spark.queries import query, epoch_us, _events_stream, _run_to_memory
+from tamar_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout key
+# --------------------------------------------------------------------------
+
+_ZBITS = 10  # 10 bits per dimension -> 20-bit z-value
+
+
+def zvalue_expr(x, y, bits: int = _ZBITS):
+    """Morton interleave of two ``bits``-bit non-negative ints as a single
+    JVM-side column expression (no UDF): bit i of x lands at 2i+1, bit i of
+    y at 2i.  Stays inside whole-stage codegen — at 100 TB the z-key is
+    computed during the write's sort stage at scan speed."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def _zvalue_sql(x: str, y: str, bits: int = _ZBITS) -> str:
+    terms = [
+        f"(((({x} >> {i}) & 1) << {2 * i + 1}) | ((({y} >> {i}) & 1) << {2 * i}))"
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+@query(
+    "zorder_layout",
+    f"""
+WITH src AS (
+  SELECT (l_partkey & 1023) AS x, (l_suppkey & 1023) AS y, l_quantity
+  FROM lineitem
+)
+SELECT ({_zvalue_sql('x', 'y')} >> 14) AS z_bucket,
+       COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM src
+GROUP BY 1
+ORDER BY z_bucket
+""",
+)
+def zorder_layout(spark, sf_dir):
+    """Z-order clustering key: Morton-interleave (l_partkey, l_suppkey) into
+    one sort key and profile the 64 coarse z-buckets.  Writing the fact
+    table sorted by this key gives every parquet row group a TIGHT min/max
+    envelope in BOTH dimensions, so a 2-D range predicate skips most row
+    groups — a linear sort can only be tight in its leading column.  The
+    actual skip-rate win is measured in tests/test_storage_layout.py
+    (z-sorted vs linear-sorted files under a 2-D range scan).  The
+    interleave is pure bit arithmetic inside codegen; at 100 TB it rides
+    the existing write-path sort (``repartitionByRange(zkey)``) for free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zvalue_expr(
+        F.col("l_partkey").bitwiseAND(F.lit(1023)),
+        F.col("l_suppkey").bitwiseAND(F.lit(1023)),
+    )
+    return (
+        li.select(z.alias("z"), "l_quantity")
+        .groupBy(F.shiftright(F.col("z"), 14).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC upsert (MERGE INTO)
+# --------------------------------------------------------------------------
+
+_CDC_CHANGES_SQL = """
+  SELECT CASE WHEN c_custkey % 17 != 3 AND c_custkey % 10 != 0
+              THEN c_custkey + 1000000 ELSE c_custkey END AS key,
+         CASE WHEN c_custkey % 17 = 3 THEN 'D'
+              WHEN c_custkey % 10 = 0 THEN 'U'
+              ELSE 'I' END AS op,
+         CASE WHEN c_custkey % 17 = 3 THEN NULL
+              WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+              ELSE 0.0 END AS new_bal,
+         c_mktsegment AS new_seg
+  FROM customer
+  WHERE c_custkey % 17 = 3 OR c_custkey % 10 = 0 OR c_custkey % 13 = 1
+"""
+
+
+@query(
+    "cdc_upsert",
+    f"""
+WITH changes AS ({_CDC_CHANGES_SQL}),
+merged AS (
+  SELECT COALESCE(b.c_custkey, c.key) AS key,
+         COALESCE(c.new_bal, b.c_acctbal) AS bal,
+         COALESCE(b.c_mktsegment, c.new_seg) AS seg,
+         c.op
+  FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.key
+)
+SELECT seg, COUNT(*) AS n, ROUND(SUM(bal), 2) AS total_bal
+FROM merged
+WHERE op IS NULL OR op != 'D'
+GROUP BY seg
+ORDER BY seg
+""",
+)
+def cdc_upsert(spark, sf_dir):
+    """CDC MERGE: apply a deterministic change batch (deletes: key%17=3,
+    updates +100: key%10=0, inserts at key+1e6 opening at 0.0: key%13=1,
+    first rule wins)
+    to the customer base table in ONE full-outer join, then summarize the
+    new snapshot per segment.  Spark cannot broadcast a full-outer join, so
+    the plan is a sort-merge join shuffled on the key — the right shape at
+    100 TB, where the real lever is partition pruning: a change batch
+    touches few partitions, and MERGE implementations (Delta/Iceberg)
+    rewrite only those files.  The oracle replays the identical merge in
+    SQL."""
+    base = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    changes = (
+        base.where((k % 17 == 3) | (k % 10 == 0) | (k % 13 == 1))
+        .select(
+            F.when((k % 17 != 3) & (k % 10 != 0), k + 1000000)
+            .otherwise(k)
+            .alias("key"),
+            F.when(k % 17 == 3, F.lit("D"))
+            .when(k % 10 == 0, F.lit("U"))
+            .otherwise(F.lit("I"))
+            .alias("op"),
+            F.when(k % 17 == 3, F.lit(None).cast("double"))
+            .when(k % 10 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.lit(0.0))
+            .alias("new_bal"),
+            F.col("c_mktsegment").alias("new_seg"),
+        )
+    )
+    merged = base.join(changes, base["c_custkey"] == changes["key"], "full_outer")
+    return (
+        merged.where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("c_mktsegment", "new_seg").alias("seg"),
+            F.coalesce("new_bal", "c_acctbal").alias("bal"),
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+        .orderBy("seg")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bounded-state streaming dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_dedup_bounded",
+    """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_dedup_bounded(spark, sf_dir):
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    keeps a key's dedup entry only until the watermark passes its event
+    time + delay, so state is proportional to the watermark horizon — not
+    to total distinct-key cardinality like plain ``dropDuplicates``
+    (streaming_dedup).  That bound is what makes streaming dedup viable on
+    an unbounded 100 TB ingest.  For the finite fixture the delay (40 d)
+    exceeds the event-time span (~30 d), so no entry expires mid-run and
+    the output equals exact DISTINCT regardless of micro-batch boundaries —
+    which is what makes the oracle deterministic."""
+    prep_session(spark)
+    dedup = (
+        _events_stream(spark, sf_dir, watermark="40 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(dedup)
+
+
+# --------------------------------------------------------------------------
+# Monitoring: per-key outliers + distribution drift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "anomaly_zscore",
+    """
+WITH p AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+sums AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(v) * 10000 AS BIGINT) AS x4,
+         CAST(SUM(v) AS DOUBLE) AS sx,
+         CAST(SUM(v * v) AS DOUBLE) AS sxx
+  FROM p GROUP BY user_id HAVING COUNT(*) >= 2
+),
+stats AS (
+  SELECT user_id, n, x4, sx / n AS mu,
+         SQRT((n * sxx - sx * sx) / (n * (n - 1.0))) AS sigma
+  FROM sums
+),
+flt AS (SELECT * FROM stats WHERE sigma > 0)
+SELECT s.user_id AS user_id, s.n AS n,
+       CAST((2 * s.x4 + s.n) // (2 * s.n) AS DOUBLE) / 10000.0 AS mean_value,
+       ROUND(s.sigma, 4) AS std_value,
+       ROUND(MAX(ABS((CAST(p.v AS DOUBLE) - s.mu) / s.sigma)), 3) AS max_abs_z
+FROM p JOIN flt s ON p.user_id = s.user_id
+GROUP BY s.user_id, s.n, s.x4, s.mu, s.sigma
+ORDER BY s.user_id
+""",
+)
+def anomaly_zscore(spark, sf_dir):
+    """Per-key outlier monitor: each user's purchase-value mean/σ and the
+    largest |z| any single purchase reached.  Two hash aggregates + one
+    broadcast-able join back (stats is one row per user — tiny next to the
+    fact side), so the plan is scan → partial agg → broadcast join → final
+    agg: no extra shuffle of the fact table beyond the per-user agg.  The
+    anomaly flagging rule itself (|z| > τ) is a filter on this output.
+    Determinism: the 2-dp values are summed as DECIMAL (exact, so shuffle
+    /combine order can't change the sum — the reason AVG/STDDEV on raw
+    doubles can't be hash-compared), then mean and sample-σ come from the
+    textbook n·Σx²−(Σx)² identity in scalar double ops, identical IEEE on
+    both engines.  The displayed mean is rounded HALF-UP in exact integer
+    1e-4 units ((2x+n) div 2n) because Σ(2-dp)/n lands EXACTLY on a 4-dp
+    half all the time and Spark (BigDecimal half-up on the shortest repr)
+    and DuckDB (binary-value rounding) disagree on those; σ and z pass
+    through sqrt, which never yields an exactly-representable half."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("value").cast("decimal(18,2)").alias("v"))
+    )
+    sums = (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("v") * 10000).cast("bigint").alias("x4"),
+            F.sum("v").cast("double").alias("sx"),
+            F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    stats = sums.select(
+        "user_id",
+        "n",
+        "x4",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * (F.col("n") - F.lit(1.0)))
+        ).alias("sigma"),
+    ).where(F.col("sigma") > 0)
+    return (
+        p.join(F.broadcast(stats), "user_id")
+        .groupBy("user_id", "n", "x4", "mu", "sigma")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        (F.col("v").cast("double") - F.col("mu")) / F.col("sigma")
+                    )
+                ),
+                3,
+            ).alias("max_abs_z")
+        )
+        .select(
+            "user_id",
+            "n",
+            (
+                F.expr("(2 * x4 + n) div (2 * n)").cast("double") / 10000.0
+            ).alias("mean_value"),
+            F.round("sigma", 4).alias("std_value"),
+            "max_abs_z",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "drift_bins",
+    """
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) + MAX(epoch_us(ts)) AS pivot2 FROM events
+),
+tagged AS (
+  SELECT CASE WHEN 2 * epoch_us(ts) <= (SELECT pivot2 FROM bounds)
+              THEN 'early' ELSE 'late' END AS period,
+         LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin
+  FROM events
+),
+counts AS (
+  SELECT period, bin, COUNT(*) AS n FROM tagged GROUP BY period, bin
+),
+tot AS (SELECT period, SUM(n) AS t FROM counts GROUP BY period)
+SELECT c.period, c.bin, c.n, ROUND(CAST(c.n AS DOUBLE) / t.t, 4) AS rate
+FROM counts c JOIN tot t USING (period)
+ORDER BY period, bin
+""",
+)
+def drift_bins(spark, sf_dir):
+    """Distribution-drift monitor: split the stream at its midpoint event
+    time and compare the value histogram (10 fixed 50-unit bins) of the
+    early vs late half as per-bin rates.  The midpoint is exact integer
+    microsecond math (2·ts ≤ min+max), the bins are exact, and rates are
+    emitted PER BIN rather than collapsed into a PSI scalar so no
+    cross-engine float summation order can touch the hash — the PSI/χ²
+    reduction is a trivial driver-side fold over these 20 rows.  The pivot
+    is a 1-row broadcast (the scalar-threading pattern), so the plan is two
+    scans + one hash aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    pivot2 = e.agg(
+        (F.min(epoch_us("ts")) + F.max(epoch_us("ts"))).alias("pivot2")
+    )
+    tagged = e.crossJoin(F.broadcast(pivot2)).select(
+        F.when(2 * epoch_us("ts") <= F.col("pivot2"), F.lit("early"))
+        .otherwise(F.lit("late"))
+        .alias("period"),
+        F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)).alias(
+            "bin"
+        ),
+    )
+    counts = tagged.groupBy("period", "bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("period").agg(F.sum("n").alias("t"))
+    return (
+        counts.join(F.broadcast(tot), "period")
+        .select(
+            "period",
+            "bin",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 4).alias("rate"),
+        )
+        .orderBy("period", "bin")
+    )

@@ -65,6 +65,11 @@ CONTRACTS = [
     ("fingerprint_winnow", 2, 1),  # doc-bounded window-min + fp index join
     ("chunk_cdc", 3, 1),  # per-doc cumsum + (doc,chunk) and fp aggregates
     ("dedup_semantic", 10, 4),  # 2 kmeans iterations + in-cluster pair join
+    # wave-4 round-5 family (queries_layout): all pure-JVM expression plans
+    ("zorder_layout", 2, 0),  # interleave in codegen; 1 agg + output sort
+    ("cdc_upsert", 4, 0),  # full-outer MERGE is SMJ by necessity + final agg
+    ("anomaly_zscore", 3, 1),  # fact agg + broadcast stats join-back + agg
+    ("drift_bins", 4, 1),  # 1-row pivot broadcast + histogram + rate join
 ]
 
 

@@ -261,3 +261,109 @@ def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert got == {(r.o_orderpriority, r.n) for r in plain.collect()}
+
+
+def _row_groups_scanned(path, x_rng, y_rng):
+    """Row groups whose (x, y) min/max envelope intersects the query box —
+    exactly the stats-based skip decision Spark's parquet reader (and every
+    other min/max-pruning reader) makes per row group."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    names = [pf.schema_arrow.names.index("x"), pf.schema_arrow.names.index("y")]
+    hit = 0
+    for rg in range(pf.metadata.num_row_groups):
+        meta = pf.metadata.row_group(rg)
+        sx, sy = (meta.column(i).statistics for i in names)
+        if (sx.min <= x_rng[1] and sx.max >= x_rng[0]) and (
+            sy.min <= y_rng[1] and sy.max >= y_rng[0]
+        ):
+            hit += 1
+    return hit, pf.metadata.num_row_groups
+
+
+def test_zorder_layout_prunes_2d_boxes(spark, sf_dir, tmp_path):
+    """Z-order vs linear sort under min/max row-group pruning (the
+    queries_layout.zorder_layout claim).  Writing the fact table sorted by
+    the Morton key makes BOTH dimensions' row-group envelopes tight, so a
+    2-D box predicate skips most row groups; a linear sort is only tight in
+    its leading column, so a trailing-column predicate scans everything.
+    Keys are spread to the full 10-bit domain via xxhash64 so the test
+    exercises every interleave bit even at sf0.001."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tamar_spark.queries_layout import zvalue_expr
+    from tamar_spark.sources import load_table
+
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.xxhash64("l_orderkey", "l_linenumber").bitwiseAND(F.lit(1023)).alias("x"),
+            F.xxhash64("l_partkey", "l_suppkey").bitwiseAND(F.lit(1023)).alias("y"),
+        )
+        .withColumn("z", zvalue_expr(F.col("x"), F.col("y")))
+        .toPandas()
+    )
+    linear = tmp_path / "linear.parquet"
+    zsort = tmp_path / "zsort.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(pdf.sort_values("x").reset_index(drop=True)),
+        linear,
+        row_group_size=128,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf.sort_values("z").reset_index(drop=True)),
+        zsort,
+        row_group_size=128,
+    )
+
+    # trailing-dimension box: linear layout can't prune at all
+    y_box = ((0, 1023), (256, 383))
+    lin_y, total = _row_groups_scanned(linear, *y_box)
+    z_y, _ = _row_groups_scanned(zsort, *y_box)
+    assert lin_y == total  # every row group spans the full y range
+    assert z_y <= total // 2, f"z-order scanned {z_y}/{total} for y-box"
+
+    # 2-D box: z-order at least matches the leading-column-only prune
+    box2d = ((256, 383), (256, 383))
+    lin_2d, _ = _row_groups_scanned(linear, *box2d)
+    z_2d, _ = _row_groups_scanned(zsort, *box2d)
+    assert z_2d <= lin_2d, f"2-D box: z {z_2d} vs linear {lin_2d}"
+
+    # soundness: skipped row groups truly contain no matching rows
+    import pandas as pd
+
+    full = pq.read_table(zsort).to_pandas()
+    n_match = len(
+        full[
+            full.x.between(*box2d[0]) & full.y.between(*box2d[1])
+        ]
+    )
+    scanned_rows = z_2d * 128
+    assert scanned_rows >= n_match
+
+
+def test_zvalue_matches_python_morton(spark):
+    """The JVM bit-interleave expression equals the direct Python model on
+    the full corner set + a deterministic sample."""
+    import itertools
+
+    from tamar_spark.queries_layout import zvalue_expr
+
+    def morton(x, y):
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    corners = [0, 1, 2, 511, 512, 682, 1023]
+    pairs = list(itertools.product(corners, corners)) + [
+        ((37 * k) % 1024, (k * k + 11) % 1024) for k in range(200)
+    ]
+    df = spark.createDataFrame(pairs, "x INT, y INT").select(
+        "x", "y", zvalue_expr(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == morton(r.x, r.y), (r.x, r.y, r.z)
