@@ -51,7 +51,8 @@ _CHANGED_THIS_ROUND = [
     "dedup_semantic", "blocklist_tag",
     # Wave 4: data-layout + monitoring family.
     "zorder_layout", "cdc_upsert", "streaming_dedup_bounded",
-    "anomaly_zscore", "drift_bins",
+    "anomaly_zscore", "drift_bins", "compaction_plan",
+    "equidepth_histogram",
 ]
 
 _R1_STALE = [

@@ -75,6 +75,8 @@ HEADLINE = [
     "anomaly_zscore",
     "drift_bins",
     "streaming_dedup_bounded",
+    "compaction_plan",
+    "equidepth_histogram",
 ]
 
 

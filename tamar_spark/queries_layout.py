@@ -373,3 +373,125 @@ def drift_bins(spark, sf_dir):
         )
         .orderBy("period", "bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Compaction planning (lakehouse maintenance)
+# --------------------------------------------------------------------------
+
+_COMPACT_TARGET = 1_000_000  # pseudo-bytes per output file
+
+
+@query(
+    "compaction_plan",
+    f"""
+WITH files AS (
+  SELECT l_returnflag AS part, l_orderkey % 500 AS file_id,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS size
+  FROM lineitem GROUP BY 1, 2
+),
+offsets AS (
+  SELECT part, file_id, size,
+         SUM(size) OVER (PARTITION BY part ORDER BY file_id
+                         ROWS UNBOUNDED PRECEDING) - size AS start_off
+  FROM files
+)
+SELECT part, CAST(start_off // {_COMPACT_TARGET} AS BIGINT) AS bin,
+       COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS total_size
+FROM offsets
+GROUP BY part, start_off // {_COMPACT_TARGET}
+ORDER BY part, bin
+""",
+)
+def compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (Delta/Iceberg ``OPTIMIZE`` shape):
+    given a file manifest (synthesized here as one pseudo-file per
+    l_orderkey%500 per l_returnflag partition, size = cents of extended
+    price), assign files to target-size output bins by cumulative start
+    offset — the same sequential first-fit Delta's OPTIMIZE uses — and
+    emit the per-bin plan.  The walk is a per-partition window cumsum:
+    shuffle on the table partition, ORDERED scan within it, no driver
+    materialization, so planning 10M files across 10k partitions is one
+    window stage.  Bin boundaries are exact integer division of exact
+    integer offsets."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    files = (
+        li.groupBy(
+            F.col("l_returnflag").alias("part"),
+            (F.col("l_orderkey") % 500).alias("file_id"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("size")
+        )
+    )
+    w = W.partitionBy("part").orderBy("file_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    offsets = files.withColumn(
+        "start_off", F.sum("size").over(w) - F.col("size")
+    )
+    return (
+        offsets.groupBy(
+            "part",
+            F.expr(f"start_off div {_COMPACT_TARGET}").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").alias("total_size"),
+        )
+        .orderBy("part", "bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (monitoring)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "equidepth_histogram",
+    """
+WITH t AS (
+  SELECT event_type, value,
+         CAST(NTILE(10) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS BIGINT) AS decile
+  FROM events
+)
+SELECT event_type, decile, COUNT(*) AS n,
+       MIN(value) AS min_v, MAX(value) AS max_v
+FROM t
+GROUP BY event_type, decile
+ORDER BY event_type, decile
+""",
+)
+def equidepth_histogram(spark, sf_dir):
+    """Equi-depth (quantile-bucket) histogram of event values per type:
+    ntile(10) over a TOTAL order (value, then event_id so ties can't make
+    bucket membership engine-dependent), then per-bucket count and exact
+    value bounds.  The min/max outputs are data values, not float
+    aggregates, so no rounding is needed.  Per-type ordering is one
+    shuffle + in-partition sort; at scale the exact ntile is the
+    expensive-but-rare profiling pass, with approx_percentile
+    (percentile_agg, approx_percentile_value) as the everyday sketch."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    t = e.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(W.partitionBy("event_type").orderBy("value", "event_id"))
+        .cast("bigint"),
+    )
+    return (
+        t.groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .orderBy("event_type", "decile")
+    )

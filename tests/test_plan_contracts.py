@@ -70,6 +70,8 @@ CONTRACTS = [
     ("cdc_upsert", 4, 0),  # full-outer MERGE is SMJ by necessity + final agg
     ("anomaly_zscore", 3, 1),  # fact agg + broadcast stats join-back + agg
     ("drift_bins", 4, 1),  # 1-row pivot broadcast + histogram + rate join
+    ("compaction_plan", 3, 0),  # manifest agg + per-partition window cumsum
+    ("equidepth_histogram", 2, 0),  # per-type ntile sort + bucket agg
 ]
 
 
