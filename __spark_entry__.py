@@ -52,7 +52,7 @@ _CHANGED_THIS_ROUND = [
     # Wave 4: data-layout + monitoring family.
     "zorder_layout", "cdc_upsert", "streaming_dedup_bounded",
     "anomaly_zscore", "drift_bins", "compaction_plan",
-    "equidepth_histogram",
+    "equidepth_histogram", "cdc_incremental_agg", "lm_familiarity",
 ]
 
 _R1_STALE = [

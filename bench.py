@@ -77,6 +77,8 @@ HEADLINE = [
     "streaming_dedup_bounded",
     "compaction_plan",
     "equidepth_histogram",
+    "cdc_incremental_agg",
+    "lm_familiarity",
 ]
 
 

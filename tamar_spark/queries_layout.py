@@ -495,3 +495,174 @@ def equidepth_histogram(spark, sf_dir):
         )
         .orderBy("event_type", "decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance (delta aggregation over the CDC batch)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cdc_incremental_agg",
+    f"""
+WITH changes AS ({_CDC_CHANGES_SQL}),
+merged AS (
+  SELECT COALESCE(b.c_custkey, c.key) AS key,
+         COALESCE(c.new_bal, b.c_acctbal) AS bal,
+         COALESCE(b.c_mktsegment, c.new_seg) AS seg,
+         c.op
+  FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.key
+)
+SELECT seg, COUNT(*) AS n, ROUND(SUM(bal), 2) AS total_bal
+FROM merged
+WHERE op IS NULL OR op != 'D'
+GROUP BY seg
+ORDER BY seg
+""",
+)
+def cdc_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance: produce the post-merge per-segment
+    aggregate from the OLD aggregate plus a delta computed from the change
+    batch alone — the base table is never re-aggregated in the maintenance
+    path (its one scan here builds the initial materialized view, which at
+    100 TB is stored, not recomputed).  Delta rule per change row: insert
+    → (+1, +new_bal); delete → (−1, −old_bal); update → (0, new−old).
+    The change batch is broadcast against the base to fetch old values
+    (point lookups in a real system), and the delta aggregate — at most
+    one row per segment — folds into the stored view with a broadcast
+    full-outer.  The oracle is the FULL recompute of the merged snapshot
+    (cdc_upsert's), so the driver hash proves the incremental plan
+    equivalent to rescanning."""
+    base = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    changes = (
+        base.where((k % 17 == 3) | (k % 10 == 0) | (k % 13 == 1))
+        .select(
+            F.when((k % 17 != 3) & (k % 10 != 0), k + 1000000)
+            .otherwise(k)
+            .alias("key"),
+            F.when(k % 17 == 3, F.lit("D"))
+            .when(k % 10 == 0, F.lit("U"))
+            .otherwise(F.lit("I"))
+            .alias("op"),
+            F.when(k % 17 == 3, F.lit(None).cast("double"))
+            .when(k % 10 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.lit(0.0))
+            .alias("new_bal"),
+            F.col("c_mktsegment").alias("new_seg"),
+        )
+    )
+    old_agg = base.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n0"), F.sum("c_acctbal").alias("bal0")
+    )
+    old_vals = base.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("old_bal"),
+        F.col("c_mktsegment").alias("old_seg"),
+    )
+    delta = (
+        F.broadcast(changes)
+        .join(old_vals, "key", "left")
+        .select(
+            F.coalesce("old_seg", "new_seg").alias("seg"),
+            F.when(F.col("op") == "I", F.lit(1))
+            .when(F.col("op") == "D", F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("dn"),
+            F.when(F.col("op") == "I", F.col("new_bal"))
+            .when(F.col("op") == "D", -F.col("old_bal"))
+            .otherwise(F.col("new_bal") - F.col("old_bal"))
+            .alias("dbal"),
+        )
+        .groupBy("seg")
+        .agg(F.sum("dn").alias("dn"), F.sum("dbal").alias("dbal"))
+    )
+    return (
+        old_agg.join(F.broadcast(delta), "seg", "full_outer")
+        .select(
+            "seg",
+            (
+                F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).alias("n"),
+            F.round(
+                F.coalesce("bal0", F.lit(0.0)) + F.coalesce("dbal", F.lit(0.0)),
+                2,
+            ).alias("total_bal"),
+        )
+        .orderBy("seg")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram LM familiarity (CCNet-style corpus-fit quality signal)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lm_familiarity",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+cnt AS (
+  SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram
+)
+SELECT bg.doc_id AS doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(cnt.c) AS DOUBLE) / COUNT(*), 4) AS familiarity,
+       ROUND(CAST(SUM(CASE WHEN cnt.c <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS oov_frac
+FROM bg JOIN cnt USING (bigram)
+GROUP BY bg.doc_id
+ORDER BY doc_id
+""",
+)
+def lm_familiarity(spark, sf_dir):
+    """Corpus-fit LM proxy (the CCNet idea with the LM replaced by the
+    corpus's own bigram counts): per document, the mean corpus frequency
+    of its bigrams (high = built from common constructions) and the
+    fraction of bigrams seen nowhere else (high = noise or novelty).
+    Log-free — counts are exact integer sums and the two divisions are
+    single IEEE ops, so scores hash bit-identically (the ln-perplexity
+    form differs in the last ulp between engines; rank order is
+    monotone-identical).  Scale: the bigram count table is a mergeable
+    shuffle aggregate; the join back is a bigram-key equi-join; at 100 TB
+    the count side is capped by a document-frequency floor or replaced by
+    the count-min sketch (heavy_hitters_cms) — both one-sided, keeping
+    familiarity an upper bound."""
+    from tamar_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    idx = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    bg = toks.select(
+        "doc_id", F.explode(idx).alias("i"), "t"
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("c").cast("double") / F.count(F.lit(1)), 4
+            ).alias("familiarity"),
+            F.round(
+                F.sum(F.when(F.col("c") <= 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_frac"),
+        )
+        .orderBy("doc_id")
+    )

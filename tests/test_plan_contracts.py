@@ -72,6 +72,8 @@ CONTRACTS = [
     ("drift_bins", 4, 1),  # 1-row pivot broadcast + histogram + rate join
     ("compaction_plan", 3, 0),  # manifest agg + per-partition window cumsum
     ("equidepth_histogram", 2, 0),  # per-type ntile sort + bucket agg
+    ("cdc_incremental_agg", 3, 1),  # broadcast change batch; delta fold-in
+    ("lm_familiarity", 3, 1),  # bigram count agg + count join-back + rollup
 ]
 
 
