@@ -382,6 +382,23 @@ def drift_bins(spark, sf_dir):
 _COMPACT_TARGET = 1_000_000  # pseudo-bytes per output file
 
 
+def compaction_bins(files, target: int = _COMPACT_TARGET):
+    """Assign manifest rows ``(part, file_id, size)`` to target-size
+    compaction bins: files are laid out in file_id order per partition and
+    a file joins the bin its cumulative START offset falls in — the
+    sequential first-fit Delta's OPTIMIZE uses, as one per-partition window
+    cumsum (no driver materialization; planning 10M files across 10k
+    partitions is a single window stage)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("part").orderBy("file_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return files.withColumn(
+        "start_off", F.sum("size").over(w) - F.col("size")
+    ).withColumn("bin", F.expr(f"start_off div {target}"))
+
+
 @query(
     "compaction_plan",
     f"""
@@ -409,13 +426,9 @@ def compaction_plan(spark, sf_dir):
     l_orderkey%500 per l_returnflag partition, size = cents of extended
     price), assign files to target-size output bins by cumulative start
     offset — the same sequential first-fit Delta's OPTIMIZE uses — and
-    emit the per-bin plan.  The walk is a per-partition window cumsum:
-    shuffle on the table partition, ORDERED scan within it, no driver
-    materialization, so planning 10M files across 10k partitions is one
-    window stage.  Bin boundaries are exact integer division of exact
-    integer offsets."""
-    from pyspark.sql.window import Window as W
-
+    emit the per-bin plan (kernel: :func:`compaction_bins`, property-tested
+    against a direct replay model).  Bin boundaries are exact integer
+    division of exact integer offsets."""
     li = load_table(spark, sf_dir, "lineitem")
     files = (
         li.groupBy(
@@ -428,17 +441,9 @@ def compaction_plan(spark, sf_dir):
             .alias("size")
         )
     )
-    w = W.partitionBy("part").orderBy("file_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    offsets = files.withColumn(
-        "start_off", F.sum("size").over(w) - F.col("size")
-    )
     return (
-        offsets.groupBy(
-            "part",
-            F.expr(f"start_off div {_COMPACT_TARGET}").alias("bin"),
-        )
+        compaction_bins(files)
+        .groupBy("part", "bin")
         .agg(
             F.count(F.lit(1)).alias("n_files"),
             F.sum("size").alias("total_size"),

@@ -428,3 +428,55 @@ def test_winnow_matches_model(spark, corpus):
     for r in winnow_fingerprints(pdocs, k=k, w=w).collect():
         sets.setdefault(r.doc_id, set()).add(r.fp)
     assert sets[0] & sets[1], "winnowing guarantee violated"
+
+
+manifest_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # partition id
+        st.integers(min_value=0, max_value=50),      # file id (may collide)
+        st.integers(min_value=1, max_value=900),     # file size
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: (r[0], r[1]),                # one row per (part, file)
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(files=manifest_strategy)
+def test_compaction_bins_match_model(spark, files):
+    """For arbitrary file manifests, the window-cumsum bin assignment must
+    equal a direct sequential replay (sort per partition, accumulate start
+    offsets, bin = start // target), and every bin must hold a CONTIGUOUS
+    file_id run — the invariant that makes a bin rewritable as one output
+    file without interleaving reads."""
+    from collections import defaultdict
+
+    from tamar_spark.queries_layout import compaction_bins
+
+    target = 1000
+    df = spark.createDataFrame(files, "part long, file_id long, size long")
+    got = {
+        (r.part, r.file_id): (r.start_off, r.bin)
+        for r in compaction_bins(df, target=target).collect()
+    }
+
+    by_part = defaultdict(list)
+    for p, f, sz in files:
+        by_part[p].append((f, sz))
+    want = {}
+    for p, rows in by_part.items():
+        off = 0
+        for f, sz in sorted(rows):
+            want[(p, f)] = (off, off // target)
+            off += sz
+    assert got == want
+
+    # contiguity: within a partition, bins partition the file_id order
+    for p, rows in by_part.items():
+        seq = [got[(p, f)][1] for f, _ in sorted(rows)]
+        assert seq == sorted(seq)  # bins never decrease along the layout
