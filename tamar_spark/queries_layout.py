@@ -603,6 +603,26 @@ def cdc_incremental_agg(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def bigrams(docs):
+    """``(doc_id, text)`` → ``(doc_id, bigram)`` rows of consecutive
+    whitespace-token pairs, pure JVM (sequence + element_at, 1-based like
+    DuckDB list indexing).  NULL/empty/single-token docs contribute no
+    rows — tokens() yields NULL or a short array and the index sequence
+    is empty (guarded: Spark's ``sequence(1, 0)`` would count DOWN)."""
+    from tamar_spark.functions import text as T
+
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    idx = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return toks.select("doc_id", F.explode(idx).alias("i"), "t").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)
+        ).alias("bigram"),
+    )
+
+
 @query(
     "lm_familiarity",
     """
@@ -639,21 +659,8 @@ def lm_familiarity(spark, sf_dir):
     the count side is capped by a document-frequency floor or replaced by
     the count-min sketch (heavy_hitters_cms) — both one-sided, keeping
     familiarity an upper bound."""
-    from tamar_spark.functions import text as T
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
-    idx = F.when(
-        F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    bg = toks.select(
-        "doc_id", F.explode(idx).alias("i"), "t"
-    ).select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)
-        ).alias("bigram"),
-    )
+    bg = bigrams(docs)
     cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     return (
         bg.join(cnt, "bigram")

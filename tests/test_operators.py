@@ -1189,3 +1189,26 @@ def test_operators_tolerate_null_and_empty_text(spark):
     ).collect()
     row3 = {r.doc_id: r for r in out}[3]
     assert row3.n is None and row3.fp is None
+
+
+def test_bigram_kernel_tolerates_degenerate_docs(spark):
+    """Fixture corpora carry no NULL/empty text, so the oracle gate never
+    exercises those rows in the bigram LM path — pin it here: NULL, empty,
+    whitespace-only and single-token docs contribute NO bigram rows (an
+    unguarded Spark ``sequence(1, 0)`` would count DOWN and fabricate
+    pairs), while a two-token doc yields exactly its one pair."""
+    from tamar_spark.queries_layout import bigrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta"),
+            (3, None),
+            (4, ""),
+            (5, "   "),
+            (6, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted((r.doc_id, r.bigram) for r in bigrams(docs).collect())
+    assert got == [(1, "alpha beta"), (1, "beta gamma"), (2, "alpha beta")]
