@@ -79,6 +79,7 @@ HEADLINE = [
     "equidepth_histogram",
     "cdc_incremental_agg",
     "lm_familiarity",
+    "data_mixture_temperature",
 ]
 
 

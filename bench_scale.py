@@ -231,6 +231,24 @@ def main() -> None:
 
         return D.jaccard_pairs(corpus, 0.5, max_doc_freq=32 if capped else None)
 
+    def hot_bigram(corpus):
+        # lm_familiarity's join-back under corpus-hot bigrams: the
+        # boilerplate phrase every doc carries makes its ~5 bigrams appear
+        # n times each, so the bg ⋈ cnt equi-join has heavy keys whose
+        # multiplicity grows with the corpus.  Unlike the jaccard case
+        # there is no pairing step — each hot key joins ONE count row, so
+        # the plan must stay linear (fact-side fan-out only, AQE splits
+        # any residual skewed partition); this probe pins that.
+        from tamar_spark.queries_layout import bigrams
+
+        bg = bigrams(corpus)
+        cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+        return (
+            bg.join(cnt, "bigram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("fam"))
+        )
+
     def skewed_session(k):
         # heavy-hitter session case (r4 VERDICT task 5): ~10% of ALL events
         # remapped to one user at every scale, so the hot key's partition
@@ -317,6 +335,7 @@ def main() -> None:
     # too slow to re-pay every run
     results["hot_jaccard_capped"] = []
     results["hot_jaccard_uncapped"] = []
+    results["hot_bigram"] = []
     for k in [1, 4, 16, 64]:
         corpus = hot_corpus(k)
         for label, capped in [
@@ -329,6 +348,10 @@ def main() -> None:
             hot_jaccard(corpus, capped=capped).count()
             results[label].append(round(time.perf_counter() - t0, 2))
             spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        hot_bigram(corpus).count()
+        results["hot_bigram"].append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
     import shutil
 
     for k in [1, 4, 16, 64]:

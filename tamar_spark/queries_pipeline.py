@@ -1214,3 +1214,87 @@ def blocklist_tag(spark, sf_dir):
             (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias("flagged"),
         )
     )
+
+
+_MIXTURE_TEMP_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+wts AS (
+  SELECT lang, n, SQRT(CAST(n AS DOUBLE)) AS w FROM counts
+),
+cum AS (
+  SELECT lang, n, w,
+         SUM(w) OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cw
+  FROM wts
+),
+tot AS (
+  SELECT MAX(cw) AS wsum, CAST(SUM(n) // 2 AS BIGINT) AS target FROM cum
+),
+quotas AS (
+  SELECT lang, LEAST(n, CAST(FLOOR(target * w / wsum) AS BIGINT)) AS quota
+  FROM cum, tot
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS samp_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang,
+       CAST(r.samp_rank AS BIGINT) AS samp_rank,
+       CAST(q.quota AS BIGINT) AS quota
+FROM ranked r JOIN quotas q USING (lang)
+WHERE r.samp_rank <= q.quota
+"""
+
+
+@query("data_mixture_temperature", _MIXTURE_TEMP_SQL)
+def data_mixture_temperature(spark, sf_dir):
+    """Temperature-based mixture rebalancing (the multilingual-pretraining
+    n^α scheme): language draw probabilities ∝ n_l^α with α = 1/2, which
+    upweights rare languages relative to natural frequency; draw half the
+    corpus.  α = 1/2 is deliberate — SQRT is a correctly-rounded IEEE op
+    on both engines, where pow() can differ in the last ulp between the
+    JVM and libm; the Σ n_l^α normalizer is a cumulative sum in sorted
+    lang order (same addition sequence on both engines, so the double is
+    bit-identical), quotas floor through one deterministic division and
+    cap at the stratum size, and the per-stratum draw is the same
+    md5-rank scheme as data_mixture.
+
+    Scale: identical plan shape to data_mixture — one partial aggregate
+    for counts, a broadcast lang-level quota table, and one per-stratum
+    hash-rank sort (boundable by mixture_sample's prefilter when quota ≪
+    stratum)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    wts = counts.select("lang", "n", F.sqrt(F.col("n").cast("double")).alias("w"))
+    cum = wts.withColumn(
+        "cw",
+        F.sum("w").over(
+            W.orderBy("lang").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    tot = cum.agg(
+        F.max("cw").alias("wsum"),
+        F.expr("sum(n) div 2").cast("bigint").alias("target"),
+    )
+    quotas = cum.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.col("n"),
+            F.floor(F.col("target") * F.col("w") / F.col("wsum")).cast("bigint"),
+        ).alias("quota"),
+    )
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("samp_rank")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("samp_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "samp_rank", "quota")
+    )

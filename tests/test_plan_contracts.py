@@ -74,6 +74,7 @@ CONTRACTS = [
     ("equidepth_histogram", 2, 0),  # per-type ntile sort + bucket agg
     ("cdc_incremental_agg", 3, 1),  # broadcast change batch; delta fold-in
     ("lm_familiarity", 3, 1),  # bigram count agg + count join-back + rollup
+    ("data_mixture_temperature", 3, 1),  # counts + quota bcast + rank sort
 ]
 
 
