@@ -41,3 +41,25 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert len(spdf) == len(opdf), f"{name}: row count {len(spdf)} vs {len(opdf)}"
     s_n, o_n = _normalize(spdf), _normalize(opdf)
     pd.testing.assert_frame_equal(s_n, o_n, check_dtype=False, check_exact=True)
+
+
+def test_registry_invariants():
+    """The three registries the driver and bench read must agree: every
+    bench headline name and every rotation-queue name resolves to a
+    registered query, every oracle belongs to a query, and the priority
+    lists carry no duplicates (a typo here silently drops a query from
+    the correctness rotation — exactly the staleness failure the r4
+    verdict flagged)."""
+    import bench
+    import __spark_entry__ as entry
+
+    assert set(ORACLES) <= set(QUERIES)
+    missing_bench = [q for q in bench.HEADLINE if q not in QUERIES]
+    assert not missing_bench, f"bench names not registered: {missing_bench}"
+    head = entry._CHANGED_THIS_ROUND + entry._R1_STALE + entry._R2_STALE
+    missing_rot = [q for q in head if q not in QUERIES]
+    assert not missing_rot, f"rotation names not registered: {missing_rot}"
+    assert len(head) == len(set(head)), "duplicate names in rotation queue"
+    ordered = entry.queries()
+    assert list(ordered)[: len(head)] == [q for q in head if q in ordered]
+    assert set(ordered) == set(QUERIES)
