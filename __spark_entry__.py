@@ -53,7 +53,7 @@ _CHANGED_THIS_ROUND = [
     "zorder_layout", "cdc_upsert", "streaming_dedup_bounded",
     "anomaly_zscore", "drift_bins", "compaction_plan",
     "equidepth_histogram", "cdc_incremental_agg", "lm_familiarity",
-    "data_mixture_temperature",
+    "data_mixture_temperature", "udaf_median_cents",
 ]
 
 _R1_STALE = [

@@ -678,3 +678,58 @@ def lm_familiarity(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# UDAF: grouped-agg pandas UDF (completes the UDF/UDAF/UDTF row)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "udaf_median_cents",
+    """
+SELECT event_type,
+       MEDIAN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS median_cents,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def udaf_median_cents(spark, sf_dir):
+    """Custom aggregate as a GROUPED_AGG pandas UDF — the UDAF leg of the
+    reference's arbitrary-closure surface (src/lib.rs:127-174 lets any
+    fold run per key; Spark's typed equivalent is an Arrow-batched
+    grouped-agg UDF).  Exact median of integer cents per event type: the
+    group's values arrive as ONE pandas Series (np.median sorts, so
+    arrival order can't matter), int64 cents make the result exact (x or
+    x.5), and the oracle is DuckDB's native MEDIAN over the same ints.
+    Scale honesty: a grouped-agg UDF materializes each group on one
+    executor — right for bounded groups (5 event types here); for
+    unbounded groups use the built-in percentile/approx_percentile
+    (percentile_agg, approx_percentile_value), which aggregate
+    distributively.  The UDAF exists for folds Catalyst can't express."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_cents(v):
+        return float(np.median(v.values))
+
+    # Spark refuses to mix a grouped-agg pandas UDF with JVM aggregates in
+    # one agg(), so the row count is a second pandas UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            median_cents("cents").alias("median_cents"),
+            n_rows("cents").alias("n"),
+        )
+        .orderBy("event_type")
+    )
