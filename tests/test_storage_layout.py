@@ -367,3 +367,28 @@ def test_zvalue_matches_python_morton(spark):
     )
     for r in df.collect():
         assert r.z == morton(r.x, r.y), (r.x, r.y, r.z)
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema evolution on an append-only table: a later batch adds a
+    column; reading with ``mergeSchema`` must surface the union schema with
+    NULLs for pre-evolution rows, and a filter on the new column must still
+    push down.  At 100 TB this is the difference between re-writing the
+    corpus on every schema change and just appending — pin the read path."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(
+        p + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(3, "c", 7.5)], "id long, v string, score double"
+    ).write.parquet(p + "/batch=2")
+
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert {f.name for f in df.schema.fields} >= {"id", "v", "score"}
+    rows = {r.id: (r.v, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 7.5)}
+
+    got = spark.read.option("mergeSchema", "true").parquet(p).where(
+        F.col("score") > 5
+    )
+    assert [r.id for r in got.collect()] == [3]
