@@ -1212,3 +1212,31 @@ def test_bigram_kernel_tolerates_degenerate_docs(spark):
     )
     got = sorted((r.doc_id, r.bigram) for r in bigrams(docs).collect())
     assert got == [(1, "alpha beta"), (1, "beta gamma"), (2, "alpha beta")]
+
+
+def test_rounded_aggregates_stable_under_repartitioning(spark, sf_dir):
+    """The determinism house rule (queries.py docstring) claims rounded/
+    exact outputs cannot change with partition count.  Pin it on the
+    queries whose determinism argument is subtlest: the temperature
+    mixture (ordered-cumsum double normalizer), the z-score monitor
+    (decimal-exact moments + integer half-up mean), and the drift monitor
+    (integer midpoint split) — identical results at 2 and 32 shuffle
+    partitions."""
+    from tamar_spark.queries import QUERIES
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    names = ["data_mixture_temperature", "anomaly_zscore", "drift_bins"]
+    try:
+        results = {}
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                pdf = QUERIES[n](spark, sf_dir).toPandas()
+                pdf = pdf[sorted(pdf.columns)].sort_values(
+                    by=sorted(pdf.columns)
+                ).reset_index(drop=True)
+                results.setdefault(n, []).append(pdf)
+        for n, (a, b) in results.items():
+            assert a.equals(b), f"{n}: output changed with partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
