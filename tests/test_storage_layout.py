@@ -392,3 +392,44 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
         F.col("score") > 5
     )
     assert [r.id for r in got.collect()] == [3]
+
+
+def test_zorder_write_path_produces_tight_files(spark, sf_dir, tmp_path):
+    """The distributed z-order WRITE path (queries_layout.zorder_write):
+    range-partitioning output files by the Morton key must leave every
+    file covering one contiguous z range, so a 2-D box predicate can skip
+    most FILES on their (x, y) min/max footprints — the cluster-scale
+    analogue of the row-group test above, exercised through Spark's real
+    write shuffle instead of a local pyarrow writer."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tamar_spark.queries_layout import zorder_write
+    from tamar_spark.sources import load_table
+
+    src = load_table(spark, sf_dir, "lineitem").select(
+        F.xxhash64("l_orderkey", "l_linenumber").bitwiseAND(F.lit(1023)).alias("x"),
+        F.xxhash64("l_partkey", "l_suppkey").bitwiseAND(F.lit(1023)).alias("y"),
+    )
+    out = str(tmp_path / "zfiles")
+    zorder_write(src, F.col("x"), F.col("y"), out, n_files=16)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 8  # range partitioner may merge near-empty tails
+    box = ((256, 383), (256, 383))
+    hit, n_rows_scanned, total_rows = 0, 0, 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.to_arrow_schema().names.index(c) for c in ("x", "y")]
+        mnx = min(md.row_group(g).column(idx[0]).statistics.min for g in range(md.num_row_groups))
+        mxx = max(md.row_group(g).column(idx[0]).statistics.max for g in range(md.num_row_groups))
+        mny = min(md.row_group(g).column(idx[1]).statistics.min for g in range(md.num_row_groups))
+        mxy = max(md.row_group(g).column(idx[1]).statistics.max for g in range(md.num_row_groups))
+        total_rows += md.num_rows
+        if mnx <= box[0][1] and mxx >= box[0][0] and mny <= box[1][1] and mxy >= box[1][0]:
+            hit += 1
+            n_rows_scanned += md.num_rows
+    # a 1/8 x 1/8 box must not require scanning every file
+    assert hit < len(files), f"no file-level pruning: {hit}/{len(files)}"
+    assert n_rows_scanned < total_rows
