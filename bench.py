@@ -80,6 +80,7 @@ HEADLINE = [
     "cdc_incremental_agg",
     "lm_familiarity",
     "data_mixture_temperature",
+    "cep_funnel_sequence",
 ]
 
 

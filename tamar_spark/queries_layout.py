@@ -753,3 +753,86 @@ def udaf_median_cents(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# CEP: ordered event-sequence detection (MATCH_RECOGNIZE / Flink-CEP shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cep_funnel_sequence",
+    """
+WITH f AS (
+  SELECT user_id, event_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+lagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         LAG(event_type, 1) OVER w AS t1, LAG(event_id, 1) OVER w AS id1,
+         LAG(event_type, 2) OVER w AS t2, LAG(event_id, 2) OVER w AS id2,
+         LAG(ts, 2) OVER w AS ts2
+  FROM f
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, id2 AS view_id, id1 AS click_id, event_id AS purchase_id,
+       CAST((epoch_us(ts) - epoch_us(ts2)) // 1000000 AS BIGINT)
+         AS elapsed_sec
+FROM lagged
+WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+  AND epoch_us(ts) - epoch_us(ts2) <= 172800000000
+ORDER BY user_id, purchase_id
+""",
+)
+def cep_funnel_sequence(spark, sf_dir):
+    """Complex-event-processing pattern detection (the MATCH_RECOGNIZE /
+    Flink-CEP capability Spark lacks natively): find every STRICTLY
+    CONSECUTIVE view→click→purchase run in each user's funnel-event
+    stream, with the whole pattern inside a 48-hour window.  Contiguity is
+    over the filtered stream (other event types don't break a run), the
+    per-user order is total (ts, then event_id, so timestamp ties can't
+    reorder the lag chain between engines), and the time bound is exact
+    integer microseconds.  The fixed-length pattern compiles to ONE
+    window stage — two lags over the (user_id) shuffle the funnel filter
+    already bounded; variable-length patterns (A B+ C) decompose into a
+    run-id cumsum over the same window, the standard gaps-and-islands
+    rewrite.  Contrast with funnel_conversion, which counts stage
+    reachability rather than matching ordered runs."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    f = e.where(F.col("event_type").isin("view", "click", "purchase"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = f.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_id", 1).over(w).alias("id1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_id", 2).over(w).alias("id2"),
+        F.lag("ts", 2).over(w).alias("ts2"),
+    )
+    us, us2 = epoch_us("ts"), epoch_us("ts2")
+    return (
+        lagged.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "view")
+            & (us - us2 <= 172_800 * 1_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("id2").alias("view_id"),
+            F.col("id1").alias("click_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.expr(
+                "(unix_micros(cast(ts as timestamp_ltz))"
+                " - unix_micros(cast(ts2 as timestamp_ltz))) div 1000000"
+            )
+            .cast("bigint")
+            .alias("elapsed_sec"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )

@@ -75,6 +75,7 @@ CONTRACTS = [
     ("cdc_incremental_agg", 3, 1),  # broadcast change batch; delta fold-in
     ("lm_familiarity", 3, 1),  # bigram count agg + count join-back + rollup
     ("data_mixture_temperature", 3, 1),  # counts + quota bcast + rank sort
+    ("cep_funnel_sequence", 2, 0),  # one user-key window stage, two lags
 ]
 
 
