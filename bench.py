@@ -81,6 +81,7 @@ HEADLINE = [
     "lm_familiarity",
     "data_mixture_temperature",
     "cep_funnel_sequence",
+    "cep_runs",
 ]
 
 

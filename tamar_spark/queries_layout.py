@@ -836,3 +836,60 @@ def cep_funnel_sequence(spark, sf_dir):
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+@query(
+    "cep_runs",
+    """
+WITH numbered AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_type, rn_all - rn_type AS island,
+         MIN(event_id) AS run_start_id, COUNT(*) AS run_len
+  FROM numbered
+  GROUP BY user_id, event_type, rn_all - rn_type
+)
+SELECT user_id, event_type, run_start_id, run_len
+FROM islands
+WHERE run_len >= 3
+ORDER BY user_id, run_start_id
+""",
+)
+def cep_runs(spark, sf_dir):
+    """Variable-length CEP pattern (the A+ case cep_funnel_sequence's
+    fixed-length lag chain can't express): maximal runs of ≥3 consecutive
+    same-type events per user, via the gaps-and-islands rewrite — two
+    row_numbers whose difference is constant exactly within a run, so one
+    GROUP BY recovers every maximal island in a single window + aggregate
+    pass.  All integer arithmetic over a total (ts, event_id) order; both
+    window functions share the user_id shuffle (the per-type numbering is
+    a finer partition of the same exchange)."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    numbered = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "island"
+        ),
+    )
+    return (
+        numbered.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("event_id").alias("run_start_id"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .where(F.col("run_len") >= 3)
+        .select("user_id", "event_type", "run_start_id", "run_len")
+        .orderBy("user_id", "run_start_id")
+    )

@@ -76,6 +76,7 @@ CONTRACTS = [
     ("lm_familiarity", 3, 1),  # bigram count agg + count join-back + rollup
     ("data_mixture_temperature", 3, 1),  # counts + quota bcast + rank sort
     ("cep_funnel_sequence", 2, 0),  # one user-key window stage, two lags
+    ("cep_runs", 2, 0),  # gaps-and-islands: shared user shuffle + agg
 ]
 
 
