@@ -82,6 +82,7 @@ HEADLINE = [
     "data_mixture_temperature",
     "cep_funnel_sequence",
     "cep_runs",
+    "trend_ols",
 ]
 
 

@@ -893,3 +893,77 @@ def cep_runs(spark, sf_dir):
         .select("user_id", "event_type", "run_start_id", "run_len")
         .orderBy("user_id", "run_start_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Trend detection: closed-form OLS slope per group (exact-sum regression)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "trend_ols",
+    """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS t0 FROM events
+),
+d AS (
+  SELECT event_type,
+         (epoch_us(ts) - (SELECT t0 FROM b)) // 3600000000 AS x,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_hour,
+       ROUND((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / n, 4) AS intercept
+FROM s
+ORDER BY event_type
+""",
+)
+def trend_ols(spark, sf_dir):
+    """Metric-trend monitor: closed-form OLS of value against time (hours
+    since corpus start) per event type — the slope is the drift detector's
+    'is this metric trending' primitive.  Time is centered to small exact
+    integers FIRST (hours 0..720 instead of raw epoch micros) so every
+    moment — Σx, Σy, Σx², Σxy — is an exact integer/decimal sum immune to
+    shuffle order; the slope (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and intercept are
+    then scalar double ops, identical IEEE on both engines.  One partial
+    aggregate over the fact table + a broadcast 1-row t0 — the same
+    single-pass shape as q1."""
+    e = load_table(spark, sf_dir, "events")
+    t0 = e.agg(F.min(epoch_us("ts")).alias("t0"))
+    d = e.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp_ltz)) - t0) div 3600000000"
+        ).alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n"),
+            4,
+        ).alias("intercept"),
+    ).orderBy("event_type")

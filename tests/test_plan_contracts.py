@@ -77,6 +77,7 @@ CONTRACTS = [
     ("data_mixture_temperature", 3, 1),  # counts + quota bcast + rank sort
     ("cep_funnel_sequence", 2, 0),  # one user-key window stage, two lags
     ("cep_runs", 2, 0),  # gaps-and-islands: shared user shuffle + agg
+    ("trend_ols", 2, 0),  # 1-row t0 broadcast + one exact-moment agg
 ]
 
 
