@@ -799,9 +799,20 @@ def cep_funnel_sequence(spark, sf_dir):
     rewrite.  Contrast with funnel_conversion, which counts stage
     reachability rather than matching ordered runs."""
     e = load_table(spark, sf_dir, "events")
+    return funnel_matches(e, within_us=172_800 * 1_000_000).orderBy(
+        "user_id", "purchase_id"
+    )
+
+
+def funnel_matches(events, within_us: int, pattern=("view", "click", "purchase")):
+    """CEP kernel behind ``cep_funnel_sequence``: strictly consecutive
+    3-step ``pattern`` runs per user over the filtered stream, last step
+    within ``within_us`` microseconds of the first.  Total per-user order
+    (ts, event_id) — a tie in ts cannot reorder the lag chain."""
     from pyspark.sql.window import Window as W
 
-    f = e.where(F.col("event_type").isin("view", "click", "purchase"))
+    a, b, c = pattern
+    f = events.where(F.col("event_type").isin(*pattern))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     lagged = f.select(
         "user_id",
@@ -817,16 +828,18 @@ def cep_funnel_sequence(spark, sf_dir):
     us, us2 = epoch_us("ts"), epoch_us("ts2")
     return (
         lagged.where(
-            (F.col("event_type") == "purchase")
-            & (F.col("t1") == "click")
-            & (F.col("t2") == "view")
-            & (us - us2 <= 172_800 * 1_000_000)
+            (F.col("event_type") == c)
+            & (F.col("t1") == b)
+            & (F.col("t2") == a)
+            & (us - us2 <= within_us)
         )
         .select(
             "user_id",
             F.col("id2").alias("view_id"),
             F.col("id1").alias("click_id"),
             F.col("event_id").alias("purchase_id"),
+            # integer div, not /: a float quotient just below an integer
+            # can round UP to it and truncate differently than floor-div
             F.expr(
                 "(unix_micros(cast(ts as timestamp_ltz))"
                 " - unix_micros(cast(ts2 as timestamp_ltz))) div 1000000"
@@ -834,7 +847,6 @@ def cep_funnel_sequence(spark, sf_dir):
             .cast("bigint")
             .alias("elapsed_sec"),
         )
-        .orderBy("user_id", "purchase_id")
     )
 
 
@@ -870,12 +882,19 @@ def cep_runs(spark, sf_dir):
     pass.  All integer arithmetic over a total (ts, event_id) order; both
     window functions share the user_id shuffle (the per-type numbering is
     a finer partition of the same exchange)."""
+    e = load_table(spark, sf_dir, "events")
+    return type_runs(e, min_len=3).orderBy("user_id", "run_start_id")
+
+
+def type_runs(events, min_len: int):
+    """CEP kernel behind ``cep_runs``: maximal same-type runs of length ≥
+    ``min_len`` per user via gaps-and-islands (difference of two
+    row_numbers over the total (ts, event_id) order)."""
     from pyspark.sql.window import Window as W
 
-    e = load_table(spark, sf_dir, "events")
     w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    numbered = e.select(
+    numbered = events.select(
         "user_id",
         "event_id",
         "event_type",
@@ -889,9 +908,8 @@ def cep_runs(spark, sf_dir):
             F.min("event_id").alias("run_start_id"),
             F.count(F.lit(1)).alias("run_len"),
         )
-        .where(F.col("run_len") >= 3)
+        .where(F.col("run_len") >= min_len)
         .select("user_id", "event_type", "run_start_id", "run_len")
-        .orderBy("user_id", "run_start_id")
     )
 
 

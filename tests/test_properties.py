@@ -480,3 +480,94 @@ def test_compaction_bins_match_model(spark, files):
     for p, rows in by_part.items():
         seq = [got[(p, f)][1] for f, _ in sorted(rows)]
         assert seq == sorted(seq)  # bins never decrease along the layout
+
+
+cep_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user id
+        st.integers(min_value=0, max_value=30),     # minute offset (ties likely)
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _cep_frame(spark, events):
+    rows = [
+        (u, i, t, BASE + dt.timedelta(minutes=m))
+        for i, (u, m, t) in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=cep_events_strategy)
+def test_funnel_matches_model(spark, events):
+    """The lag-chain CEP kernel must equal a direct per-user scan over the
+    (ts, event_id)-sorted filtered stream — including inputs with tied
+    timestamps, which the fixture corpora never produce and which would
+    expose any non-total ordering."""
+    from tamar_spark.queries_layout import funnel_matches
+
+    within = 10 * 60 * 1_000_000  # 10 minutes in µs
+    got = {
+        (r.user_id, r.view_id, r.click_id, r.purchase_id, r.elapsed_sec)
+        for r in funnel_matches(_cep_frame(spark, events), within_us=within).collect()
+    }
+
+    by_user = {}
+    for i, (u, m, t) in enumerate(events):
+        if t in ("view", "click", "purchase"):
+            by_user.setdefault(u, []).append((m * 60_000_000, i, t))
+    want = set()
+    for u, rows in by_user.items():
+        rows.sort()  # (ts, event_id) total order
+        for j in range(2, len(rows)):
+            (ts2, id2, t2), (_, id1, t1), (ts0, id0, t0) = (
+                rows[j - 2],
+                rows[j - 1],
+                rows[j],
+            )
+            if (t2, t1, t0) == ("view", "click", "purchase") and ts0 - ts2 <= within:
+                want.add((u, id2, id1, id0, (ts0 - ts2) // 1_000_000))
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=cep_events_strategy)
+def test_type_runs_match_model(spark, events):
+    """Gaps-and-islands runs must equal a direct run-length scan of each
+    user's (ts, event_id)-sorted stream."""
+    from tamar_spark.queries_layout import type_runs
+
+    got = {
+        (r.user_id, r.event_type, r.run_start_id, r.run_len)
+        for r in type_runs(_cep_frame(spark, events), min_len=2).collect()
+    }
+
+    by_user = {}
+    for i, (u, m, t) in enumerate(events):
+        by_user.setdefault(u, []).append((m, i, t))
+    want = set()
+    for u, rows in by_user.items():
+        rows.sort()
+        run_start, run_type, run_len = None, None, 0
+        for m, i, t in rows + [(None, None, None)]:
+            if t == run_type:
+                run_len += 1
+                continue
+            if run_type is not None and run_len >= 2:
+                want.add((u, run_type, run_start, run_len))
+            run_start, run_type, run_len = i, t, 1
+    assert got == want
