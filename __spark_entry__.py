@@ -54,7 +54,7 @@ _CHANGED_THIS_ROUND = [
     "anomaly_zscore", "drift_bins", "compaction_plan",
     "equidepth_histogram", "cdc_incremental_agg", "lm_familiarity",
     "data_mixture_temperature", "udaf_median_cents",
-    "cep_funnel_sequence", "cep_runs", "trend_ols",
+    "cep_funnel_sequence", "cep_runs", "trend_ols", "table_profile",
 ]
 
 _R1_STALE = [

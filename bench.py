@@ -83,6 +83,7 @@ HEADLINE = [
     "cep_funnel_sequence",
     "cep_runs",
     "trend_ols",
+    "table_profile",
 ]
 
 

@@ -985,3 +985,64 @@ def trend_ols(spark, sf_dir):
             4,
         ).alias("intercept"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Table profiling (Deequ / Great-Expectations shape)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@query(
+    "table_profile",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct
+FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name",
+)
+def table_profile(spark, sf_dir):
+    """Data-profiling pass (the Deequ/Great-Expectations primitive): per
+    column of the orders table, row count, NULL count, and EXACT distinct
+    count, in ONE job.  Spark plans the six exact COUNT DISTINCTs as a
+    single Expand + aggregate (each input row fans out once per column),
+    so the table is scanned once regardless of column count; the result
+    is one row, unpivoted driver-free via ``stack``.  At 100 TB the exact
+    distinct expand is the deliberate-profiling path — continuous
+    monitoring uses ``approx_count_distinct`` (approx_distinct_users),
+    which aggregates in constant space.  All outputs are exact integers —
+    nothing for a float hash to disagree on."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__nulls"
+            ),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack}) AS"
+                " (col_name, n_rows, n_null, n_distinct)"
+            )
+        )
+        .orderBy("col_name")
+    )

@@ -78,6 +78,7 @@ CONTRACTS = [
     ("cep_funnel_sequence", 2, 0),  # one user-key window stage, two lags
     ("cep_runs", 2, 0),  # gaps-and-islands: shared user shuffle + agg
     ("trend_ols", 2, 0),  # 1-row t0 broadcast + one exact-moment agg
+    ("table_profile", 2, 0),  # one Expand + aggregate; single table scan
 ]
 
 
