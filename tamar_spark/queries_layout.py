@@ -863,7 +863,7 @@ WITH numbered AS (
 ),
 islands AS (
   SELECT user_id, event_type, rn_all - rn_type AS island,
-         MIN(event_id) AS run_start_id, COUNT(*) AS run_len
+         ARG_MIN(event_id, rn_all) AS run_start_id, COUNT(*) AS run_len
   FROM numbered
   GROUP BY user_id, event_type, rn_all - rn_type
 )
@@ -889,7 +889,10 @@ def cep_runs(spark, sf_dir):
 def type_runs(events, min_len: int):
     """CEP kernel behind ``cep_runs``: maximal same-type runs of length ≥
     ``min_len`` per user via gaps-and-islands (difference of two
-    row_numbers over the total (ts, event_id) order)."""
+    row_numbers over the total (ts, event_id) order).  ``run_start_id`` is
+    the id of the run's first event IN TIME ORDER (min_by over the row
+    number) — plain MIN(event_id) only coincides with it when ids happen
+    to follow time, a wart the tied-timestamp property test caught."""
     from pyspark.sql.window import Window as W
 
     w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -898,6 +901,7 @@ def type_runs(events, min_len: int):
         "user_id",
         "event_id",
         "event_type",
+        F.row_number().over(w_all).alias("rn_all"),
         (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
             "island"
         ),
@@ -905,7 +909,7 @@ def type_runs(events, min_len: int):
     return (
         numbered.groupBy("user_id", "event_type", "island")
         .agg(
-            F.min("event_id").alias("run_start_id"),
+            F.min_by("event_id", "rn_all").alias("run_start_id"),
             F.count(F.lit(1)).alias("run_len"),
         )
         .where(F.col("run_len") >= min_len)
