@@ -56,7 +56,7 @@ def test_registry_invariants():
     assert set(ORACLES) <= set(QUERIES)
     missing_bench = [q for q in bench.HEADLINE if q not in QUERIES]
     assert not missing_bench, f"bench names not registered: {missing_bench}"
-    head = entry._CHANGED_THIS_ROUND + entry._R1_STALE + entry._R2_STALE
+    head = entry._R1_STALE + entry._CHANGED_THIS_ROUND + entry._R2_STALE
     missing_rot = [q for q in head if q not in QUERIES]
     assert not missing_rot, f"rotation names not registered: {missing_rot}"
     assert len(head) == len(set(head)), "duplicate names in rotation queue"
