@@ -249,6 +249,39 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("fam"))
         )
 
+    def cdc_merge(k):
+        # cdc_upsert's full-outer SMJ at k x: base and change batch both
+        # scale (key-shifted copies), so this pins the n log n merge path —
+        # the shape Spark must pick because full outer cannot broadcast
+        customer = load_table(spark, SF_DIR, "customer")
+        base = replicate(customer, k, ["c_custkey"])
+        kk = F.col("c_custkey")
+        changes = base.where((kk % 17 == 3) | (kk % 10 == 0)).select(
+            kk.alias("key"),
+            F.when(kk % 17 == 3, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            (F.col("c_acctbal") + 100.0).alias("new_bal"),
+        )
+        merged = base.join(changes, base["c_custkey"] == changes["key"], "full_outer")
+        return (
+            merged.where(F.col("op").isNull() | (F.col("op") != "D"))
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def equidepth(k):
+        # per-type ntile at k x: the exact-quantile profiling pass is a
+        # per-group sort (n log n within each event_type partition) — the
+        # deliberately-expensive path whose everyday twin is the
+        # approx_percentile sketch
+        from pyspark.sql.window import Window as W
+
+        e = replicate(events, k, ["event_id"])
+        t = e.withColumn(
+            "decile",
+            F.ntile(10).over(W.partitionBy("event_type").orderBy("value", "event_id")),
+        )
+        return t.groupBy("event_type", "decile").agg(F.count(F.lit(1)).alias("n"))
+
     def skewed_session(k):
         # heavy-hitter session case (r4 VERDICT task 5): ~10% of ALL events
         # remapped to one user at every scale, so the hot key's partition
@@ -313,6 +346,8 @@ def main() -> None:
         ("join_agg", join_agg),
         ("lsh_dedup", lsh_dedup),
         ("span_dedup", span_dedup),
+        ("cdc_merge", cdc_merge),
+        ("equidepth", equidepth),
         ("stream_session_process", stream_session_process),
     ]:
         scales = [1, 4, 16] if name == "stream_session_process" else SCALES
