@@ -107,7 +107,7 @@ def main() -> None:
     # soft wall budget: never let the variance protocol starve the artifact —
     # if a pass ends past the budget, stop re-running and report the passes
     # completed so far (the cold pass alone is a valid single-sample record)
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     started = time.perf_counter()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     done_runs = 0
