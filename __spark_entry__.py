@@ -11,6 +11,10 @@ Implementation lives in :mod:`tamar_spark.queries`; each query there is a
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,75 +28,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["session_agg"](spark, "/root/testdata/sf0.001")
 
 
-# The driver evaluates registration order and caps the correctness run at
-# 50 queries per round (CORRECTNESS_r01..r04 each hold exactly 50 rows), so
-# registration is a priority queue (VERDICT rotation discipline).  Round-5
-# head = 8 r1-stale rows first (the r4 VERDICT's explicit done-criterion) +
-# the 42 queries changed or added this round = exactly 50.  Were the cap
-# ever tighter, the tail of the changed list holds the two whose ORACLE IS
-# IDENTICAL to a query inside the checked set (streaming_heavy_hitters ≡
-# heavy_hitters_cms, cdc_incremental_agg ≡ cdc_upsert) — the least
-# information lost per dropped row.
-_R1_STALE = [
-    "q10_returned_top", "q14_promo_share", "q15_top_supplier",
-    "q17_small_quantity", "q18_large_orders", "q19_bracket_revenue",
-    "q22_idle_customers", "stat_agg",
-]
-
+# The driver evaluates registration order and caps the correctness run at 50
+# queries per round, so registration is a priority queue.  Since round 6 the
+# order is COMPUTED from the CORRECTNESS_r*.json ledger in this directory
+# (r5 VERDICT task 1: rotation must not depend on hand-maintained lists):
+# stalest-first — a query's priority is the last round a driver row verified
+# it, with never-verified (new) queries and the entries below (queries whose
+# SEMANTICS changed this round, so their old rows no longer attest the
+# current code) at the head.  Ties keep stable registration order.  A test
+# (tests/test_registry.py) recomputes this independently and pins both the
+# ordering invariant and the head-50 membership.
 _CHANGED_THIS_ROUND = [
-    # r5 changes, wave 1: streaming_global_state vectorized walk, jaccard
-    # lower-bound emit + persisted stats, pack_sequences shard bucketing,
-    # video frame sampling, WAV audio decode, corpus-mining family.
-    # Waves 2-3: salted sessions, substring spans + rewrite, mixture,
-    # PQ ANN, incremental dedup (single-pass refactor), curation DAG,
-    # streaming CMS, hard negatives, winnowing, CDC chunking.
-    "streaming_global_state", "dedup_ngram_jaccard", "pack_sequences",
-    "video_frames", "audio_wav_meta", "corpus_shuffle",
-    "embed_filtered_topk", "streaming_stream_full_outer_join",
-    "tfidf_top_terms", "dedup_containment", "embed_kmeans",
-    "pagerank_nations", "heavy_hitters_cms", "ewma_user_value",
-    "session_agg_salted", "dedup_substring_spans", "data_mixture",
-    "embed_pq_topk", "dedup_incremental", "corpus_curate",
-    "embed_hard_negatives",
-    "dedup_span_rewrite", "fingerprint_winnow", "chunk_cdc",
-    "dedup_semantic", "blocklist_tag",
-    # Waves 4-5: data-layout + monitoring + CEP + profiling family.
-    "zorder_layout", "cdc_upsert", "streaming_dedup_bounded",
-    "anomaly_zscore", "drift_bins", "compaction_plan",
-    "equidepth_histogram", "lm_familiarity",
-    "data_mixture_temperature", "udaf_median_cents",
-    "cep_funnel_sequence", "cep_runs", "trend_ols", "table_profile",
-    # oracle-twin tail (see cap note above)
-    "streaming_heavy_hitters", "cdc_incremental_agg",
+    # r6: cdc_incremental_agg reworked per ADVICE (insert keys derived from
+    # the base's max key; broadcast restructured to a semi-join prefilter) —
+    # its output rows differ from the r5-verified ones.
+    "cdc_incremental_agg",
 ]
 
-_R2_STALE = [
-    "session_agg", "session_stats", "tumbling_agg",
-    "asof_join_latest_order", "embed_cosine_topk", "streaming_session_agg",
-    "date_funcs", "string_funcs", "array_funcs", "dedup_embedding",
-    "window_analytics", "pivot_sales", "percentile_agg",
-    "streaming_sliding_agg", "regex_funcs", "conditional_funcs",
-    "date_arith", "streaming_complete_counts", "grouping_sets_sales",
-    "time_rollup", "range_frame_total", "token_counts",
-    "q2_min_cost_supplier", "q16_supplier_counts", "q21_waiting_orders",
-    "streaming_static_join", "doc_chunks", "scrub_text", "udtf_sentences",
-    "funnel_conversion", "weekly_retention", "bloom_sketch",
-    "asof_join_next_order", "train_test_split", "stratified_cap",
-    "q11_important_parts", "q12_priority_shipping",
-    "q13_order_distribution", "q20_excess_shipments",
-]
+
+def _last_checked() -> dict[str, int]:
+    """Latest driver round that verified each query, from the artifact
+    ledger committed next to this file."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for q in rows:
+            last[q] = max(last.get(q, 0), rnd)
+    return last
 
 
 def _ordered(mapping: dict) -> dict:
-    head = [
-        k
-        for k in _R1_STALE + _CHANGED_THIS_ROUND + _R2_STALE
-        if k in mapping
-    ]
-    seen = set(head)
-    out = {k: mapping[k] for k in head}
-    out.update({k: v for k, v in mapping.items() if k not in seen})
-    return out
+    last = _last_checked()
+    changed = set(_CHANGED_THIS_ROUND)
+
+    def prio(name: str) -> int:
+        return 0 if name in changed else last.get(name, 0)
+
+    names = sorted(mapping, key=lambda n: prio(n))  # stable: ties keep order
+    return {k: mapping[k] for k in names}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -45,21 +45,57 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
 def test_registry_invariants():
     """The three registries the driver and bench read must agree: every
-    bench headline name and every rotation-queue name resolves to a
-    registered query, every oracle belongs to a query, and the priority
-    lists carry no duplicates (a typo here silently drops a query from
-    the correctness rotation — exactly the staleness failure the r4
-    verdict flagged)."""
+    bench headline name resolves to a registered query, every oracle
+    belongs to a query, the changed-list entries exist, and the rotation
+    covers the full inventory with no duplicates (a typo here silently
+    drops a query from the correctness rotation — exactly the staleness
+    failure the r4 verdict flagged)."""
     import bench
     import __spark_entry__ as entry
 
     assert set(ORACLES) <= set(QUERIES)
     missing_bench = [q for q in bench.HEADLINE if q not in QUERIES]
     assert not missing_bench, f"bench names not registered: {missing_bench}"
-    head = entry._R1_STALE + entry._CHANGED_THIS_ROUND + entry._R2_STALE
-    missing_rot = [q for q in head if q not in QUERIES]
-    assert not missing_rot, f"rotation names not registered: {missing_rot}"
-    assert len(head) == len(set(head)), "duplicate names in rotation queue"
+    missing_chg = [q for q in entry._CHANGED_THIS_ROUND if q not in QUERIES]
+    assert not missing_chg, f"changed-list names not registered: {missing_chg}"
     ordered = entry.queries()
-    assert list(ordered)[: len(head)] == [q for q in head if q in ordered]
     assert set(ordered) == set(QUERIES)
+    assert len(ordered) == len(QUERIES)
+
+
+def test_rotation_is_stalest_first():
+    """Pins the r5-VERDICT rotation invariant: the driver checks the FIRST
+    50 registered queries each round, so registration order must be
+    stalest-first — computed from the CORRECTNESS_r*.json ledger, never a
+    hand-maintained list.  Recomputes the expected priority independently
+    of __spark_entry__._ordered and asserts (a) priorities are
+    non-decreasing along the registration order and (b) the head-50 is
+    exactly the 50 lowest-priority names (new/changed queries first, then
+    oldest driver rows)."""
+    import glob
+    import json
+    import os
+    import re
+
+    import __spark_entry__ as entry
+
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        for q in json.load(open(path)):
+            last[q] = max(last.get(q, 0), rnd)
+
+    changed = set(entry._CHANGED_THIS_ROUND)
+    names = list(entry.queries())
+    prios = [0 if n in changed else last.get(n, 0) for n in names]
+    assert prios == sorted(prios), "rotation is not stalest-first"
+
+    head, cap = set(names[:50]), min(50, len(names))
+    cutoff = sorted(prios)[cap - 1]
+    # every query strictly staler than the cutoff must be inside the head
+    must_have = {n for n, p in zip(names, prios) if p < cutoff}
+    assert must_have <= head, f"stale rows missing from head-50: {must_have - head}"
+    # never-verified (new) and changed queries always make the head
+    fresh_now = {n for n in names if n in changed or n not in last}
+    assert fresh_now <= head or len(names) < 50
