@@ -39,10 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tests/test_registry.py) recomputes this independently and pins both the
 # ordering invariant and the head-50 membership.
 _CHANGED_THIS_ROUND = [
-    # r6: cdc_incremental_agg reworked per ADVICE (insert keys derived from
-    # the base's max key; broadcast restructured to a semi-join prefilter) —
-    # its output rows differ from the r5-verified ones.
+    # r6: CDC pair reworked per ADVICE — insert keys derived from the
+    # base's max key (disjointness by construction) and the incremental
+    # path's broadcast restructured to a semi-join prefilter so the change
+    # batch genuinely is the build side.
     "cdc_incremental_agg",
+    "cdc_upsert",
 ]
 
 

@@ -90,6 +90,23 @@ def epoch_us(col):
     return F.unix_micros(_c(col).cast("timestamp_ltz"))
 
 
+def floor_div(a, b):
+    """Integer FLOOR division, matching DuckDB/Python ``//`` for any sign.
+
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors, so
+    the two only agree on non-negative quotients — an engine-semantics trap
+    the r5 advisor flagged in three bucketing expressions (they happened to
+    be sign-safe on the fixture, which is exactly how such traps ship).
+    ``a - pmod(a, b)`` is the largest multiple of ``b`` ≤ ``a`` (for
+    ``b > 0``), so dividing it by ``b`` is exact — including through the
+    double-typed ``/``, because an exact multiple with ``|a| < 2^53``
+    (every epoch-microsecond delta, cent sum, and bucket id here; 2^53 µs
+    ≈ 285 years) is represented and divided without rounding.  Pure JVM
+    expressions — stays inside whole-stage codegen."""
+    a, b = _c(a), _c(b) if not isinstance(b, int) else F.lit(b)
+    return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+
 def dsum_r(col, nd: int = 2):
     """`dsum` rounded to ``nd`` places — the oracle-alignment form."""
     return F.round(F.sum(_c(col).cast(_DEC)), nd).cast("double")

@@ -31,7 +31,13 @@ from functools import reduce
 from pyspark.sql import functions as F
 
 from tamar_spark.env import prep_session
-from tamar_spark.queries import query, epoch_us, _events_stream, _run_to_memory
+from tamar_spark.queries import (
+    query,
+    epoch_us,
+    floor_div,
+    _events_stream,
+    _run_to_memory,
+)
 from tamar_spark.sources import load_table
 
 
@@ -129,7 +135,8 @@ def zorder_layout(spark, sf_dir):
 
 _CDC_CHANGES_SQL = """
   SELECT CASE WHEN c_custkey % 17 != 3 AND c_custkey % 10 != 0
-              THEN c_custkey + 1000000 ELSE c_custkey END AS key,
+              THEN c_custkey + (SELECT MAX(c_custkey) FROM customer)
+              ELSE c_custkey END AS key,
          CASE WHEN c_custkey % 17 = 3 THEN 'D'
               WHEN c_custkey % 10 = 0 THEN 'U'
               ELSE 'I' END AS op,
@@ -140,6 +147,36 @@ _CDC_CHANGES_SQL = """
   FROM customer
   WHERE c_custkey % 17 = 3 OR c_custkey % 10 = 0 OR c_custkey % 13 = 1
 """
+
+
+def _cdc_changes(base):
+    """Deterministic CDC batch over ``customer``: deletes (key%17=3),
+    updates +100 (key%10=0), inserts opening at 0.0 (key%13=1), first rule
+    wins.  Insert keys are ``source_key + MAX(base key)`` — disjoint from
+    every base key BY CONSTRUCTION (source keys are ≥ 1), so downstream
+    delta rules may treat every 'I' row as a guaranteed-new key without an
+    old-value lookup (the +1000000 constant this replaces only held for
+    the fixture's key range).  The 1-row max is a broadcast scalar."""
+    k = F.col("c_custkey")
+    maxk = base.agg(F.max("c_custkey").alias("_maxk"))
+    return (
+        base.crossJoin(F.broadcast(maxk))
+        .where((k % 17 == 3) | (k % 10 == 0) | (k % 13 == 1))
+        .select(
+            F.when((k % 17 != 3) & (k % 10 != 0), k + F.col("_maxk"))
+            .otherwise(k)
+            .alias("key"),
+            F.when(k % 17 == 3, F.lit("D"))
+            .when(k % 10 == 0, F.lit("U"))
+            .otherwise(F.lit("I"))
+            .alias("op"),
+            F.when(k % 17 == 3, F.lit(None).cast("double"))
+            .when(k % 10 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.lit(0.0))
+            .alias("new_bal"),
+            F.col("c_mktsegment").alias("new_seg"),
+        )
+    )
 
 
 @query(
@@ -161,9 +198,9 @@ ORDER BY seg
 """,
 )
 def cdc_upsert(spark, sf_dir):
-    """CDC MERGE: apply a deterministic change batch (deletes: key%17=3,
-    updates +100: key%10=0, inserts at key+1e6 opening at 0.0: key%13=1,
-    first rule wins)
+    """CDC MERGE: apply the deterministic change batch of
+    :func:`_cdc_changes` (deletes: key%17=3, updates +100: key%10=0,
+    inserts at key+max(base key) opening at 0.0: key%13=1, first rule wins)
     to the customer base table in ONE full-outer join, then summarize the
     new snapshot per segment.  Spark cannot broadcast a full-outer join, so
     the plan is a sort-merge join shuffled on the key — the right shape at
@@ -172,24 +209,7 @@ def cdc_upsert(spark, sf_dir):
     rewrite only those files.  The oracle replays the identical merge in
     SQL."""
     base = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    changes = (
-        base.where((k % 17 == 3) | (k % 10 == 0) | (k % 13 == 1))
-        .select(
-            F.when((k % 17 != 3) & (k % 10 != 0), k + 1000000)
-            .otherwise(k)
-            .alias("key"),
-            F.when(k % 17 == 3, F.lit("D"))
-            .when(k % 10 == 0, F.lit("U"))
-            .otherwise(F.lit("I"))
-            .alias("op"),
-            F.when(k % 17 == 3, F.lit(None).cast("double"))
-            .when(k % 10 == 0, F.col("c_acctbal") + 100.0)
-            .otherwise(F.lit(0.0))
-            .alias("new_bal"),
-            F.col("c_mktsegment").alias("new_seg"),
-        )
-    )
+    changes = _cdc_changes(base)
     merged = base.join(changes, base["c_custkey"] == changes["key"], "full_outer")
     return (
         merged.where(F.col("op").isNull() | (F.col("op") != "D"))
@@ -283,10 +303,14 @@ def anomaly_zscore(spark, sf_dir):
     doubles can't be hash-compared), then mean and sample-σ come from the
     textbook n·Σx²−(Σx)² identity in scalar double ops, identical IEEE on
     both engines.  The displayed mean is rounded HALF-UP in exact integer
-    1e-4 units ((2x+n) div 2n) because Σ(2-dp)/n lands EXACTLY on a 4-dp
+    1e-4 units ((2x+n) // 2n) because Σ(2-dp)/n lands EXACTLY on a 4-dp
     half all the time and Spark (BigDecimal half-up on the shortest repr)
     and DuckDB (binary-value rounding) disagree on those; σ and z pass
-    through sqrt, which never yields an exactly-representable half."""
+    through sqrt, which never yields an exactly-representable half.  The
+    division is :func:`~tamar_spark.queries.floor_div`, so both engines
+    compute the identical FLOOR for any sign of the sum (for negative
+    sums the formula reads as round-half-toward-+∞ on both engines —
+    engine-identical, which is what the hash contract needs)."""
     p = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
@@ -329,7 +353,10 @@ def anomaly_zscore(spark, sf_dir):
             "user_id",
             "n",
             (
-                F.expr("(2 * x4 + n) div (2 * n)").cast("double") / 10000.0
+                floor_div(2 * F.col("x4") + F.col("n"), 2 * F.col("n")).cast(
+                    "double"
+                )
+                / 10000.0
             ).alias("mean_value"),
             F.round("sigma", 4).alias("std_value"),
             "max_abs_z",
@@ -416,7 +443,7 @@ def compaction_bins(files, target: int = _COMPACT_TARGET):
     )
     return files.withColumn(
         "start_off", F.sum("size").over(w) - F.col("size")
-    ).withColumn("bin", F.expr(f"start_off div {target}"))
+    ).withColumn("bin", floor_div(F.col("start_off"), target))
 
 
 @query(
@@ -551,32 +578,24 @@ def cdc_incremental_agg(spark, sf_dir):
     batch alone — the base table is never re-aggregated in the maintenance
     path (its one scan here builds the initial materialized view, which at
     100 TB is stored, not recomputed).  Delta rule per change row: insert
-    → (+1, +new_bal); delete → (−1, −old_bal); update → (0, new−old).
-    The change batch is broadcast against the base to fetch old values
-    (point lookups in a real system), and the delta aggregate — at most
-    one row per segment — folds into the stored view with a broadcast
-    full-outer.  The oracle is the FULL recompute of the merged snapshot
+    → (+1, +new_bal); delete → (−1, −old_bal); update → (0, new−old) —
+    exact because :func:`_cdc_changes` guarantees insert keys disjoint
+    from the base.  The old-value fetch is a broadcast LEFT-SEMI prefilter
+    ON the base (change keys broadcast to the base scan, filtered
+    map-side, no base shuffle — the batch-lookup shape; a lakehouse MERGE
+    adds file pruning on top), then the change batch left-joins the tiny
+    touched-rows set with THAT set as the broadcast build side.  Spark
+    cannot make the preserved side of a left-outer join the hash-join
+    build side, which is why the naive broadcast(changes)-on-the-left
+    hint is a no-op — the semi prefilter is the restructure that makes
+    the batch-sized build real.  The final fold of the ≤|segments|-row
+    delta into the stored view is a full-outer merge (not broadcastable
+    by definition; both sides are one row per segment, so the exchange is
+    trivial).  The oracle is the FULL recompute of the merged snapshot
     (cdc_upsert's), so the driver hash proves the incremental plan
     equivalent to rescanning."""
     base = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    changes = (
-        base.where((k % 17 == 3) | (k % 10 == 0) | (k % 13 == 1))
-        .select(
-            F.when((k % 17 != 3) & (k % 10 != 0), k + 1000000)
-            .otherwise(k)
-            .alias("key"),
-            F.when(k % 17 == 3, F.lit("D"))
-            .when(k % 10 == 0, F.lit("U"))
-            .otherwise(F.lit("I"))
-            .alias("op"),
-            F.when(k % 17 == 3, F.lit(None).cast("double"))
-            .when(k % 10 == 0, F.col("c_acctbal") + 100.0)
-            .otherwise(F.lit(0.0))
-            .alias("new_bal"),
-            F.col("c_mktsegment").alias("new_seg"),
-        )
-    )
+    changes = _cdc_changes(base)
     old_agg = base.groupBy(F.col("c_mktsegment").alias("seg")).agg(
         F.count(F.lit(1)).alias("n0"), F.sum("c_acctbal").alias("bal0")
     )
@@ -585,9 +604,11 @@ def cdc_incremental_agg(spark, sf_dir):
         F.col("c_acctbal").alias("old_bal"),
         F.col("c_mktsegment").alias("old_seg"),
     )
+    touched = old_vals.join(
+        F.broadcast(changes.select("key")), "key", "left_semi"
+    )
     delta = (
-        F.broadcast(changes)
-        .join(old_vals, "key", "left")
+        changes.join(F.broadcast(touched), "key", "left")
         .select(
             F.coalesce("old_seg", "new_seg").alias("seg"),
             F.when(F.col("op") == "I", F.lit(1))
@@ -603,7 +624,7 @@ def cdc_incremental_agg(spark, sf_dir):
         .agg(F.sum("dn").alias("dn"), F.sum("dbal").alias("dbal"))
     )
     return (
-        old_agg.join(F.broadcast(delta), "seg", "full_outer")
+        old_agg.join(delta, "seg", "full_outer")
         .select(
             "seg",
             (
@@ -838,14 +859,9 @@ def funnel_matches(events, within_us: int, pattern=("view", "click", "purchase")
             F.col("id2").alias("view_id"),
             F.col("id1").alias("click_id"),
             F.col("event_id").alias("purchase_id"),
-            # integer div, not /: a float quotient just below an integer
-            # can round UP to it and truncate differently than floor-div
-            F.expr(
-                "(unix_micros(cast(ts as timestamp_ltz))"
-                " - unix_micros(cast(ts2 as timestamp_ltz))) div 1000000"
-            )
-            .cast("bigint")
-            .alias("elapsed_sec"),
+            # exact integer floor-div (not /, not `div`): matches the
+            # oracle's `//` for any sign of the delta
+            floor_div(us - us2, 1_000_000).alias("elapsed_sec"),
         )
     )
 
@@ -964,9 +980,7 @@ def trend_ols(spark, sf_dir):
     t0 = e.agg(F.min(epoch_us("ts")).alias("t0"))
     d = e.crossJoin(F.broadcast(t0)).select(
         "event_type",
-        F.expr(
-            "(unix_micros(cast(ts as timestamp_ltz)) - t0) div 3600000000"
-        ).alias("x"),
+        floor_div(epoch_us("ts") - F.col("t0"), 3_600_000_000).alias("x"),
         F.col("value").cast("decimal(18,2)").alias("y"),
     )
     s = d.groupBy("event_type").agg(

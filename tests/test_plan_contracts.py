@@ -72,7 +72,9 @@ CONTRACTS = [
     ("drift_bins", 4, 1),  # 1-row pivot broadcast + histogram + rate join
     ("compaction_plan", 3, 0),  # manifest agg + per-partition window cumsum
     ("equidepth_histogram", 2, 0),  # per-type ntile sort + bucket agg
-    ("cdc_incremental_agg", 3, 1),  # broadcast change batch; delta fold-in
+    # broadcast semi prefilter on base + batch-side BuildRight lookup; the
+    # ≤|segments|-row delta folds in via full-outer SMJ (not broadcastable)
+    ("cdc_incremental_agg", 3, 2),
     ("lm_familiarity", 3, 1),  # bigram count agg + count join-back + rollup
     ("data_mixture_temperature", 3, 1),  # counts + quota bcast + rank sort
     ("cep_funnel_sequence", 2, 0),  # one user-key window stage, two lags

@@ -571,3 +571,38 @@ def test_type_runs_match_model(spark, events):
                 want.add((u, run_type, run_start, run_len))
             run_start, run_type, run_len = i, t, 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# floor_div: engine-identical floor semantics for ANY sign (r5 ADVICE — the
+# `div`-vs-`//` trap only held on the fixture because its values were
+# non-negative)
+# ---------------------------------------------------------------------------
+
+signed_div_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**52), max_value=2**52),
+        st.integers(min_value=1, max_value=10_000_000_000),
+    ),
+    min_size=1,
+    max_size=64,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=signed_div_strategy)
+def test_floor_div_matches_python_floordiv(spark, pairs):
+    from tamar_spark.queries import floor_div
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [
+        r.q
+        for r in df.select(floor_div(F.col("a"), F.col("b")).alias("q"))
+        .collect()
+    ]
+    assert got == [a // b for a, b in pairs]
