@@ -867,6 +867,66 @@ def funnel_matches(events, within_us: int, pattern=("view", "click", "purchase")
 
 
 @query(
+    "streaming_cep_funnel",
+    """
+WITH wm AS (
+  SELECT (epoch_us(MAX(ts)) // 1000 - 600000) * 1000 AS wm_us FROM events
+),
+f AS (
+  SELECT user_id, event_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+lagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         LAG(event_type, 1) OVER w AS t1, LAG(event_id, 1) OVER w AS id1,
+         LAG(event_type, 2) OVER w AS t2, LAG(event_id, 2) OVER w AS id2,
+         LAG(ts, 2) OVER w AS ts2
+  FROM f
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, id2 AS view_id, id1 AS click_id, event_id AS purchase_id,
+       CAST((epoch_us(ts) - epoch_us(ts2)) // 1000000 AS BIGINT)
+         AS elapsed_sec
+FROM lagged
+WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+  AND epoch_us(ts) - epoch_us(ts2) <= 172800000000
+  AND epoch_us(ts) < (SELECT wm_us FROM wm)
+ORDER BY user_id, purchase_id
+""",
+)
+def streaming_cep_funnel(spark, sf_dir):
+    """The funnel pattern LIVE: cep_funnel_sequence's strictly-consecutive
+    view→click→purchase match running as a streaming query on the keyed
+    stateful API (streaming/cep.py — the reference's keyed process_state,
+    src/lib.rs:323-361, is Flink-CEP's substrate, and this is that
+    construction on applyInPandasWithState).  A match only emits once the
+    watermark strictly passes its purchase timestamp — before that an
+    admissible late event could still break the run's consecutiveness —
+    which makes the output independent of micro-batch slicing and equal to
+    the BATCH funnel restricted to purchases sealed by the final
+    watermark.  The shared oracle is therefore cep_funnel_sequence's SQL
+    plus that finality filter (watermark = ms-floored max event time −
+    10 min, exactly Spark's arithmetic); matches still unsealed at
+    end-of-stream never emit (the reference's no-flush,
+    src/lib.rs:1316-1345).  Scale: per-key state is the unsealed horizon
+    plus two rows — the Flink-CEP buffer bound; see streaming/cep.py."""
+    from tamar_spark.stream import DataStream
+    from tamar_spark.streaming.cep import funnel_match_streaming
+
+    prep_session(spark)
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    keyed = DataStream(sdf, event_time="ts").key_by("user_id")
+    out = funnel_match_streaming(
+        keyed, ("view", "click", "purchase"), within_us=172_800 * 1_000_000
+    )
+    return _run_to_memory(out.to_df()).orderBy("user_id", "purchase_id")
+
+
+@query(
     "cep_runs",
     """
 WITH numbered AS (

@@ -1,0 +1,158 @@
+"""Streaming complex-event-processing: watermark-final pattern matching.
+
+The reference is a Flink-shaped stream processor whose keyed
+``process_state`` (reference src/lib.rs:323-361) is exactly the substrate
+Flink-CEP builds on; the batch CEP family (queries_layout: lag-chain
+funnel, gaps-and-islands runs) expresses the same patterns declaratively
+but only over a finished table.  This module runs the fixed-length
+pattern LIVE on ``applyInPandasWithState``, with the event-time watermark
+deciding when a match is FINAL — the streaming-correctness problem batch
+CEP never faces:
+
+- **A match is provisional until the watermark passes its last event.**
+  "Strictly consecutive" is a property of the final event order; an event
+  arriving later with an earlier timestamp can break a run that looked
+  consecutive.  Spark admits rows with event time ≥ watermark, so a match
+  whose last element's timestamp is strictly below the watermark can
+  never be broken — that is the emission condition, and it makes the
+  emitted set independent of micro-batch slicing.
+- **State is watermark-bounded.** Once rows are sealed (ts < watermark),
+  only the trailing ``len(pattern) - 1`` of them can ever prefix a future
+  match; everything older is dropped.  Retained bytes per key ≈ unsealed
+  horizon + 2 rows, the Flink-CEP NFA-buffer bound.
+- **Quiet keys flush via event-time timers.** Spark only invokes keys
+  present in a micro-batch; a key holding a complete-but-unsealed match
+  registers a timer just past the match's last timestamp so the
+  final no-data batch (watermark advance) fires it —
+  the same mechanism streaming/sessions.py uses for session close.
+  Matches still unsealed at end-of-stream never emit (the reference's
+  no-flush semantic, src/lib.rs:1316-1345).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional
+
+import pandas as pd
+
+__all__ = ["funnel_match_streaming"]
+
+
+def funnel_match_streaming(
+    keyed,
+    pattern: tuple,
+    within_us: int,
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    ts_col: Optional[str] = None,
+):
+    """Streaming strictly-consecutive 3-step pattern match per key.
+
+    Mirrors the batch kernel ``queries_layout.funnel_matches`` (same
+    pattern tuple, same ``within_us`` bound, same (ts, id) total order,
+    same output columns) so the two can share one oracle up to the
+    watermark-finality filter.  ``keyed`` must wrap a streaming DataFrame
+    with ``withWatermark`` applied and already filtered to the pattern's
+    event types.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from tamar_spark.stream import DataStream
+
+    if len(pattern) != 3:
+        raise ValueError("fixed-length kernel: pattern must have 3 steps")
+    a, b, c = pattern
+    ts = ts_col or keyed.event_time
+    if ts is None:
+        raise ValueError("funnel_match_streaming requires an event_time column")
+    keep_cols = [id_col, type_col, ts]
+
+    def handle(key, pdfs, gstate):
+        if gstate.exists:
+            blob = pickle.loads(bytes(gstate.get[0]))
+            buffered, prev_wm_us = blob["events"], blob["wm_us"]
+        else:
+            buffered, prev_wm_us = None, -1
+
+        batches = [pdf[keep_cols] for pdf in pdfs if len(pdf)]
+        if batches:
+            fresh = pd.concat(batches, ignore_index=True)
+            buffered = (
+                fresh
+                if buffered is None
+                else pd.concat([buffered, fresh], ignore_index=True)
+            )
+
+        wm_us = gstate.getCurrentWatermarkMs() * 1000
+        remaining, next_candidate_us = None, None
+        if buffered is not None and len(buffered):
+            buffered = buffered.sort_values(
+                [ts, id_col], kind="mergesort"
+            ).reset_index(drop=True)
+            ts_us = buffered[ts].astype("datetime64[us]").astype("int64")
+            t = buffered[type_col]
+            # consecutive-triple match over the total order, vectorized
+            is_match = (
+                (t == c)
+                & (t.shift(1) == b)
+                & (t.shift(2) == a)
+                & (ts_us - ts_us.shift(2) <= within_us)
+            )
+            # final (sealed) now and not emitted by an earlier watermark
+            sealed = ts_us < wm_us
+            fresh_match = is_match & sealed & (ts_us >= prev_wm_us)
+            if fresh_match.any():
+                idx = fresh_match[fresh_match].index
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(idx),
+                        "view_id": buffered[id_col].shift(2)[idx].astype("int64"),
+                        "click_id": buffered[id_col].shift(1)[idx].astype("int64"),
+                        "purchase_id": buffered[id_col][idx],
+                        "elapsed_sec": (
+                            (ts_us[idx] - ts_us.shift(2)[idx].astype("int64"))
+                            // 1_000_000
+                        ),
+                    }
+                )
+            # candidate matches still awaiting their seal drive the timer
+            pending = is_match & ~sealed
+            if pending.any():
+                next_candidate_us = int(ts_us[pending[pending].index].min())
+            # retention: unsealed suffix + the trailing len(pattern)-1
+            # sealed rows (the only sealed rows a future match can use)
+            n_sealed = int(sealed.sum())
+            remaining = buffered.iloc[max(0, n_sealed - 2) :].reset_index(
+                drop=True
+            )
+
+        gstate.update(
+            (
+                pickle.dumps(
+                    {
+                        "events": remaining
+                        if remaining is not None and len(remaining)
+                        else None,
+                        "wm_us": max(prev_wm_us, wm_us),
+                    }
+                ),
+            )
+        )
+        if next_candidate_us is not None:
+            # fire once the watermark strictly passes the match's last event
+            gstate.setTimeoutTimestamp(
+                max(next_candidate_us // 1000 + 1, gstate.getCurrentWatermarkMs() + 1)
+            )
+
+    out = keyed.df.groupBy(*keyed.keys).applyInPandasWithState(
+        handle,
+        outputStructType=(
+            "user_id long, view_id long, click_id long, "
+            "purchase_id long, elapsed_sec long"
+        ),
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return DataStream(out, env=keyed.env, event_time=None)

@@ -645,3 +645,101 @@ def test_stream_full_outer_join_invariants(spark, sf_dir):
             v = views[int(r.view_id)]
             assert v.event_id not in matched_views, f"view {v.event_id} matched"
             assert v.ts + dt.timedelta(hours=2) <= final_wm
+
+def test_streaming_cep_funnel_late_and_tied_events(spark, tmp_path):
+    """Streaming CEP watermark-finality semantics (r5 VERDICT task 3),
+    pinned on hand-built micro-batches (maxFilesPerTrigger=1, 30-min
+    watermark delay):
+
+    - user 1: a complete view→click→purchase run in batch 1 is BROKEN by
+      an admissible late click arriving in batch 2 between its click and
+      purchase — no emission (this is exactly why a match may not emit
+      until the watermark passes its purchase);
+    - user 2: all three steps share one timestamp — the (ts, event_id)
+      total order still matches them, emitted once sealed;
+    - user 4: the middle click arrives LATE in batch 2 and completes the
+      run — emitted once sealed;
+    - user 3: a run near end-of-stream stays unsealed (final watermark =
+      max ts − 30 min) — never emits (no-flush, reference
+      src/lib.rs:1316-1345)."""
+    import time as _time
+
+    import pandas as pd
+
+    from tamar_spark.stream import DataStream
+    from tamar_spark.streaming.cep import funnel_match_streaming
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+
+    def rows(*evs):
+        return pd.DataFrame(
+            {
+                "user_id": [u for u, *_ in evs],
+                "event_id": [i for _, i, *_ in evs],
+                "event_type": [t for *_, t, _m in evs],
+                "ts": [base + pd.Timedelta(minutes=m) for *_, m in evs],
+            }
+        )
+
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    batch1 = rows(
+        (1, 1, "view", 0), (1, 2, "click", 1), (1, 3, "purchase", 2),
+        (2, 10, "view", 0), (2, 11, "click", 0), (2, 12, "purchase", 0),
+        (4, 20, "view", 0), (4, 22, "purchase", 2),
+        (3, 30, "view", 58), (3, 31, "click", 58), (3, 32, "purchase", 59),
+    )
+    # batch 2: late click id4 breaks user 1's run (12:01:30 ≥ watermark
+    # 11:32, so it IS admitted); late click id21 completes user 4's run;
+    # a 13:00 sentinel pushes the final watermark to 12:30
+    batch2 = rows((9, 99, "view", 60))
+    batch2 = pd.concat(
+        [
+            rows((4, 21, "click", 1)),
+            pd.DataFrame(
+                {
+                    "user_id": [1],
+                    "event_id": [4],
+                    "event_type": ["click"],
+                    "ts": [base + pd.Timedelta(seconds=90)],
+                }
+            ),
+            batch2,
+        ],
+        ignore_index=True,
+    )
+    for name, pdf in (("a", batch1), ("b", batch2)):
+        pdf.to_parquet(src / f"{name}.parquet", coerce_timestamps="us")
+        _time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    schema = spark.read.parquet(str(src)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+    )
+    keyed = DataStream(sdf, event_time="ts").key_by("user_id")
+    out = funnel_match_streaming(
+        keyed, ("view", "click", "purchase"), within_us=48 * 3600 * 1_000_000
+    )
+    q = (
+        out.to_df()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_funnel_out")
+        .option("checkpointLocation", str(tmp_path / "cep_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.view_id, r.click_id, r.purchase_id, r.elapsed_sec)
+        for r in spark.table("cep_funnel_out").collect()
+    )
+    assert got == [
+        (2, 10, 11, 12, 0),   # tied timestamps, ordered by event_id
+        (4, 20, 21, 22, 120),  # completed by the late middle click
+    ], got
