@@ -75,6 +75,9 @@ CONTRACTS = [
     # broadcast semi prefilter on base + batch-side BuildRight lookup; the
     # ≤|segments|-row delta folds in via full-outer SMJ (not broadcastable)
     ("cdc_incremental_agg", 3, 2),
+    # min/max IVM: safe fold + endangered-group rescan, all group lists
+    # and change batches broadcast; aggregates dominate the exchanges
+    ("cdc_incremental_minmax", 10, 4),
     ("lm_familiarity", 3, 1),  # bigram count agg + count join-back + rollup
     ("data_mixture_temperature", 3, 1),  # counts + quota bcast + rank sort
     ("cep_funnel_sequence", 2, 0),  # one user-key window stage, two lags

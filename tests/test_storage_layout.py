@@ -433,3 +433,39 @@ def test_zorder_write_path_produces_tight_files(spark, sf_dir, tmp_path):
     # a 1/8 x 1/8 box must not require scanning every file
     assert hit < len(files), f"no file-level pruning: {hit}/{len(files)}"
     assert n_rows_scanned < total_rows
+
+
+def test_cdc_minmax_exercises_both_ivm_paths(spark, sf_dir):
+    """cdc_incremental_minmax's equivalence oracle would pass trivially if
+    the fixture made every group endangered (then the query degenerates to
+    a full recompute) or none (then retraction handling is dead code).
+    Pin that BOTH paths run: some groups fold safely with no base access,
+    some re-scan — so the driver hash genuinely certifies the split plan."""
+    from tamar_spark.queries_layout import _cdc_changes
+    from tamar_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "customer")
+    changes = _cdc_changes(base)
+    view0 = base.groupBy(F.col("c_nationkey").alias("nat")).agg(
+        F.min("c_acctbal").alias("min0"), F.max("c_acctbal").alias("max0")
+    )
+    old_vals = base.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("old_bal"),
+        F.col("c_nationkey").alias("old_nat"),
+    )
+    removed = (
+        changes.join(old_vals, "key", "left")
+        .where(F.col("op") != "I")
+        .groupBy(F.coalesce("old_nat", "new_nat").alias("nat"))
+        .agg(F.min("old_bal").alias("min_rm"), F.max("old_bal").alias("max_rm"))
+    )
+    folded = view0.join(removed, "nat", "left")
+    endangered = F.coalesce(
+        (F.col("min_rm") <= F.col("min0")) | (F.col("max_rm") >= F.col("max0")),
+        F.lit(False),
+    )
+    n_end = folded.where(endangered).count()
+    n_safe = folded.where(~endangered).count()
+    assert n_end > 0, "no endangered group: retraction path untested"
+    assert n_safe > 0, "every group endangered: incremental fold untested"
