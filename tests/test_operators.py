@@ -200,12 +200,64 @@ def test_process_state_batch(spark):
     )
 
 
-def test_process_state_streaming(spark, tmp_path):
-    """transformWithStateInPandas path: per-key running count over a stream
-    (reference keyed process_state, src/lib.rs:323-361)."""
+def test_stateful_backend_dispatch_is_pinned():
+    """Pin WHICH streaming-state backend this environment exercises
+    (r5 VERDICT task 5): the dispatch picks transformWithStateInPandas
+    only when python protobuf is importable.  Probe protobuf
+    independently and assert the selector agrees — so a CI image change
+    that silently flips the active branch fails here, visibly, instead
+    of leaving the other branch dead untested."""
+    from tamar_spark.streaming.stateful import active_stateful_backend
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        expected = "transformWithStateInPandas"
+    except ImportError:
+        expected = "applyInPandasWithState"
+    assert active_stateful_backend() == expected
+
+
+def test_forcing_tws_without_protobuf_fails_loudly(spark):
+    """use_tws=True in a protobuf-less env must raise a clear ImportError
+    at construction, not a cryptic state-server failure mid-query."""
     from tamar_spark import Environment
-    from tamar_spark.streaming.stateful import process_state_streaming
+    from tamar_spark.streaming.stateful import (
+        _tws_available,
+        process_state_streaming,
+    )
     from tamar_spark.stream import KeyedDataStream
+
+    if _tws_available():
+        pytest.skip("protobuf present: the forced path is the real path")
+    sdf = spark.readStream.format("rate").load()
+    keyed = KeyedDataStream(sdf, keys=[F.col("value")], env=Environment(spark))
+    with pytest.raises(ImportError, match="protobuf"):
+        process_state_streaming(
+            keyed, lambda k, p, s: p, schema="value long", use_tws=True
+        )
+
+
+@pytest.mark.parametrize("backend", ["auto", "tws"])
+def test_process_state_streaming(spark, tmp_path, backend):
+    """Per-key running count over a stream (reference keyed process_state,
+    src/lib.rs:323-361), run on BOTH dispatch branches: 'auto' follows
+    active_stateful_backend() (applyInPandasWithState in this protobuf-less
+    image); 'tws' forces transformWithStateInPandas and skips where its
+    protobuf dependency is absent — the skip line in the report records
+    which branch this environment actually exercised."""
+    from tamar_spark import Environment
+    from tamar_spark.streaming.stateful import (
+        _tws_available,
+        process_state_streaming,
+    )
+    from tamar_spark.stream import KeyedDataStream
+
+    use_tws = None
+    if backend == "tws":
+        if not _tws_available():
+            pytest.skip("protobuf absent: transformWithStateInPandas unavailable")
+        use_tws = True
 
     src = str(tmp_path / "stream_src")
     spark.createDataFrame(
@@ -225,18 +277,18 @@ def test_process_state_streaming(spark, tmp_path):
 
     out = process_state_streaming(
         keyed, counting, schema="k long, v long, seen_before long",
-        init_state=lambda k: {"n": 0},
+        init_state=lambda k: {"n": 0}, use_tws=use_tws,
     )
     q = (
         out.to_df()
         .writeStream.outputMode("append")
         .format("memory")
-        .queryName("tws_out")
+        .queryName(f"tws_out_{backend}")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    rows = spark.table("tws_out").collect()
+    rows = spark.table(f"tws_out_{backend}").collect()
     assert len(rows) == 6
     # each key saw 3 events; within one batch seen_before is the pre-batch count
     assert all(r.seen_before == 0 for r in rows)
