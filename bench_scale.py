@@ -338,6 +338,77 @@ def main() -> None:
             )
         )
 
+    def rotated_embeddings(k):
+        # same rotation scheme as lsh_dedup: key-shifted, sign-rotated
+        # copies so replicas are not trivial duplicates of each other
+        parts = []
+        for i in range(k):
+            sign_arr = F.array(
+                *[F.lit(float(1 - 2 * ((i >> (j % 5)) & 1))) for j in range(64)]
+            )
+            rotated = F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                sign_arr,
+                lambda x, s: x * s,
+            )
+            parts.append(
+                embeddings.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000_000)).alias("vec_id"),
+                    rotated.alias("v"),
+                )
+            )
+        e = parts[0]
+        for p in parts[1:]:
+            e = e.unionByName(p)
+        return e
+
+    def semdedup_pairs(k, skewed=False, salt=0):
+        # dedup_semantic's k-scaling claim (r5 VERDICT task 4): scale the
+        # corpus AND the cluster count together so expected cluster size is
+        # CONSTANT (~100 vectors) — the production regime the docstring
+        # promises — and the in-cluster pair join's total work (Σ cluster²)
+        # must grow linearly with the corpus.  `skewed` pins one cluster to
+        # ~10% of all points (the hot-key hazard); `salt` engages the
+        # documented sub-cluster split: the probe side keeps its hash salt,
+        # the build side is replicated once per salt value, and the join key
+        # becomes (cluster, salt) — same pairs, S-way parallel hot cluster.
+        from tamar_spark.operators.similarity import dot, l2_norm
+
+        e = rotated_embeddings(k)
+        n_clusters = 20 * k
+        cl = F.pmod(F.xxhash64("vec_id"), F.lit(n_clusters))
+        if skewed:
+            cl = F.when(
+                F.pmod(F.xxhash64("vec_id", F.lit(7)), F.lit(10)) == 0, F.lit(0)
+            ).otherwise(cl)
+        pv = e.select("vec_id", "v", cl.alias("cluster"))
+        x = pv.select(
+            F.col("vec_id").alias("src_id"),
+            "cluster",
+            F.col("v").alias("xv"),
+        ).withColumn("xn", l2_norm(F.col("xv")))
+        y = pv.select(
+            F.col("vec_id").alias("dup_id"),
+            "cluster",
+            F.col("v").alias("yv"),
+        ).withColumn("yn", l2_norm(F.col("yv")))
+        keys = ["cluster"]
+        if salt:
+            x = x.withColumn(
+                "s", F.pmod(F.xxhash64("src_id", F.lit(13)), F.lit(salt))
+            )
+            y = y.withColumn(
+                "s", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+            )
+            keys = ["cluster", "s"]
+        score = dot(F.col("xv"), F.col("yv")) / (F.col("xn") * F.col("yn"))
+        return (
+            x.join(y, keys)
+            .filter(F.col("src_id") < F.col("dup_id"))
+            .filter(score >= 0.4)
+            .select("src_id", "dup_id")
+        )
+
     results = {}
     for name, fn in [
         ("session_agg", session_agg),
@@ -391,6 +462,43 @@ def main() -> None:
 
     for k in [1, 4, 16, 64]:
         shutil.rmtree(f"spark-warehouse/_probe_hot_jaccard_{k}", ignore_errors=True)
+
+    # SemDeDup k-scaling: corpus and cluster count grow together (constant
+    # expected cluster size), so the pair join must be linear; the skew
+    # contrast times the 10%-hot cluster with and without the sub-cluster
+    # salt, and the identity cell proves the salted plan output-identical
+    results["semdedup_pairjoin"] = []
+    for k in SCALES:
+        t0 = time.perf_counter()
+        semdedup_pairs(k).count()
+        results["semdedup_pairjoin"].append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+    results["semdedup_skewed_unsalted"] = []
+    results["semdedup_skewed_salted"] = []
+    for k in [1, 4, 16]:
+        for label, salt in [
+            ("semdedup_skewed_unsalted", 0),
+            ("semdedup_skewed_salted", 8),
+        ]:
+            t0 = time.perf_counter()
+            semdedup_pairs(k, skewed=True, salt=salt).count()
+            results[label].append(round(time.perf_counter() - t0, 2))
+            spark.catalog.clearCache()
+
+    def pair_checksum(df):
+        # decimal sum: a bigint sum of 64-bit hashes overflows ANSI mode
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src_id", "dup_id").cast("decimal(38,0)")).alias("h"),
+        ).first()
+
+    plain = pair_checksum(semdedup_pairs(4, skewed=True, salt=0))
+    salted = pair_checksum(semdedup_pairs(4, skewed=True, salt=8))
+    assert (plain.n, plain.h) == (salted.n, salted.h), (
+        f"salted semdedup diverged: {plain} vs {salted}"
+    )
+    results["semdedup_salt_identical"] = [plain.n]
+    spark.catalog.clearCache()
 
     results["pack_unbucketed"] = []
     results["pack_bucketed_k"] = []

@@ -497,7 +497,12 @@ def dedup_semantic(spark, sf_dir):
     id-shuffle per iteration); the pair join shuffles on cluster — at
     production k (thousands), clusters are small and the per-cluster
     quadratic term is bounded; skewed clusters split with a sub-cluster
-    salt exactly like any hot aggregation key."""
+    salt exactly like any hot aggregation key.  Both claims are now
+    MEASURED (bench_scale.py semdedup_* rows, BASELINE.md): with corpus
+    and k scaled together (constant cluster size ~100) the pair join is
+    linear to 64×; a 10%-hot cluster runs 11.3→8.0 s at 16× under the
+    salt, checksum-identical output, with the crossover (~16×) recorded —
+    engage the salt in the hot regime only."""
     emb = load_table(spark, sf_dir, "embeddings")
     asg = C.kmeans(emb, k=8, iters=2).select("vec_id", "cluster")
     v = emb.select(
