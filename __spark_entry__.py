@@ -45,6 +45,9 @@ _CHANGED_THIS_ROUND = [
     # batch genuinely is the build side.
     "cdc_incremental_agg",
     "cdc_upsert",
+    # r6: PQ rerank depth tuned 20 -> 50 after the recall@5 measurement
+    # (BASELINE.md ANN recall table) — output rows differ from r5.
+    "embed_pq_topk",
 ]
 
 

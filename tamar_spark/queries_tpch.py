@@ -991,7 +991,7 @@ seed AS (
   FROM adc a
   JOIN c ON a.neighbor_id = c.neighbor_id
   JOIN q ON a.query_id = q.query_id
-  WHERE a.rk <= 20
+  WHERE a.rk <= 50
 ), ranked AS (
   SELECT query_id, neighbor_id, s,
          row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
@@ -1014,12 +1014,16 @@ def embed_pq_topk(spark, sf_dir):
     IEEE in a pinned order (see ``similarity.pq_topk``), so the DuckDB
     twin replays the encode → LUT → ADC → rerank pipeline bitwise and the
     output is fully hash-checked.  Quality gate:
-    ``test_pq_recall_and_compression``."""
+    ``test_pq_recall_and_compression``; measured recall@5 vs exact is
+    recorded in BASELINE.md (r6): rerank depth is THE quality knob —
+    rerank=20 scored 0.455 on a 40-cluster corpus vs 0.855 at rerank=50
+    (1.0 with 8 subquantizers), so this query runs rerank=50; ADC still
+    prunes 2000→50, and the rerank cost is 50 float vectors per query."""
     from tamar_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.pq_topk(emb, queries_df, k=5, dim=64)
+    return S.pq_topk(emb, queries_df, k=5, dim=64, rerank=50)
 
 
 @query(
