@@ -4,17 +4,21 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
    "runs": R, "bands": {q: [min, median, max]}, "cold": {...},
-   "cold_total": N}
+   "cold_total": N, "baseline_set": [...], "baseline_median_total": N,
+   "baseline_cold_total": N, "extended_runs": R2}
 
-Variance protocol (r4 VERDICT task 3): the headline set is executed
-``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) in one session.  ``value``
-and ``queries`` are per-query MEDIANS (steady-state, robust to one-off GC
-or state-store jitter); ``bands`` carries the min/median/max spread so a
-regression can be told from machine noise; ``cold`` is the first pass,
-which absorbs each query's one-time whole-stage-codegen cost (the
-cold−median gap is the codegen share — e.g. dedup_minhash_lsh is mostly
-codegen).  Runs on local[$SPARK_GRAFT_CPUS] with the engine's tuned
-session (AQE, broadcast joins, pruned scans).
+Variance protocol (r4 VERDICT task 3; two-tier split r5 task 8): the
+RECORDED_BASELINE set — the 21 queries whose per-query numbers BASELINE.md
+pins as the regression anchor — ALWAYS runs ``$SPARK_GRAFT_BENCH_RUNS``
+times (default 3), regardless of budget, so its medians never silently
+degrade to fewer passes as the inventory grows.  The EXTENDED set (newer
+headline queries) runs one guaranteed cold pass, then repeats only while
+the soft wall budget ($SPARK_GRAFT_BENCH_BUDGET, default 420 s) holds.
+``value``/``queries`` are per-query MEDIANS over however many passes a
+query got; ``bands`` carries min/median/max so a regression can be told
+from machine noise; ``cold`` is each query's first pass (absorbing its
+one-time whole-stage-codegen cost).  Runs on local[$SPARK_GRAFT_CPUS]
+with the engine's tuned session (AQE, broadcast joins, pruned scans).
 """
 
 from __future__ import annotations
@@ -24,7 +28,10 @@ import os
 import time
 
 
-HEADLINE = [
+# The per-query regression anchor (BASELINE.md "Recorded per-query
+# baseline"): the original r1-r4 headline set. Do not reorder — cold
+# numbers depend on what warmed the JVM before each query.
+RECORDED_BASELINE = [
     "session_agg",
     "tumbling_agg",
     "sliding_agg",
@@ -46,8 +53,10 @@ HEADLINE = [
     "stateful_event_numbering",
     "streaming_session_agg",
     "streaming_stream_join",
-    # round-5 additions (not in the 20-query recorded-baseline set; the
-    # judge set-matches, so extra entries only add visibility)
+]
+
+EXTENDED = [
+    # round-5 additions
     "corpus_shuffle",
     "video_frames",
     "audio_wav_meta",
@@ -84,7 +93,12 @@ HEADLINE = [
     "cep_runs",
     "trend_ols",
     "table_profile",
+    # round-6 additions
+    "streaming_cep_funnel",
+    "cdc_incremental_minmax",
 ]
+
+HEADLINE = RECORDED_BASELINE + EXTENDED
 
 
 def main() -> None:
@@ -104,23 +118,27 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    # soft wall budget: never let the variance protocol starve the artifact —
-    # if a pass ends past the budget, stop re-running and report the passes
-    # completed so far (the cold pass alone is a valid single-sample record)
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     started = time.perf_counter()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    done_runs = 0
-    for _ in range(runs):
-        for name in HEADLINE:
+
+    def one_pass(names: list[str]) -> None:
+        for name in names:
             fn = QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples[name].append(round(time.perf_counter() - t0, 3))
-        done_runs += 1
-        if time.perf_counter() - started > budget_s:
+
+    # tier 1: the regression anchor always gets its full pass count
+    for _ in range(runs):
+        one_pass(RECORDED_BASELINE)
+    # tier 2: extended set — one guaranteed pass, more while budget holds
+    ext_runs = 0
+    for i in range(runs):
+        if i > 0 and time.perf_counter() - started > budget_s:
             break
-    runs = done_runs
+        one_pass(EXTENDED)
+        ext_runs += 1
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -141,9 +159,17 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": runs,
+                "extended_runs": ext_runs,
                 "bands": bands,
                 "cold": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "baseline_set": RECORDED_BASELINE,
+                "baseline_median_total": round(
+                    sum(timings[n] for n in RECORDED_BASELINE), 3
+                ),
+                "baseline_cold_total": round(
+                    sum(cold[n] for n in RECORDED_BASELINE), 3
+                ),
             }
         )
     )
