@@ -95,6 +95,7 @@ EXTENDED = [
     "table_profile",
     # round-6 additions
     "streaming_cep_funnel",
+    "streaming_cep_runs",
     "cdc_incremental_minmax",
 ]
 

@@ -1108,6 +1108,61 @@ def type_runs(events, min_len: int):
     )
 
 
+@query(
+    "streaming_cep_runs",
+    """
+WITH wm AS (
+  SELECT (epoch_us(MAX(ts)) // 1000 - 600000) * 1000 AS wm_us FROM events
+),
+numbered AS (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_type, rn_all - rn_type AS island,
+         ARG_MIN(event_id, rn_all) AS run_start_id, COUNT(*) AS run_len,
+         MAX(rn_all) AS run_end
+  FROM numbered
+  GROUP BY user_id, event_type, rn_all - rn_type
+)
+SELECT i.user_id AS user_id, i.event_type AS event_type,
+       i.run_start_id AS run_start_id, i.run_len AS run_len
+FROM islands i
+JOIN numbered s ON s.user_id = i.user_id AND s.rn_all = i.run_end + 1
+WHERE i.run_len >= 3 AND epoch_us(s.ts) < (SELECT wm_us FROM wm)
+ORDER BY i.user_id, i.run_start_id
+""",
+)
+def streaming_cep_runs(spark, sf_dir):
+    """Variable-length CEP (A+ runs) LIVE: cep_runs' maximal same-type-run
+    detection as a streaming stateful query (streaming/cep.py
+    ``type_runs_streaming``).  The watermark-finality rule is subtler than
+    the funnel's: a run's LENGTH stays provisional until its TERMINATOR
+    (the different-type event right after it — maximality guarantees one
+    exists for every non-trailing run) is sealed, because an admissible
+    late same-type event could still extend the run.  The shared oracle
+    is therefore cep_runs' gaps-and-islands SQL restricted to runs whose
+    successor event's timestamp is below the final watermark; a user's
+    trailing run has no sealed terminator and never emits (no-flush,
+    reference src/lib.rs:1316-1345).  Emission and state eviction are
+    atomic — emitted groups leave the buffer, so no cross-batch dedup
+    bookkeeping exists to get wrong."""
+    from tamar_spark.stream import DataStream
+    from tamar_spark.streaming.cep import type_runs_streaming
+
+    prep_session(spark)
+    sdf = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    keyed = DataStream(sdf, event_time="ts").key_by("user_id")
+    out = type_runs_streaming(keyed, min_len=3)
+    return _run_to_memory(out.to_df()).orderBy("user_id", "run_start_id")
+
+
 # --------------------------------------------------------------------------
 # Trend detection: closed-form OLS slope per group (exact-sum regression)
 # --------------------------------------------------------------------------

@@ -36,7 +36,7 @@ from typing import Optional
 
 import pandas as pd
 
-__all__ = ["funnel_match_streaming"]
+__all__ = ["funnel_match_streaming", "type_runs_streaming"]
 
 
 def funnel_match_streaming(
@@ -150,6 +150,131 @@ def funnel_match_streaming(
         outputStructType=(
             "user_id long, view_id long, click_id long, "
             "purchase_id long, elapsed_sec long"
+        ),
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return DataStream(out, env=keyed.env, event_time=None)
+
+
+def type_runs_streaming(
+    keyed,
+    min_len: int,
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    ts_col: Optional[str] = None,
+):
+    """Streaming variable-length CEP (the A+ pattern): maximal same-type
+    runs of length ≥ ``min_len`` per key, live.
+
+    Mirrors the batch kernel ``queries_layout.type_runs`` (same total
+    (ts, id) order, same output columns) up to watermark finality.  The
+    streaming-correctness rule differs from the fixed-length funnel's:
+    a run is MAXIMAL only relative to the final event order, and a
+    same-type event arriving later can EXTEND a run that merely looks
+    finished — so a run may emit only once its TERMINATOR (the
+    different-type event immediately following it; maximality guarantees
+    one exists for every non-trailing run) is sealed (ts < watermark).
+    No admitted future row can then insert at or before the terminator,
+    so the run's span and length are final.  Emitted groups leave the
+    buffer — emission and eviction are atomic, so no cross-batch dedup
+    bookkeeping is needed; only the trailing groups from the first
+    unsealed terminator onward are retained (per-key state ≈ the
+    unsealed horizon).  The trailing run at end-of-stream has no sealed
+    terminator and never emits — the no-flush semantic
+    (reference src/lib.rs:1316-1345), matching the batch oracle under
+    its finality filter.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from tamar_spark.stream import DataStream
+
+    ts = ts_col or keyed.event_time
+    if ts is None:
+        raise ValueError("type_runs_streaming requires an event_time column")
+    keep_cols = [id_col, type_col, ts]
+
+    def handle(key, pdfs, gstate):
+        buffered = (
+            pickle.loads(bytes(gstate.get[0]))["events"]
+            if gstate.exists
+            else None
+        )
+        batches = [pdf[keep_cols] for pdf in pdfs if len(pdf)]
+        if batches:
+            fresh = pd.concat(batches, ignore_index=True)
+            buffered = (
+                fresh
+                if buffered is None
+                else pd.concat([buffered, fresh], ignore_index=True)
+            )
+
+        wm_us = gstate.getCurrentWatermarkMs() * 1000
+        remaining, next_seal_us = None, None
+        if buffered is not None and len(buffered):
+            buffered = buffered.sort_values(
+                [ts, id_col], kind="mergesort"
+            ).reset_index(drop=True)
+            ts_us = buffered[ts].astype("datetime64[us]").astype("int64")
+            t = buffered[type_col]
+            # group id increments at every type change (gaps-and-islands
+            # over the per-key total order, vectorized)
+            grp = (t != t.shift(1)).cumsum()
+            # a group's terminator is the first row of the NEXT group;
+            # the first row index of each group doubles as that marker
+            first_idx = grp.drop_duplicates().index.to_list()
+            n_groups = len(first_idx)
+            emit_rows = []
+            evict_before = 0  # buffer rows strictly before this index leave
+            for g in range(n_groups - 1):  # the trailing group never emits
+                term_ts = int(ts_us.iloc[first_idx[g + 1]])
+                if term_ts < wm_us:
+                    start, end = first_idx[g], first_idx[g + 1]
+                    run_len = end - start
+                    if run_len >= min_len:
+                        emit_rows.append(
+                            (
+                                key[0],
+                                t.iloc[start],
+                                buffered[id_col].iloc[start],
+                                run_len,
+                            )
+                        )
+                    evict_before = end
+                else:
+                    # terminator unsealed: a late same-type event can still
+                    # extend this or any later run — stop here and fire a
+                    # timer for when the watermark passes this terminator
+                    next_seal_us = term_ts
+                    break
+            if emit_rows:
+                yield pd.DataFrame(
+                    emit_rows,
+                    columns=["user_id", "event_type", "run_start_id", "run_len"],
+                )
+            remaining = buffered.iloc[evict_before:].reset_index(drop=True)
+
+        gstate.update(
+            (
+                pickle.dumps(
+                    {
+                        "events": remaining
+                        if remaining is not None and len(remaining)
+                        else None
+                    }
+                ),
+            )
+        )
+        if next_seal_us is not None:
+            gstate.setTimeoutTimestamp(
+                max(next_seal_us // 1000 + 1, gstate.getCurrentWatermarkMs() + 1)
+            )
+
+    out = keyed.df.groupBy(*keyed.keys).applyInPandasWithState(
+        handle,
+        outputStructType=(
+            "user_id long, event_type string, run_start_id long, run_len long"
         ),
         stateStructType="blob binary",
         outputMode="append",

@@ -743,3 +743,75 @@ def test_streaming_cep_funnel_late_and_tied_events(spark, tmp_path):
         (2, 10, 11, 12, 0),   # tied timestamps, ordered by event_id
         (4, 20, 21, 22, 120),  # completed by the late middle click
     ], got
+
+def test_streaming_cep_runs_late_extension_and_split(spark, tmp_path):
+    """Variable-length streaming CEP finality semantics: a run's LENGTH is
+    provisional until its terminator is sealed —
+
+    - user 1: an A-run of 3 is EXTENDED to 4 by a late same-type event
+      arriving in batch 2 (this is exactly why a run may not emit before
+      the watermark passes its terminator);
+    - user 2: a late different-type event SPLITS a would-be run of 3 into
+      fragments below min_len — nothing emits;
+    - user 3: a trailing run has no terminator — never emits even though
+      all its events are sealed (no-flush)."""
+    import time as _time
+
+    import pandas as pd
+
+    from tamar_spark.stream import DataStream
+    from tamar_spark.streaming.cep import type_runs_streaming
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+
+    def rows(*evs):
+        return pd.DataFrame(
+            {
+                "user_id": [u for u, *_ in evs],
+                "event_id": [i for _, i, *_ in evs],
+                "event_type": [t for *_, t, _s in evs],
+                "ts": [base + pd.Timedelta(seconds=s) for *_, s in evs],
+            }
+        )
+
+    src = tmp_path / "cep_runs_src"
+    src.mkdir()
+    batch1 = rows(
+        (1, 1, "A", 0), (1, 2, "A", 120), (1, 3, "A", 240), (1, 4, "B", 360),
+        (2, 10, "A", 0), (2, 11, "A", 60), (2, 12, "A", 120), (2, 13, "B", 180),
+        (3, 20, "A", 0), (3, 21, "A", 60), (3, 22, "A", 120),
+    )
+    # batch 2: late A id5 extends user 1's run to 4; late B id14 splits
+    # user 2's run (A | B | A A); a 13:00 sentinel seals everything
+    batch2 = rows(
+        (1, 5, "A", 180), (2, 14, "B", 30), (9, 99, "A", 3600)
+    )
+    for name, pdf in (("a", batch1), ("b", batch2)):
+        pdf.to_parquet(src / f"{name}.parquet", coerce_timestamps="us")
+        _time.sleep(1.1)
+
+    schema = spark.read.parquet(str(src)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+    )
+    keyed = DataStream(sdf, event_time="ts").key_by("user_id")
+    out = type_runs_streaming(keyed, min_len=3)
+    q = (
+        out.to_df()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_runs_out")
+        .option("checkpointLocation", str(tmp_path / "cep_runs_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.event_type, r.run_start_id, r.run_len)
+        for r in spark.table("cep_runs_out").collect()
+    )
+    assert got == [(1, "A", 1, 4)], got
