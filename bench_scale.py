@@ -191,6 +191,38 @@ def main() -> None:
         out = session_process_streaming(keyed, 30 * 60, per_session, schema)
         return _run_to_memory(out.to_df())
 
+    def stream_cep_funnel(k):
+        # the streaming CEP funnel's BASELINE.md claim: cost is KEY-count
+        # bound (per-key Python/Arrow round trips), not event-volume bound —
+        # key-shifted copies scale both together, so near-linear wall growth
+        # here confirms there is no super-linear per-key term
+        from tamar_spark.queries import _events_stream, _run_to_memory
+        from tamar_spark.stream import DataStream
+        from tamar_spark.streaming.cep import funnel_match_streaming
+
+        sdf = (
+            _events_stream(spark, SF_DIR)
+            .where(F.col("event_type").isin("view", "click", "purchase"))
+            .select("user_id", "event_id", "event_type", "ts")
+        )
+        parts = [
+            sdf.select(
+                (F.col("user_id") + F.lit(i * 10_000_000_000)).alias("user_id"),
+                "event_id",
+                "event_type",
+                "ts",
+            )
+            for i in range(k)
+        ]
+        s = parts[0]
+        for p in parts[1:]:
+            s = s.unionByName(p)
+        keyed = DataStream(s, event_time="ts").key_by("user_id")
+        out = funnel_match_streaming(
+            keyed, ("view", "click", "purchase"), within_us=172_800 * 1_000_000
+        )
+        return _run_to_memory(out.to_df())
+
     # hot-shingle corpus: small base (sf0.01) because the uncapped contrast
     # is intentionally quadratic
     documents = load_table(spark, "/root/testdata/sf0.01", "documents")
@@ -420,8 +452,13 @@ def main() -> None:
         ("cdc_merge", cdc_merge),
         ("equidepth", equidepth),
         ("stream_session_process", stream_session_process),
+        ("stream_cep_funnel", stream_cep_funnel),
     ]:
-        scales = [1, 4, 16] if name == "stream_session_process" else SCALES
+        scales = (
+            [1, 4, 16]
+            if name in ("stream_session_process", "stream_cep_funnel")
+            else SCALES
+        )
         times = []
         for k in scales:
             t0 = time.perf_counter()
