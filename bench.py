@@ -97,6 +97,7 @@ EXTENDED = [
     "streaming_cep_funnel",
     "streaming_cep_runs",
     "cdc_incremental_minmax",
+    "bpe_merges",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -1298,3 +1298,168 @@ def data_mixture_temperature(spark, sf_dir):
         .filter(F.col("samp_rank") <= F.col("quota"))
         .select("doc_id", "lang", "samp_rank", "quota")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich et al. 2016) — distributed subword induction
+# ---------------------------------------------------------------------------
+
+_BPE_STEPS = 6
+
+
+def _bpe_oracle(steps: int = _BPE_STEPS) -> str:
+    """DuckDB twin of :func:`bpe_merges`: the identical word-frequency
+    table, bracketed-token representation, argmax pair selection, and
+    two-sided string-replace application, unrolled ``steps`` times (the
+    same unrolled-CTE technique as the k-means twin).  Every CTE is
+    MATERIALIZED: each w-step is referenced by four scalar subqueries and
+    the next step, so inlining re-expands the chain combinatorially (the
+    plain form did not finish at 6 steps; materialized it runs in 0.1 s)."""
+    blocks = [
+        """
+w0 AS MATERIALIZED (
+  SELECT '<' || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> word[i]), '><')
+         || '><_>' AS repr,
+         freq
+  FROM (
+    SELECT word, COUNT(*) AS freq FROM (
+      SELECT unnest(string_split_regex(
+               lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')),
+               '\\s+')) AS word
+      FROM documents
+    ) WHERE word != '' GROUP BY word
+  )
+)"""
+    ]
+    for s in range(1, steps + 1):
+        blocks.append(f"""
+p{s} AS MATERIALIZED (
+  SELECT t[i] AS a, t[i + 1] AS b, SUM(freq) AS cnt
+  FROM (SELECT string_split(substr(repr, 2, length(repr) - 2), '><') AS t,
+               freq
+        FROM w{s - 1}),
+       UNNEST(range(1, len(t))) AS u(i)
+  GROUP BY 1, 2
+),
+b{s} AS MATERIALIZED (SELECT a, b, cnt FROM p{s} ORDER BY cnt DESC, a, b LIMIT 1),
+w{s} AS MATERIALIZED (
+  SELECT replace(repr,
+                 '<' || (SELECT a FROM b{s}) || '><'
+                     || (SELECT b FROM b{s}) || '>',
+                 '<' || (SELECT a FROM b{s})
+                     || (SELECT b FROM b{s}) || '>') AS repr,
+         freq
+  FROM w{s - 1}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {s} AS step, a AS pair_left, b AS pair_right,"
+        f" a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM b{s}"
+        for s in range(1, steps + 1)
+    )
+    return (
+        "WITH " + ",".join(blocks) + "\nSELECT * FROM (\n" + unions
+        + "\n) ORDER BY step"
+    )
+
+
+@query("bpe_merges", _bpe_oracle())
+def bpe_merges(spark, sf_dir):
+    """Distributed BPE subword induction (Sennrich et al. 2016): learn the
+    first 6 merge rules of a byte-pair-encoding vocabulary from the corpus
+    — the primitive behind every production tokenizer, completing the
+    token-counting family (token_counts estimates with a fixed heuristic;
+    this LEARNS the merges).  Per iteration: count adjacent-token pairs
+    over the word-frequency table (weighted by word count, overlapping
+    pairs included — the standard formulation), pick the most frequent
+    pair with a total (count DESC, pair ASC) tie-break, and merge every
+    occurrence.
+
+    Determinism & engine parity: words are represented as
+    individually-bracketed token strings (``<h><i><_>`` with ``_`` the
+    end-of-word marker), so applying a merge is a plain substring
+    replace of ``<a><b>`` with ``<ab>`` — matches cannot overlap (brackets
+    partition the string), back-to-back occurrences all merge in one
+    left-to-right pass exactly like reference BPE, and Spark's
+    ``replace`` and DuckDB's ``replace`` share those semantics, so the
+    oracle replays the identical induction.  All counting is exact
+    integer.
+
+    Scale: the iteration state is the WORD-frequency table (vocabulary,
+    not corpus — the corpus collapses into it in one aggregate), each
+    round is one explode + sum shuffle on it plus a broadcast 1-row merge
+    rule; this is how industrial BPE trainers distribute (word-count
+    sketch + iterative pair argmax).  The pair table is
+    vocabulary-bounded; the merge rule broadcast is 1 row per step."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")),
+                    r"\s+",
+                )
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return bpe_learn(words, steps=_BPE_STEPS)
+
+
+def bpe_learn(words: DataFrame, steps: int) -> DataFrame:
+    """BPE induction kernel behind :func:`bpe_merges`: ``(word, freq)`` →
+    the first ``steps`` merge rules ``(step, pair_left, pair_right,
+    merged, cnt)``.  Property-tested against a direct Python BPE model
+    (tests/test_properties.py), including merge-count ties and words made
+    entirely of one repeated character (where overlapping pair counting
+    and non-overlapping left-to-right application diverge — both handled
+    the standard way)."""
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    cur = words.select(
+        F.concat(
+            F.lit("<"), F.concat_ws("><", chars), F.lit("><_>")
+        ).alias("repr"),
+        "freq",
+    )
+    merge_rows = []
+    for step in range(1, steps + 1):
+        toks = F.split(F.expr("substring(repr, 2, length(repr) - 2)"), "><")
+        idx = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        pairs = (
+            cur.select("freq", toks.alias("t"), F.explode(idx).alias("i"))
+            .select(
+                F.element_at("t", F.col("i")).alias("a"),
+                F.element_at("t", F.col("i") + 1).alias("b"),
+                "freq",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+        merge_rows.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("a").alias("pair_left"),
+                F.col("b").alias("pair_right"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").cast("bigint").alias("cnt"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("repr"),
+                F.concat(F.lit("<"), "a", F.lit("><"), "b", F.lit(">")),
+                F.concat(F.lit("<"), "a", "b", F.lit(">")),
+            ).alias("repr"),
+            "freq",
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("step")

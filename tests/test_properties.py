@@ -606,3 +606,69 @@ def test_floor_div_matches_python_floordiv(spark, pairs):
         .collect()
     ]
     assert got == [a // b for a, b in pairs]
+
+
+# ---------------------------------------------------------------------------
+# BPE induction: the distributed kernel vs direct reference BPE
+# ---------------------------------------------------------------------------
+
+bpe_words_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _py_bpe(word_freqs, steps):
+    """Direct reference BPE (Sennrich et al.): overlapping pair counts,
+    (count DESC, pair ASC) tie-break, non-overlapping left-to-right merge."""
+    from collections import Counter
+
+    reprs = {w: list(w) + ["_"] for w in word_freqs}
+    merges = []
+    for s in range(1, steps + 1):
+        cnt = Counter()
+        for w, f in word_freqs.items():
+            t = reprs[w]
+            for i in range(len(t) - 1):
+                cnt[(t[i], t[i + 1])] += f
+        if not cnt:
+            break
+        (a, b), c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((s, a, b, a + b, c))
+        for w, t in reprs.items():
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            reprs[w] = out
+    return merges
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=bpe_words_strategy)
+def test_bpe_learn_matches_reference_model(spark, pairs):
+    from tamar_spark.queries_pipeline import bpe_learn
+
+    word_freqs = {}
+    for w, f in pairs:
+        word_freqs[w] = word_freqs.get(w, 0) + f
+    df = spark.createDataFrame(
+        list(word_freqs.items()), "word string, freq long"
+    )
+    got = [
+        (r.step, r.pair_left, r.pair_right, r.merged, r.cnt)
+        for r in bpe_learn(df, steps=3).collect()
+    ]
+    assert got == _py_bpe(word_freqs, 3)
