@@ -98,6 +98,7 @@ EXTENDED = [
     "streaming_cep_runs",
     "cdc_incremental_minmax",
     "bpe_merges",
+    "bpe_encode",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -1463,3 +1463,110 @@ def bpe_learn(words: DataFrame, steps: int) -> DataFrame:
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out.orderBy("step")
+
+
+def _bpe_encode_oracle(steps: int = _BPE_STEPS) -> str:
+    """DuckDB twin of :func:`bpe_encode`: the learn chain of
+    :func:`_bpe_oracle` (same materialized CTEs) followed by a per-doc
+    encode pass applying the ``steps`` learned merges in order."""
+    learn = _bpe_oracle(steps)
+    with_block = learn.split("\nSELECT * FROM (")[0]
+    repl = "repr"
+    for s in range(1, steps + 1):
+        repl = (
+            f"replace({repl}, '<' || (SELECT a FROM b{s}) || '><'"
+            f" || (SELECT b FROM b{s}) || '>', '<' || (SELECT a FROM b{s})"
+            f" || (SELECT b FROM b{s}) || '>')"
+        )
+    return f"""{with_block},
+docw AS MATERIALIZED (
+  SELECT doc_id,
+         '<' || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> word[i]), '><')
+         || '><_>' AS repr
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(
+             lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')),
+             '\\s+')) AS word
+    FROM documents
+  ) WHERE word != ''
+),
+enc AS (
+  SELECT doc_id, len(string_split(substr(r, 2, length(r) - 2), '><')) AS n
+  FROM (SELECT doc_id, {repl} AS r FROM docw)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM enc GROUP BY doc_id ORDER BY doc_id"""
+
+
+@query("bpe_encode", _bpe_encode_oracle())
+def bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION leg completing :func:`bpe_merges`: encode
+    every document with the corpus-learned merge rules and report per-doc
+    word and BPE-token counts — the number a training pipeline actually
+    bills by (sequence packing, mixture quotas, and context budgeting all
+    consume token counts, and token_counts' fixed ceil(len/4) heuristic is
+    exactly what this replaces).  The merge table is learned once
+    (vocabulary-bounded, see bpe_merges) and each rule is a broadcast
+    1-row join; encoding is then an embarrassingly parallel string pass
+    over the corpus — the 100 TB shape of every production tokenizer run.
+    Word splitting and merge application share bpe_merges' kernel
+    expressions, so learn and encode cannot drift apart."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")),
+                    r"\s+",
+                )
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_learn(words, steps=_BPE_STEPS)
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    docw = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), r"\s+"
+            )
+        ).alias("word"),
+    ).where(F.col("word") != "")
+    cur = docw.select(
+        "doc_id",
+        F.concat(F.lit("<"), F.concat_ws("><", chars), F.lit("><_>")).alias(
+            "r"
+        ),
+    )
+    for step in range(1, _BPE_STEPS + 1):
+        rule = merges.where(F.col("step") == step).select(
+            F.col("pair_left").alias(f"_a{step}"),
+            F.col("pair_right").alias(f"_b{step}"),
+        )
+        cur = cur.crossJoin(F.broadcast(rule)).select(
+            "doc_id",
+            F.replace(
+                F.col("r"),
+                F.concat(
+                    F.lit("<"), f"_a{step}", F.lit("><"), f"_b{step}", F.lit(">")
+                ),
+                F.concat(F.lit("<"), f"_a{step}", f"_b{step}", F.lit(">")),
+            ).alias("r"),
+        )
+    toks = F.split(F.expr("substring(r, 2, length(r) - 2)"), "><")
+    return (
+        cur.select("doc_id", F.size(toks).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
