@@ -99,6 +99,7 @@ EXTENDED = [
     "cdc_incremental_minmax",
     "bpe_merges",
     "bpe_encode",
+    "graph_triangles",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -672,3 +672,44 @@ def test_bpe_learn_matches_reference_model(spark, pairs):
         for r in bpe_learn(df, steps=3).collect()
     ]
     assert got == _py_bpe(word_freqs, 3)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting: degree-oriented kernel vs direct enumeration
+# ---------------------------------------------------------------------------
+
+tri_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=tri_edges_strategy)
+def test_triangles_match_direct_enumeration(spark, raw):
+    from itertools import combinations
+
+    from tamar_spark.operators.graph import triangles_per_node
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw})
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        (r.node, r.n_triangles) for r in triangles_per_node(df).collect()
+    }
+
+    eset = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    want = {}
+    for x, y, z in combinations(nodes, 3):
+        if ((x, y) in eset) and ((x, z) in eset) and ((y, z) in eset):
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert got == set(want.items())
