@@ -185,6 +185,9 @@ def triangles_per_node(edges: DataFrame, a: str = "a", b: str = "b") -> DataFram
     )
     key_a = F.col("da") * 100000000 + F.col(a)
     key_b = F.col("db") * 100000000 + F.col(b)
+    # persisted: the wedge closure scans the oriented edge list three
+    # times (e1/e2/e3) — without it each alias rebuilds the
+    # edges→degree→orient pipeline from the source
     oriented = (
         edges.join(deg.select(F.col("node").alias(a), F.col("d").alias("da")), a)
         .join(deg.select(F.col("node").alias(b), F.col("d").alias("db")), b)
@@ -193,6 +196,7 @@ def triangles_per_node(edges: DataFrame, a: str = "a", b: str = "b") -> DataFram
             F.when(key_a < key_b, F.col(b)).otherwise(F.col(a)).alias("v"),
             F.when(key_a < key_b, key_b).otherwise(key_a).alias("kv"),
         )
+        .persist()
     )
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
@@ -210,10 +214,13 @@ def triangles_per_node(edges: DataFrame, a: str = "a", b: str = "b") -> DataFram
             F.col("e2.v").alias("z_n"),
         )
     )
+    # one evaluation of the triangle join: explode the three corners
+    # instead of unioning three projections of the same subtree (which
+    # would re-run the wedge closure three times)
     return (
-        tri.select(F.col("x_n").alias("node"))
-        .unionAll(tri.select(F.col("y_n").alias("node")))
-        .unionAll(tri.select(F.col("z_n").alias("node")))
+        tri.select(
+            F.explode(F.array("x_n", "y_n", "z_n")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

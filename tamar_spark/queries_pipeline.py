@@ -1419,12 +1419,22 @@ def bpe_learn(words: DataFrame, steps: int) -> DataFrame:
     chars = F.expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
     )
+    # Each step's subtree references every earlier step twice (the merge
+    # rule is a 1-row aggregate over the previous word table), so a lazy
+    # chain re-evaluates prefixes combinatorially — and each re-evaluation
+    # would re-scan the CORPUS for the word counts.  localCheckpoint (not
+    # persist) is the iterative-algorithm tool here: it BOTH materializes
+    # the vocabulary-bounded step state (one corpus scan total, `steps`
+    # vocab-sized passes after) AND truncates lineage — with persist alone
+    # the logical plan still nests doubly per step and merely PRINTING it
+    # (explain, UI, plan contracts) expands 2^steps and OOMs the driver
+    # (measured at steps=6).
     cur = words.select(
         F.concat(
             F.lit("<"), F.concat_ws("><", chars), F.lit("><_>")
         ).alias("repr"),
         "freq",
-    )
+    ).localCheckpoint(eager=True)
     merge_rows = []
     for step in range(1, steps + 1):
         toks = F.split(F.expr("substring(repr, 2, length(repr) - 2)"), "><")
@@ -1441,7 +1451,11 @@ def bpe_learn(words: DataFrame, steps: int) -> DataFrame:
             .groupBy("a", "b")
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
         merge_rows.append(
             best.select(
                 F.lit(step).alias("step"),
@@ -1451,13 +1465,17 @@ def bpe_learn(words: DataFrame, steps: int) -> DataFrame:
                 F.col("cnt").cast("bigint").alias("cnt"),
             )
         )
-        cur = cur.crossJoin(F.broadcast(best)).select(
-            F.replace(
-                F.col("repr"),
-                F.concat(F.lit("<"), "a", F.lit("><"), "b", F.lit(">")),
-                F.concat(F.lit("<"), "a", "b", F.lit(">")),
-            ).alias("repr"),
-            "freq",
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("repr"),
+                    F.concat(F.lit("<"), "a", F.lit("><"), "b", F.lit(">")),
+                    F.concat(F.lit("<"), "a", "b", F.lit(">")),
+                ).alias("repr"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
         )
     out = merge_rows[0]
     for m in merge_rows[1:]:

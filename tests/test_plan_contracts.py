@@ -78,6 +78,14 @@ CONTRACTS = [
     # min/max IVM: safe fold + endangered-group rescan, all group lists
     # and change batches broadcast; aggregates dominate the exchanges
     ("cdc_incremental_minmax", 10, 4),
+    # BPE: step state is localCheckpoint-truncated, so the visible plan is
+    # the final union/encode only — the checkpoint keeps BOTH the executed
+    # chain linear and the plan printable (lazy nesting doubles per step)
+    ("bpe_merges", 3, 0),
+    ("bpe_encode", 4, 0),
+    # triangles: persisted oriented edges + exploded corners (one wedge
+    # closure); joins on edge keys only
+    ("graph_triangles", 8, 1),
     ("lm_familiarity", 3, 1),  # bigram count agg + count join-back + rollup
     ("data_mixture_temperature", 3, 1),  # counts + quota bcast + rank sort
     ("cep_funnel_sequence", 2, 0),  # one user-key window stage, two lags
