@@ -500,6 +500,36 @@ def main() -> None:
     for k in [1, 4, 16, 64]:
         shutil.rmtree(f"spark-warehouse/_probe_hot_jaccard_{k}", ignore_errors=True)
 
+    # BPE induction: the corpus collapses into the word-frequency table in
+    # one aggregate, so learn cost must be (one k-scaled agg) + (constant
+    # vocabulary-sized iteration work) — near-flat growth here proves the
+    # vocabulary-bounded claim in bpe_merges' docstring
+    def bpe_scale(k):
+        from tamar_spark.queries_pipeline import bpe_learn
+
+        d = replicate(documents_sf, k, ["doc_id"])
+        words = (
+            d.select(
+                F.explode(
+                    F.split(
+                        F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")),
+                        r"\s+",
+                    )
+                ).alias("word")
+            )
+            .where(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        return bpe_learn(words, steps=6)
+
+    results["bpe_learn"] = []
+    for k in SCALES:
+        t0 = time.perf_counter()
+        bpe_scale(k).count()
+        results["bpe_learn"].append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+
     # SemDeDup k-scaling: corpus and cluster count grow together (constant
     # expected cluster size), so the pair join must be linear; the skew
     # contrast times the 10%-hot cluster with and without the sub-cluster
