@@ -36,8 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # it, with never-verified (new) queries and the entries below (queries whose
 # SEMANTICS changed this round, so their old rows no longer attest the
 # current code) at the head.  Ties keep stable registration order.  A test
-# (tests/test_registry.py) recomputes this independently and pins both the
-# ordering invariant and the head-50 membership.
+# (tests/test_oracle.py::test_rotation_is_stalest_first) recomputes this
+# independently and pins both the ordering invariant and head membership.
 _CHANGED_THIS_ROUND = [
     # r6: CDC pair reworked per ADVICE — insert keys derived from the
     # base's max key (disjointness by construction) and the incremental

@@ -100,6 +100,8 @@ EXTENDED = [
     "bpe_merges",
     "bpe_encode",
     "graph_triangles",
+    "dedup_edit_distance",
+    "dedup_keep_best",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -760,10 +760,12 @@ def dedup_incremental(spark, sf_dir):
     return D.minhash_lsh_join(new, old, threshold=0.5, num_perm=64, bands=16)
 
 
-def _simhash_oracle() -> str:
-    """DuckDB twin of the 60-bit md5-family SimHash (operators.dedup):
-    same shingles, same hash slice, same sign-of-sums construction — the
-    whole pipeline is deterministic, so it gets a full value-hash check."""
+def _simhash_fp_cte() -> str:
+    """Shared DuckDB twin of the 60-bit md5-family SimHash fingerprint
+    (operators.dedup): same shingles, same hash slice, same sign-of-sums
+    construction — deterministic, so downstream oracles get a full
+    value-hash check.  Yields a WITH-clause body ending in ``fp(doc_id,
+    simhash)``."""
     bit_sums = ",\n         ".join(
         f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(60)
@@ -786,11 +788,39 @@ WITH words AS (
   FROM h GROUP BY doc_id
 ), fp AS (
   SELECT doc_id, {fp_terms} AS simhash FROM bits
-)
+)"""
+
+
+def _simhash_oracle() -> str:
+    return f"""{_simhash_fp_cte()}
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _edit_distance_oracle() -> str:
+    """Brute-force twin of the SimHash-tiered edit-distance dedup: the
+    same fingerprints, an all-pairs hamming ≤ 7 scan (exactly the set the
+    pigeonhole equi-join produces — the pigeonhole bound is a theorem, so
+    equi-join vs brute force is pure plan difference), then the same
+    Levenshtein ≤ 30 verify."""
+    return f"""{_simhash_fp_cte()},
+d AS (SELECT doc_id, text FROM documents),
+cand AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+)
+SELECT c.doc_id_1, c.doc_id_2,
+       CAST(levenshtein(t1.text, t2.text) AS INT) AS edit_dist,
+       round(1.0 - levenshtein(t1.text, t2.text) * 1.0 /
+             greatest(len(t1.text), len(t2.text)), 4) AS edit_sim
+FROM cand c
+JOIN d t1 ON t1.doc_id = c.doc_id_1
+JOIN d t2 ON t2.doc_id = c.doc_id_2
+WHERE levenshtein(t1.text, t2.text) <= 30
 """
 
 
@@ -802,6 +832,114 @@ def dedup_simhash(spark, sf_dir):
     brute-force pair scan checks the candidate join found every pair."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, max_hamming=3)
+
+
+@query("dedup_edit_distance", _edit_distance_oracle())
+def dedup_edit_distance(spark, sf_dir):
+    """Char-level near-dup pairs: Levenshtein ≤ 30, the similarity class
+    the shingle family can't see (token-boundary-insensitive edits).
+    SimHash pigeonhole candidates (hamming ≤ 7, exhaustive for that bound
+    by the pigeonhole theorem) verified with Spark's banded
+    ``levenshtein(l, r, threshold)`` — O(k·L) diagonal DP with early
+    exit, not the O(L²) full matrix.  The oracle rebuilds the identical
+    fingerprints and candidate set brute-force, so the hash check is
+    exact; tier recall vs the unconditional brute force is 25/25 on the
+    fixture (worst true-pair hamming 7, nearest non-dup at lev 38)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.edit_distance_pairs(docs, max_dist=30, max_hamming=7)
+
+
+@query(
+    "dedup_keep_best",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_id_1, doc_id_2
+  FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_id_1
+             JOIN sizes sb ON sb.doc_id = inter.doc_id_2
+  WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+), sym AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM edges
+  UNION SELECT doc_id_2, doc_id_1 FROM edges
+), closure AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+  ) SELECT * FROM r
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM closure GROUP BY a
+), tw AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS w,
+         string_split_regex(trim(lower(text)), '\\s+') AS wl
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         round(list_aggregate(list_transform(w, x -> len(x)), 'sum') * 1.0 / len(w), 4) AS avg_token_len,
+         round(len(list_filter(wl, x -> x IN ('the','a','of','and','to','in'))) * 1.0 / len(wl), 4) AS stopword_ratio
+  FROM tw
+), q AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS quality
+  FROM m
+), ranked AS (
+  SELECT c.component, c.node, q.quality,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.node ASC) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS cnt
+  FROM comp c JOIN q ON q.doc_id = c.node
+)
+SELECT component, node AS kept_doc, quality AS best_quality,
+       CAST(cnt AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""",
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-ranked representative selection: real pipelines keep the
+    BEST copy in each duplicate cluster, not the minimum id — e.g. the
+    un-truncated, well-punctuated variant of a page crawled five times.
+    Composition of three existing operators (the point of a DataFrame
+    engine): exact-Jaccard pairs → connected components → argmax of the
+    quality heuristic per component via one ``max(struct)`` aggregate
+    (quality desc, then min doc_id — deterministic on ties; no window
+    sort, one shuffle past the CC labels).  The oracle recomputes the
+    clusters as a recursive-CTE closure and the pick as a window rank."""
+    from tamar_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.5, max_doc_freq=32)
+    cc = connected_components(pairs)
+    quality = docs.select(
+        F.col("doc_id").alias("node"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    joined = cc.join(quality, "node")
+    best = joined.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(F.col("quality"), (-F.col("node")).alias("neg_node"))
+        ).alias("b"),
+    )
+    return best.select(
+        "component",
+        (-F.col("b.neg_node")).cast("long").alias("kept_doc"),
+        F.col("b.quality").alias("best_quality"),
+        "n_members",
+    )
 
 
 @query(

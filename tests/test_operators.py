@@ -160,6 +160,89 @@ def test_simhash_identical_distance_zero(spark):
     assert got == [(1, 2, 0)]
 
 
+def _lev(a: str, b: str) -> int:
+    """Direct reference Levenshtein (full DP) for test oracles."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_tier_model(spark):
+    """The operator's output must equal the direct two-tier model: among
+    pairs whose collected SimHash fingerprints are within the hamming
+    bound (candidate tier — the pigeonhole equi-join may not miss any),
+    exactly those with reference-DP Levenshtein ≤ max_dist, with the
+    banded Spark distance agreeing with the full-matrix DP."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(12):
+        rows.append(Row(doc_id=i, text=" ".join(rng.choices(vocab, k=30))))
+    # near-identical variants: one-char typo and a two-token truncation
+    rows.append(Row(doc_id=100, text=rows[0].text.replace("w", "v", 1)))
+    rows.append(Row(doc_id=101, text=" ".join(rows[1].text.split()[:-2])))
+    df = spark.createDataFrame(rows)
+    texts = {r.doc_id: r.text for r in rows}
+
+    fps = {r.doc_id: r.simhash for r in D.simhash_fingerprints(df).collect()}
+    expected = {}
+    ids = sorted(texts)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            i, j = ids[x], ids[y]
+            if bin(fps[i] ^ fps[j]).count("1") > 7:
+                continue
+            d = _lev(texts[i], texts[j])
+            if d <= 30:
+                expected[(i, j)] = d
+
+    got = {
+        (r.doc_id_1, r.doc_id_2): (r.edit_dist, r.edit_sim)
+        for r in D.edit_distance_pairs(df, max_dist=30, max_hamming=7).collect()
+    }
+    assert set(got) == set(expected)
+    assert (0, 100) in got and (1, 101) in got
+    for (i, j), (d, sim) in got.items():
+        assert d == expected[(i, j)]
+        assert sim == round(1 - d / max(len(texts[i]), len(texts[j])), 4)
+
+
+def test_dedup_keep_best_picks_max_quality_then_min_id(spark, sf_dir):
+    """Representative selection: within each duplicate cluster the kept doc
+    has the maximum quality score; equal-quality ties break to the minimum
+    doc id (exercised by an identical-text pair)."""
+    from tamar_spark.queries import QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog and then runs far away to the old stone house near the river bank".split()
+    full = " ".join(base)            # 22 tokens, has stopwords → quality 1.0
+    trunc = " ".join(base[:15])      # under the 20-token band → quality 0.6
+    rows = [
+        Row(doc_id=1, text=full),
+        Row(doc_id=2, text=trunc),   # shares 13/20 shingles with doc 1 → J ≥ 0.5
+        Row(doc_id=10, text="alpha beta gamma delta " * 6),
+        Row(doc_id=11, text="alpha beta gamma delta " * 6),  # identical → tie
+    ]
+    df = spark.createDataFrame(rows)
+    from tamar_spark.functions import text as T
+    from tamar_spark.operators.graph import connected_components
+
+    pairs = D.jaccard_pairs(df, threshold=0.5)
+    cc = connected_components(pairs)
+    q = df.select(F.col("doc_id").alias("node"), T.quality_score(F.col("text")).alias("quality"))
+    j = cc.join(q, "node")
+    best = j.groupBy("component").agg(
+        F.max(F.struct(F.col("quality"), (-F.col("node")).alias("neg_node"))).alias("b"),
+    ).select("component", (-F.col("b.neg_node")).cast("long").alias("kept_doc"))
+    got = {r.component: r.kept_doc for r in best.collect()}
+    assert got == {1: 1, 10: 10}
+
+
 def test_cosine_topk_orthonormal(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
