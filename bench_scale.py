@@ -530,6 +530,42 @@ def main() -> None:
         results["bpe_learn"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
 
+    # Edit-distance dedup: the candidate tier is the SimHash pigeonhole
+    # chunk equi-join, whose 7-bit keys are weakly selective — raw join
+    # volume is ~n²/2^width per chunk, a quadratic term with a 1/1024
+    # constant.  Each copy's text is perturbed per-token (copy-indexed
+    # suffix) so cross-copy pairs exceed BOTH bounds (every shingle
+    # differs → hamming ≫ 7; ~1 edit per token → lev ≈ n_tokens > 30):
+    # true pairs stay k-linear, so measured growth is the PLAN's, not the
+    # data's.  The hamming-filter-before-distinct ordering keeps the
+    # shuffle term at true-pair volume; what grows is the in-join
+    # bit_count map.  Production mitigation for the constant, per the
+    # operator docstring: widen the fingerprint (128-bit → 16-bit chunks).
+    def edit_corpus(k):
+        from tamar_spark.operators.dedup import edit_distance_pairs
+
+        parts = []
+        for i in range(k):
+            parts.append(
+                documents_sf.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 10_000_000_000)
+                ).withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1{i:02d}")
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return edit_distance_pairs(u, max_dist=30, max_hamming=7)
+
+    results["edit_distance"] = []
+    for k in [1, 4, 16]:
+        t0 = time.perf_counter()
+        n_pairs = edit_corpus(k).count()
+        results["edit_distance"].append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+    results["edit_distance_pairs_at_16x"] = [n_pairs]
+
     # SemDeDup k-scaling: corpus and cluster count grow together (constant
     # expected cluster size), so the pair join must be linear; the skew
     # contrast times the 10%-hot cluster with and without the sub-cluster

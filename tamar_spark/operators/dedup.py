@@ -655,14 +655,19 @@ def simhash_pairs(
     b = exploded.select(
         F.col(id_col).alias("doc_id_2"), F.col("simhash").alias("sh2"), "chunk", "ckey"
     )
+    # hamming-filter BEFORE distinct: bit_count is a per-row map over the
+    # join output, while distinct is a full shuffle of it — with weakly
+    # selective chunk keys the raw candidate volume is ~n²/2^width per
+    # chunk, and near-pairs are rare, so filtering first shrinks the
+    # distinct's shuffle from all-candidates to true-pairs-only (the
+    # dominant term of this plan at scale; output identical).
     pairs = (
         a.join(b, ["chunk", "ckey"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .select("doc_id_1", "doc_id_2", "sh1", "sh2")
-        .distinct()
         .withColumn("hamming", F.expr("bit_count(sh1 ^ sh2)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
+        .distinct()
     )
     return pairs
 

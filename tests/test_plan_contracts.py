@@ -236,6 +236,32 @@ def test_dedup_embedding_lsh_matches_exact_pairs(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_dedup_edit_distance_is_candidate_bounded(spark, sf_dir):
+    """The char-level tier must stay pure-JVM and equi-join-only: no
+    cartesian/nested-loop join (the pigeonhole chunk join and the two
+    text join-backs are all hash-joinable), no Python stage (banded
+    levenshtein is a codegen expression), and the hamming filter must
+    run BEFORE the pair distinct so the distinct's shuffle carries only
+    near-pairs, not raw chunk-join candidates."""
+    df = QUERIES["dedup_edit_distance"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not has_python_stage(df)
+    assert "levenshtein" in plan
+    # distinct-input pruning: with the filter applied first, the pair
+    # distinct aggregates on (doc_id_1, doc_id_2, hamming) — the raw
+    # fingerprints sh1/sh2 must NOT be distinct keys (they would mean the
+    # pre-filter ordering, shuffling every raw chunk-join candidate)
+    import re
+
+    agg_keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
+    pair_aggs = [k for k in agg_keys if "doc_id_1" in k and "doc_id_2" in k]
+    assert pair_aggs and all("hamming" in k and "sh1" not in k for k in pair_aggs), (
+        pair_aggs
+    )
+
+
 def test_corpus_shuffle_plan(spark, sf_dir):
     """The seeded shard shuffle must be exactly one exchange (hash on
     shard), never a global sort, and the scan must read only doc_id —
