@@ -83,8 +83,9 @@ CONTRACTS = [
     # chain linear and the plan printable (lazy nesting doubles per step)
     ("bpe_merges", 3, 0),
     ("bpe_encode", 4, 0),
-    # triangles: persisted oriented edges + exploded corners (one wedge
-    # closure); joins on edge keys only
+    # triangles: persisted oriented edges + adjacency-intersect closure
+    # (base edge joins its two out-lists; only apex credits explode);
+    # joins on edge/node keys only
     ("graph_triangles", 8, 1),
     ("lm_familiarity", 3, 1),  # bigram count agg + count join-back + rollup
     ("data_mixture_temperature", 3, 1),  # counts + quota bcast + rank sort
