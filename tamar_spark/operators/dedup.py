@@ -705,6 +705,11 @@ def edit_distance_pairs(
     approximate tier): on the fixture corpus the tier finds 25/25 of the
     brute-force lev≤30 pairs, whose worst-case hamming is 7 (the true-pair
     margin: nearest non-dup pair sits at lev=38).
+
+    Limitation: a document with fewer than ``n`` tokens has no shingles,
+    hence no fingerprint, and can never pair — for very-short-string
+    dedup (titles, ids) use char-level shingles (n=1 on characters) or
+    an exact/length-blocked tier instead.
     """
     pairs = simhash_pairs(
         df, max_hamming=max_hamming, text_col=text_col, id_col=id_col, n=n

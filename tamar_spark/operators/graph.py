@@ -224,33 +224,21 @@ def triangles_per_node(edges: DataFrame, a: str = "a", b: str = "b") -> DataFram
             "v",
             F.array_intersect("n_u", F.coalesce("n_v", empty)).alias("ww"),
         )
-        .persist()
     )
-    # per-corner credits: the base edge's endpoints each gain |ww| (cheap
-    # per-edge sums); apex nodes gain 1 per membership (the only exploded
-    # term — triangle-count rows, narrow bigints, map-side combined)
-    u_credit = (
-        closed.groupBy("u")
-        .agg(F.sum(F.size("ww")).alias("c"))
-        .select(F.col("u").alias("node"), "c")
-    )
-    v_credit = (
-        closed.groupBy("v")
-        .agg(F.sum(F.size("ww")).alias("c"))
-        .select(F.col("v").alias("node"), "c")
-    )
-    w_credit = (
-        closed.select(F.explode("ww").alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # single-pass corner credits: each closed base edge contributes its
+    # apexes once and its endpoints once per apex — one explode of
+    # 3·|triangles| narrow rows straight into a map-side-combined count.
+    # Deliberately NOT persisted/branched: a 3-branch credit plan would
+    # cache the triangle-membership arrays (O(|triangles|) rows — ~1 GB
+    # at sf0.1, unboundable at corpus scale) to save re-scans; one pass
+    # needs no cache and each execution pays its true cost.
+    credit = F.concat(
+        F.col("ww"),
+        F.array_repeat(F.col("u"), F.size("ww")),
+        F.array_repeat(F.col("v"), F.size("ww")),
     )
     return (
-        u_credit.unionAll(v_credit)
-        .unionAll(w_credit)
+        closed.select(F.explode(credit).alias("node"))
         .groupBy("node")
-        .agg(F.sum("c").alias("n_triangles"))
-        # edge endpoints whose intersections were all empty carry c=0;
-        # the contract (and the wedge formulation) emits only triangle
-        # participants
-        .filter(F.col("n_triangles") > 0)
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
