@@ -184,9 +184,9 @@ def triangles_per_node(edges: DataFrame, a: str = "a", b: str = "b") -> DataFram
     )
     key_a = F.col("da") * 100000000 + F.col(a)
     key_b = F.col("db") * 100000000 + F.col(b)
-    # persisted: the wedge closure scans the oriented edge list three
-    # times (e1/e2/e3) — without it each alias rebuilds the
-    # edges→degree→orient pipeline from the source
+    # persisted: the closure scans the oriented edge list twice (the
+    # adjacency aggregate and the base-edge side) — without it each
+    # consumer rebuilds the edges→degree→orient pipeline from the source
     oriented = (
         edges.join(deg.select(F.col("node").alias(a), F.col("d").alias("da")), a)
         .join(deg.select(F.col("node").alias(b), F.col("d").alias("db")), b)

@@ -777,32 +777,44 @@ def corpus_curate(spark, sf_dir):
     Catalyst plan (one optimizer pass over the whole DAG) rather than as
     materialized hops.
 
-    Scale: three independent flag subtrees — (doc, token) aggregates,
-    a text-keyed min (exact dedup), and the broadcast eval-gram probe —
-    each shuffling on its own well-distributed key, joined back on
-    doc_id.  The documents scan is read per subtree but pruned to
-    (doc_id, text, lang); at 100 TB persist the tokenized projection once
-    (the same persist-the-shingles pattern the dedup module uses) and all
-    three subtrees share it."""
+    Scale: the repetition-quality stats are PER-DOCUMENT, so they are
+    computed as O(L) array folds in the row projection — no token
+    explode, no (doc, token) shuffle (at corpus scale that shuffle moves
+    every token of every document; the fold moves nothing).  Only the
+    genuinely cross-document subtrees shuffle: the text-keyed min (exact
+    dedup) and the broadcast eval-gram probe, each on its own
+    well-distributed key, joined back on text/doc_id."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     is_eval = F.col("doc_id") % 97 == 0
     base = docs.filter(~is_eval)
 
-    tok = base.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
-    word_stats = (
-        tok.groupBy("doc_id", "word")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tokens"))
+    # top word frequency per doc = longest equal-run in the sorted token
+    # array (one O(L log L) sort + O(L) fold per row, all codegen)
+    w = T.tokens(F.col("text"))
+    long0 = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    top_c = F.aggregate(
+        F.sort_array(w),
+        F.struct(
+            long0.alias("best"),
+            long0.alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(one),
+            ).alias("best"),
+            F.when(x == acc["prev"], acc["cur"] + 1).otherwise(one).alias("cur"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
     )
-    tri_stats = (
-        base.select("doc_id", F.explode(_word_ngrams(3)).alias("g"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tri"),
-            F.countDistinct("g").alias("n_tri_distinct"),
-        )
-    )
+    g3 = _word_ngrams(3)
+    n_tokens = F.size(w)
+    n_tri = F.size(g3)
+    n_tri_distinct = F.size(F.array_distinct(g3))
+
     canon = base.groupBy("text").agg(F.min("doc_id").alias("canon_id"))
 
     grams5 = _word_ngrams(5)
@@ -817,14 +829,15 @@ def corpus_curate(spark, sf_dir):
         .agg(F.count("*").alias("n_hits"))
     )
 
-    q = (F.col("top_c") * 1.0 / F.col("n_tokens") <= 0.2) & (
-        1.0 - F.col("n_tri_distinct") * 1.0 / F.col("n_tri") <= 0.6
+    q = (top_c * 1.0 / n_tokens <= 0.2) & (
+        1.0 - n_tri_distinct * 1.0 / n_tri <= 0.6
     )
     c = F.col("doc_id") == F.col("canon_id")
     clean = F.coalesce(F.col("n_hits"), F.lit(0)) == 0
     return (
-        base.join(word_stats, "doc_id")
-        .join(tri_stats, "doc_id")
+        # < 3 tokens ⇒ no trigrams: the former tri_stats inner join
+        # dropped those docs, and the oracle still does — keep parity
+        base.filter(F.size(T.tokens(F.col("text"))) >= 3)
         .join(canon, "text")
         .join(hits, "doc_id", "left")
         .select(

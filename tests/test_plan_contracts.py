@@ -61,7 +61,9 @@ CONTRACTS = [
     ("dedup_incremental", 4, 7),  # one tagged signature pass + band join
     ("embed_hard_negatives", 1, 0),  # broadcast-anchor scan + top-k window
     ("dedup_span_rewrite", 3, 2),  # gram mark + drop anti-join + reassembly
-    ("corpus_curate", 8, 5),  # three flag subtrees joined on doc_id
+    # per-doc repetition stats are array folds in the projection (no
+    # token shuffle); only canon (text min) + eval-gram probe shuffle
+    ("corpus_curate", 4, 3),
     ("fingerprint_winnow", 2, 1),  # doc-bounded window-min + fp index join
     ("chunk_cdc", 3, 1),  # per-doc cumsum + (doc,chunk) and fp aggregates
     ("dedup_semantic", 10, 4),  # 2 kmeans iterations + in-cluster pair join
