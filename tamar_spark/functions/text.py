@@ -99,6 +99,34 @@ def lang_id(text: Column) -> Column:
     return F.when(best_score <= 0, F.lit("und")).otherwise(best_lang)
 
 
+def top_token_count(text: Column) -> Column:
+    """Highest single-token frequency in ``text`` (the Gopher repetition
+    numerator) as the longest equal-run of the SORTED token array — one
+    O(L log L) array sort plus an O(L) fold per row, entirely in the
+    projection.  The shuffle-free replacement for the
+    ``groupBy(doc, token).count().groupBy(doc).max()`` formulation, which
+    at corpus scale moves every token of every document."""
+    long0 = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    return F.aggregate(
+        F.sort_array(tokens(text)),
+        F.struct(
+            long0.alias("best"),
+            long0.alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(one),
+            ).alias("best"),
+            F.when(x == acc["prev"], acc["cur"] + 1).otherwise(one).alias("cur"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0,1]: length band + average token
     length band + stopword presence."""

@@ -788,28 +788,8 @@ def corpus_curate(spark, sf_dir):
     is_eval = F.col("doc_id") % 97 == 0
     base = docs.filter(~is_eval)
 
-    # top word frequency per doc = longest equal-run in the sorted token
-    # array (one O(L log L) sort + O(L) fold per row, all codegen)
     w = T.tokens(F.col("text"))
-    long0 = F.lit(0).cast("long")
-    one = F.lit(1).cast("long")
-    top_c = F.aggregate(
-        F.sort_array(w),
-        F.struct(
-            long0.alias("best"),
-            long0.alias("cur"),
-            F.lit(None).cast("string").alias("prev"),
-        ),
-        lambda acc, x: F.struct(
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(one),
-            ).alias("best"),
-            F.when(x == acc["prev"], acc["cur"] + 1).otherwise(one).alias("cur"),
-            x.alias("prev"),
-        ),
-        lambda acc: acc["best"],
-    )
+    top_c = T.top_token_count(F.col("text"))
     g3 = _word_ngrams(3)
     n_tokens = F.size(w)
     n_tri = F.size(g3)

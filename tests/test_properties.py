@@ -674,6 +674,37 @@ def test_bpe_learn_matches_reference_model(spark, pairs):
     assert got == _py_bpe(word_freqs, 3)
 
 
+token_list_strategy = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "a", "dd", "e"]),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(toks=token_list_strategy)
+def test_top_token_count_matches_counter_model(spark, toks):
+    """The sorted-run fold (functions.text.top_token_count) must equal the
+    direct Counter max for arbitrary token multisets, including the
+    empty-text convention (trim + split yields one empty token)."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from tamar_spark.functions.text import top_token_count
+
+    text = " ".join(toks)
+    model = max(Counter(re.split(r"\s+", text.strip())).values())
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(top_token_count(F.col("text")).alias("c")).first().c
+    assert got == model
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting: degree-oriented kernel vs direct enumeration
 # ---------------------------------------------------------------------------
