@@ -167,29 +167,27 @@ FROM word_stats ws JOIN tri_stats ts USING (doc_id)
 def repetition_filters(spark, sf_dir):
     """Gopher-style repetition quality filters: most-frequent-word fraction
     and duplicate-trigram fraction per document, with the keep verdict at
-    the (0.2, 0.6) thresholds.  Two explode → doc_id-keyed aggregates; the
-    per-(doc, token) combine is map-side partial, so the only shuffled rows
-    are one per distinct (doc, token)."""
+    the (0.2, 0.6) thresholds.  Every statistic is per-document, so the
+    whole query is ONE scan+project — the sorted-run fold
+    (``top_token_count``) and ``array_distinct`` sizes replace the former
+    explode → (doc, token) aggregates, which at corpus scale shuffle one
+    row per distinct (doc, token).  Zero shuffles, zero joins."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
-    word_stats = (
-        tok.groupBy("doc_id", "word")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tokens"))
-    )
-    tri = docs.select("doc_id", F.explode(_word_ngrams(3)).alias("g"))
-    tri_stats = tri.groupBy("doc_id").agg(
-        F.count("*").alias("n_tri"),
-        F.countDistinct("g").alias("n_tri_distinct"),
-    )
-    top_frac = F.col("top_c") * 1.0 / F.col("n_tokens")
-    dup_frac = 1.0 - F.col("n_tri_distinct") * 1.0 / F.col("n_tri")
+    w = T.tokens(F.col("text"))
+    g3 = _word_ngrams(3)
+    top_c = T.top_token_count(F.col("text"))
+    n_tokens = F.size(w)
+    n_tri = F.size(g3)
+    n_tri_distinct = F.size(F.array_distinct(g3))
+    top_frac = top_c * 1.0 / n_tokens
+    dup_frac = 1.0 - n_tri_distinct * 1.0 / n_tri
     return (
-        word_stats.join(tri_stats, "doc_id")
+        # < 3 tokens ⇒ no trigrams: the former tri_stats inner join
+        # dropped those docs, and the oracle still does — keep parity
+        docs.filter(n_tri >= 1)
         .select(
             "doc_id",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            n_tokens.cast("bigint").alias("n_tokens"),
             F.round(top_frac, 4).alias("top_word_frac"),
             F.round(dup_frac, 4).alias("dup_trigram_frac"),
             ((top_frac <= 0.2) & (dup_frac <= 0.6)).alias("keep"),

@@ -64,6 +64,8 @@ CONTRACTS = [
     # per-doc repetition stats are array folds in the projection (no
     # token shuffle); only canon (text min) + eval-gram probe shuffle
     ("corpus_curate", 4, 3),
+    # all-per-document stats: one scan+project, zero wide ops
+    ("repetition_filters", 0, 0),
     ("fingerprint_winnow", 2, 1),  # doc-bounded window-min + fp index join
     ("chunk_cdc", 3, 1),  # per-doc cumsum + (doc,chunk) and fp aggregates
     ("dedup_semantic", 10, 4),  # 2 kmeans iterations + in-cluster pair join
