@@ -702,9 +702,12 @@ def edit_distance_pairs(
       carried through the 8× chunk explode.
 
     Recall is empirical, precision exact (the house contract for every
-    approximate tier): on the fixture corpus the tier finds 25/25 of the
-    brute-force lev≤30 pairs, whose worst-case hamming is 7 (the true-pair
-    margin: nearest non-dup pair sits at lev=38).
+    approximate tier): at sf0.01 the default bound finds 25/25 of the
+    brute-force lev≤30 pairs (worst true-pair hamming 7; nearest non-dup
+    at lev=38).  Shorter documents yield fewer shingles and noisier
+    fingerprints — sf0.001's 50-doc corpus puts 3/28 true pairs at
+    hamming 8-10, recovered by widening ``max_hamming`` to 10 (recall
+    pinned by test_edit_distance_tier_recall_vs_brute_force).
 
     Limitation: a document with fewer than ``n`` tokens has no shingles,
     hence no fingerprint, and can never pair — for very-short-string

@@ -213,6 +213,45 @@ def test_edit_distance_pairs_matches_tier_model(spark):
         assert sim == round(1 - d / max(len(texts[i]), len(texts[j])), 4)
 
 
+def test_edit_distance_tier_recall_vs_brute_force(spark, sf_dir, duck):
+    """Quality gate (the ANN-recall-test pattern), against the
+    UNCONDITIONAL brute force rather than the tier's own twin: precision
+    is exact at the default hamming bound (every emitted pair truly has
+    lev ≤ 30), and widening the candidate knob to hamming ≤ 10 reaches
+    recall 1.0 on this corpus.  The default bound's recall is
+    corpus-dependent (sf0.001's shortest docs have few shingles, so
+    ~3/28 true pairs land at hamming 8-10; at sf0.01 the default catches
+    25/25) — which is why the bound is a knob, per the operator
+    docstring."""
+    from tamar_spark.sources import load_table
+
+    truth = set(
+        map(
+            tuple,
+            duck.execute(
+                """
+                SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b
+                ON a.doc_id < b.doc_id
+                WHERE levenshtein(a.text, b.text) <= 30
+                """
+            ).fetchall(),
+        )
+    )
+    assert truth
+    docs = load_table(spark, sf_dir, "documents")
+    default = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D.edit_distance_pairs(docs, max_dist=30, max_hamming=7).collect()
+    }
+    assert default <= truth  # exact precision
+    assert len(default) >= 0.85 * len(truth)  # measured default-knob floor
+    widened = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D.edit_distance_pairs(docs, max_dist=30, max_hamming=10).collect()
+    }
+    assert widened == truth  # full recall with the widened candidate knob
+
+
 def test_dedup_keep_best_picks_max_quality_then_min_id(spark, sf_dir):
     """Representative selection: within each duplicate cluster the kept doc
     has the maximum quality score; equal-quality ties break to the minimum
