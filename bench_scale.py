@@ -566,6 +566,48 @@ def main() -> None:
         spark.catalog.clearCache()
     results["edit_distance_pairs_at_16x"] = [n_pairs]
 
+    # Triangle counting: k disjoint key-shifted copies of the sf0.01
+    # supplier co-occurrence graph (node ids shifted per copy, so copies
+    # share no edges) — triangles scale exactly k-linear, and the
+    # adjacency-intersect closure must track it: the orientation bounds
+    # every out-list by sqrt(E_copy) regardless of k, so per-edge work is
+    # constant and only edge count grows.
+    li_small = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    xx, yy = li_small.alias("x"), li_small.alias("y")
+    base_edges = (
+        xx.join(yy, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.s") < F.col("y.s")))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+        .persist()
+    )
+    base_edges.count()
+
+    def triangles_scale(k):
+        from tamar_spark.operators.graph import triangles_per_node
+
+        parts = []
+        for i in range(k):
+            shift = F.lit(i * 1_000_000)
+            parts.append(
+                base_edges.select(
+                    (F.col("a") + shift).alias("a"), (F.col("b") + shift).alias("b")
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return triangles_per_node(u)
+
+    results["triangles"] = []
+    for k in [1, 4, 16]:
+        t0 = time.perf_counter()
+        triangles_scale(k).count()
+        results["triangles"].append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+    base_edges.unpersist()
+
     # SemDeDup k-scaling: corpus and cluster count grow together (constant
     # expected cluster size), so the pair join must be linear; the skew
     # contrast times the 10%-hot cluster with and without the sub-cluster
