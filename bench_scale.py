@@ -608,6 +608,33 @@ def main() -> None:
         spark.catalog.clearCache()
     base_edges.unpersist()
 
+    # Connected components (dedup cluster resolution): k×100k-node corpora
+    # of 5-node duplicate clusters, edges as star pairs (rep, member) plus
+    # one chain edge per cluster so min-label needs a real propagation
+    # round.  Cluster DIAMETER is constant as the corpus grows — real
+    # near-dup clusters are near-cliques — so the round count must stay
+    # fixed and wall-clock must track edge volume only.
+    def cc_scale(k):
+        from tamar_spark.operators.graph import connected_components
+
+        n = k * 100_000
+        ids = spark.range(n)
+        rep = (F.col("id") / 5).cast("long") * 5
+        star = ids.filter(F.col("id") % 5 != 0).select(
+            rep.alias("doc_id_1"), F.col("id").alias("doc_id_2")
+        )
+        chain = ids.filter(F.col("id") % 5 == 3).select(
+            F.col("id").alias("doc_id_1"), (F.col("id") + 1).alias("doc_id_2")
+        )
+        return connected_components(star.unionByName(chain))
+
+    results["cc_clusters"] = []
+    for k in [1, 4, 16]:
+        t0 = time.perf_counter()
+        cc_scale(k).count()
+        results["cc_clusters"].append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+
     # SemDeDup k-scaling: corpus and cluster count grow together (constant
     # expected cluster size), so the pair join must be linear; the skew
     # contrast times the 10%-hot cluster with and without the sub-cluster
