@@ -146,7 +146,12 @@ def pagerank(
 
     Determinism: per-edge contributions are single-chain double ops
     rounded to 12 decimals, then summed as DECIMAL(28,12) — exact and
-    order-independent — before the damped update re-rounds to 12.
+    order-independent — before the damped update re-rounds to 12.  Both
+    roundings use ``floor(x·10¹² + 0.5)/10¹²`` (pure IEEE ops, identical
+    in Spark and DuckDB) rather than ``round(double, 12)``, whose
+    .5-boundary cells differ between the engines (Spark rounds the
+    shortest decimal representation, DuckDB the binary value — one sf0.1
+    cell flipped a 1-ulp divergence into the final rank).
 
     Scale (100 TB graph): each iteration is one shuffle of the edge list
     on ``src`` (join with the rank vector) and one on ``dst`` (the
@@ -170,10 +175,15 @@ def pagerank(
     pr = nodes.crossJoin(F.broadcast(ncnt)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
     )
+    p12 = F.lit(1e12)
+
+    def _r12(col):
+        return F.floor(col * p12 + F.lit(0.5)) / p12
+
     for _ in range(iters):
         contrib = e.join(pr, e[src] == pr["node"]).select(
             F.col(dst).alias("node"),
-            F.round(F.col("pr") * F.col(weight) / F.col("out_w"), 12)
+            _r12(F.col("pr") * F.col(weight) / F.col("out_w"))
             .cast("decimal(28,12)")
             .alias("contrib"),
         )
@@ -183,11 +193,10 @@ def pagerank(
             .crossJoin(F.broadcast(ncnt))
             .select(
                 "node",
-                F.round(
+                _r12(
                     F.lit(1.0 - damping) / F.col("n_nodes")
                     + F.lit(damping)
-                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
-                    12,
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
                 ).alias("pr"),
             )
         )

@@ -118,6 +118,21 @@ def davg_r(col, nd: int = 4):
     return F.round(F.sum(c.cast(_DEC)).cast("double") / F.count(c), nd)
 
 
+def round_ieee(col, nd: int):
+    """Cross-engine deterministic rounding of a non-negative DOUBLE:
+    ``floor(x·10^nd + 0.5) / 10^nd`` in pure IEEE double ops, which Spark
+    and DuckDB evaluate bit-identically.  ``round(double, nd)`` does NOT —
+    Spark rounds the value's shortest decimal representation (BigDecimal
+    HALF_UP) while DuckDB rounds the binary value, so exact .5-boundary
+    cells flip between engines (first seen in the r6 sf0.1 oracle sweep:
+    q2's unit_cost 89.11625, window_analytics' cume 41/640 = 0.0640625).
+    Twin SQL form: ``floor(x * 10^nd + 0.5) / 10^nd.0``.  Use this for
+    ratio/division columns that stay DOUBLE end-to-end; decimal-accumulated
+    aggregates (``dsum_r``) round exactly in decimal and don't need it."""
+    p = float(10**nd)
+    return F.floor(_c(col) * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
 # ---------------------------------------------------------------------------
 # Streaming-semantics operators (the reference's core surface, SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -301,7 +316,7 @@ def sliding_agg(spark, sf_dir):
     "filter_map",
     """
 SELECT event_id, user_id, ts, value,
-       round(value * 1.1, 2) AS value_usd
+       floor(value * 1.1 * 100.0 + 0.5) / 100.0 AS value_usd
 FROM events WHERE event_type = 'purchase' AND value > 50
 """,
 )
@@ -316,7 +331,9 @@ def filter_map(spark, sf_dir):
             F.col("event_id"),
             F.col("user_id"),
             F.col("value"),
-            F.round(F.col("value") * 1.1, 2).alias("value_usd"),
+            # round_ieee form, not round: 64.85 * 1.1 = 71.335 sits on the
+            # 2dp .5 boundary where the engines' round(double) disagree
+            round_ieee(F.col("value") * 1.1, 2).alias("value_usd"),
         )
         .to_df()
     )

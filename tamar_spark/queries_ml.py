@@ -215,15 +215,16 @@ WITH edges AS (
     for i in range(1, iters + 1):
         sql += f""", c{i} AS (
   SELECT dst AS node,
-         SUM(CAST(round(pr * w / out_w, 12) AS DECIMAL(28,12))) AS s
+         SUM(CAST(floor(pr * w / out_w * 1e12 + 0.5) / 1e12
+                  AS DECIMAL(28,12))) AS s
   FROM e JOIN pr{i - 1} p ON e.src = p.node
   GROUP BY 1
 ), pr{i} AS (
   SELECT nodes.node,
-         round(CAST(0.15 AS DOUBLE) / n_nodes
-               + CAST(0.85 AS DOUBLE)
-                 * coalesce(CAST(s AS DOUBLE), CAST(0.0 AS DOUBLE)),
-               12) AS pr
+         floor((CAST(0.15 AS DOUBLE) / n_nodes
+                + CAST(0.85 AS DOUBLE)
+                  * coalesce(CAST(s AS DOUBLE), CAST(0.0 AS DOUBLE)))
+               * 1e12 + 0.5) / 1e12 AS pr
   FROM nodes LEFT JOIN c{i} USING (node), nn
 )"""
     sql += f"\nSELECT node AS n_name, pr FROM pr{iters}"

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tamar_spark.queries import query, dsum_r, _DEC
+from tamar_spark.queries import query, dsum_r, round_ieee, _DEC
 from tamar_spark.sources import load_table
 from tamar_spark.operators import dedup as D
 
@@ -706,8 +706,8 @@ def dedup_embedding_lsh(spark, sf_dir):
     """
 SELECT c_custkey, c_nationkey,
        CAST(ntile(4) OVER w AS INT) AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
+       floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume,
        first_value(c_custkey) OVER w AS richest_custkey
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
@@ -725,8 +725,10 @@ def window_analytics(spark, sf_dir):
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # round_ieee, not round: rank ratios like 41/640 = 0.0640625 sit on
+        # the 6dp .5 boundary where the engines' round() disagree (sf0.1)
+        round_ieee(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_ieee(F.cume_dist().over(w), 6).alias("cume"),
         F.first("c_custkey").over(w).alias("richest_custkey"),
     )
 
@@ -1310,11 +1312,15 @@ def range_frame_total(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     # ts may be TIMESTAMP_NTZ (driver parquet is naive timestamp[us]); NTZ
     # has no direct numeric cast, but NTZ→LTZ is identity under the UTC
-    # session timezone and LTZ→long yields epoch seconds.
+    # session timezone.  Order by unix_micros, NOT cast-to-long: the long
+    # cast truncates to whole SECONDS, which silently widens the frame —
+    # an event 3600.5 s back truncates to a 3600 s gap and joins the
+    # window (caught by the r6 sf0.1 sweep; the oracle's INTERVAL frame
+    # compares full-precision timestamps).
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
         "event_id",
@@ -1436,7 +1442,7 @@ WITH costs AS (
   SELECT l_partkey, min(unit_cost) AS best_cost FROM costs GROUP BY l_partkey
 )
 SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
-       round(c.unit_cost, 4) AS unit_cost
+       floor(c.unit_cost * 10000.0 + 0.5) / 10000.0 AS unit_cost
 FROM costs c
 JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
 JOIN part p ON p.p_partkey = c.l_partkey AND p.p_size <= 10
@@ -1475,7 +1481,9 @@ def q2_min_cost_supplier(spark, sf_dir):
             "p_name",
             "s_suppkey",
             "s_name",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # round_ieee, not round: double division hits exact .5-boundary
+            # cells at sf0.1 (89.11625) where the engines' round() disagree
+            round_ieee("unit_cost", 4).alias("unit_cost"),
         )
     )
 
