@@ -32,28 +32,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries per round, so registration is a priority queue.  Since round 6 the
 # order is COMPUTED from the CORRECTNESS_r*.json ledger in this directory
 # (r5 VERDICT task 1: rotation must not depend on hand-maintained lists):
-# stalest-first — a query's priority is the last round a driver row verified
-# it, with never-verified (new) queries and the entries below (queries whose
-# SEMANTICS changed this round, so their old rows no longer attest the
-# current code) at the head.  Ties keep stable registration order.  A test
+# stalest-first — a query's priority is the last round a GREEN driver row
+# verified it (r6 ADVICE: rows with a non-null err or a failed match don't
+# attest anything, so a failing query stays at the head), with
+# never-verified (new) queries and semantics-changed entries at the head.
+# A semantics change is recorded below with the round it happened in; once
+# a green ledger row from that round or later exists, the entry is spent
+# and the query rejoins the normal rotation automatically (r6 ADVICE: the
+# old unscoped list pinned entries to the head forever until someone
+# remembered to empty it).  Ties keep stable registration order.  A test
 # (tests/test_oracle.py::test_rotation_is_stalest_first) recomputes this
 # independently and pins both the ordering invariant and head membership.
-_CHANGED_THIS_ROUND = [
-    # r6: CDC pair reworked per ADVICE — insert keys derived from the
-    # base's max key (disjointness by construction) and the incremental
-    # path's broadcast restructured to a semi-join prefilter so the change
-    # batch genuinely is the build side.
-    "cdc_incremental_agg",
-    "cdc_upsert",
-    # r6: PQ rerank depth tuned 20 -> 50 after the recall@5 measurement
-    # (BASELINE.md ANN recall table) — output rows differ from r5.
-    "embed_pq_topk",
-]
+_CHANGED_IN_ROUND = {
+    # r6: CDC pair reworked per ADVICE (spent once a green r6+ row exists).
+    "cdc_incremental_agg": 6,
+    "cdc_upsert": 6,
+    # r6: PQ rerank depth tuned 20 -> 50 (spent by the green r6 row).
+    "embed_pq_topk": 6,
+    # r7: edit_sim recomputed with the cross-engine round_ieee form in both
+    # engines (r6 ADVICE medium) — the r6 row attests the old rounding.
+    "dedup_edit_distance": 7,
+    # r7: view0-delta join widened to full_outer so change-batch-only
+    # groups route through the rescan (r6 ADVICE).
+    "cdc_incremental_minmax": 7,
+}
 
 
 def _last_checked() -> dict[str, int]:
-    """Latest driver round that verified each query, from the artifact
-    ledger committed next to this file."""
+    """Latest driver round whose row VERIFIED each query — green only:
+    err null and no explicit mismatch.  (rows_match/hash_match are None
+    for rows-only checks; only False disqualifies.)"""
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
@@ -66,17 +74,26 @@ def _last_checked() -> dict[str, int]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
-        for q in rows:
-            last[q] = max(last.get(q, 0), rnd)
+        for q, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("hash_match") is not False
+                and row.get("schema_match") is not False
+            )
+            if green:
+                last[q] = max(last.get(q, 0), rnd)
     return last
 
 
 def _ordered(mapping: dict) -> dict:
     last = _last_checked()
-    changed = set(_CHANGED_THIS_ROUND)
 
     def prio(name: str) -> int:
-        return 0 if name in changed else last.get(name, 0)
+        lg = last.get(name, 0)
+        return 0 if lg < _CHANGED_IN_ROUND.get(name, 0) else lg
 
     names = sorted(mapping, key=lambda n: prio(n))  # stable: ties keep order
     return {k: mapping[k] for k in names}

@@ -725,9 +725,13 @@ def edit_distance_pairs(
     scored = cand.withColumn("edit_dist", lev).filter(
         (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist)
     )
-    sim = F.round(
-        1 - F.col("edit_dist") / F.greatest(F.length("_t1"), F.length("_t2")), 4
-    )
+    # round_ieee form, not round(double, 4): Spark rounds the shortest
+    # decimal repr HALF_UP while DuckDB rounds the binary value, so a
+    # .5-boundary cell (e.g. dist=1 over a 160-char doc -> 0.99375) could
+    # flip the cross-engine hash; floor(x*1e4 + 0.5)/1e4 is bit-identical
+    # in both engines (see queries.round_ieee).
+    raw = 1 - F.col("edit_dist") / F.greatest(F.length("_t1"), F.length("_t2"))
+    sim = F.floor(raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
     return scored.select(
         "doc_id_1", "doc_id_2", "edit_dist", sim.alias("edit_sim")
     )

@@ -165,6 +165,16 @@ def connected_components_star(
     )
 
 
+# Previous invocation's persisted oriented-edge list.  The returned plan is
+# lazy, so the function itself can't know when its cache is consumed;
+# unpersisting the PRIOR call's copy on entry bounds the session to one
+# cached edge list instead of one per invocation (r6 ADVICE: bench_scale
+# calls this at k=1,4,16 and leaked all three until clearCache).  A caller
+# that materializes an old result after a newer call merely recomputes
+# without cache — correctness is unaffected.
+_ORIENTED_CACHE: list = []
+
+
 def triangles_per_node(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """Per-node triangle counts via degree-ordered orientation
     (Suri & Vassilvitskii's MapReduce formulation): orient every
@@ -176,6 +186,8 @@ def triangles_per_node(edges: DataFrame, a: str = "a", b: str = "b") -> DataFram
     all three corners.  All-integer, deterministic; the orientation key
     packs (degree, id) into one bigint (valid while ids < 1e8) so engines
     compare identically."""
+    while _ORIENTED_CACHE:
+        _ORIENTED_CACHE.pop().unpersist(blocking=False)
     deg = (
         edges.select(F.col(a).alias("node"))
         .unionAll(edges.select(F.col(b).alias("node")))
@@ -197,6 +209,7 @@ def triangles_per_node(edges: DataFrame, a: str = "a", b: str = "b") -> DataFram
         )
         .persist()
     )
+    _ORIENTED_CACHE.append(oriented)
     # Adjacency-intersect closure instead of the wedge self-join: each
     # triangle {u,v,w} has a unique BASE edge u→v (its two orientation-lowest
     # corners), and closes iff w ∈ out(u) ∩ out(v) — so one array_intersect

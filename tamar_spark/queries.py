@@ -832,8 +832,9 @@ cand AS (
 )
 SELECT c.doc_id_1, c.doc_id_2,
        CAST(levenshtein(t1.text, t2.text) AS INT) AS edit_dist,
-       round(1.0 - levenshtein(t1.text, t2.text) * 1.0 /
-             greatest(len(t1.text), len(t2.text)), 4) AS edit_sim
+       floor((1.0 - levenshtein(t1.text, t2.text) * 1.0 /
+              greatest(len(t1.text), len(t2.text))) * 10000 + 0.5) / 10000.0
+         AS edit_sim
 FROM cand c
 JOIN d t1 ON t1.doc_id = c.doc_id_1
 JOIN d t2 ON t2.doc_id = c.doc_id_2

@@ -683,9 +683,19 @@ def cdc_incremental_minmax(spark, sf_dir):
     The oracle is the FULL recompute over the merged snapshot, so the
     driver hash proves safe-fold + endangered-rescan ≡ rescan-everything.
     tests/test_storage_layout.py pins that the fixture exercises BOTH
-    paths (some groups endangered, some safely folded)."""
+    paths (some groups endangered, some safely folded) and that a change
+    batch introducing a brand-new group routes it through the rescan
+    (r6 ADVICE: the old view0-LEFT-delta join silently dropped groups
+    present only in the change batch)."""
     base = load_table(spark, sf_dir, "customer")
     changes = _cdc_changes(base)
+    return _ivm_minmax(base, changes)
+
+
+def _ivm_minmax(base, changes):
+    """The minmax-IVM core of :func:`cdc_incremental_minmax`, extracted so
+    tests can drive it with a synthetic change batch (e.g. one inserting
+    into a nation absent from the base — the new-group path)."""
     view0 = base.groupBy(F.col("c_nationkey").alias("nat")).agg(
         F.count(F.lit(1)).alias("n0"),
         F.min("c_acctbal").alias("min0"),
@@ -716,9 +726,15 @@ def cdc_incremental_minmax(spark, sf_dir):
         F.min("removed").alias("min_rm"),
         F.max("removed").alias("max_rm"),
     )
-    folded = view0.join(delta, "nat", "left")
-    endangered = (F.col("min_rm") <= F.col("min0")) | (
-        F.col("max_rm") >= F.col("max0")
+    # full_outer, not left (r6 ADVICE): a group present ONLY in the change
+    # batch (insert into a nation with no base rows) has no view0 row and
+    # must not be dropped — it is routed through the rescan below, which
+    # reads zero base rows for it and aggregates the inserts alone.
+    folded = view0.join(delta, "nat", "full_outer")
+    endangered = (
+        F.col("n0").isNull()
+        | (F.col("min_rm") <= F.col("min0"))
+        | (F.col("max_rm") >= F.col("max0"))
     )
     safe = folded.where(~F.coalesce(endangered, F.lit(False))).select(
         "nat",

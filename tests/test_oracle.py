@@ -56,7 +56,7 @@ def test_registry_invariants():
     assert set(ORACLES) <= set(QUERIES)
     missing_bench = [q for q in bench.HEADLINE if q not in QUERIES]
     assert not missing_bench, f"bench names not registered: {missing_bench}"
-    missing_chg = [q for q in entry._CHANGED_THIS_ROUND if q not in QUERIES]
+    missing_chg = [q for q in entry._CHANGED_IN_ROUND if q not in QUERIES]
     assert not missing_chg, f"changed-list names not registered: {missing_chg}"
     ordered = entry.queries()
     assert set(ordered) == set(QUERIES)
@@ -83,12 +83,25 @@ def test_rotation_is_stalest_first():
     last: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
-        for q in json.load(open(path)):
+        for q, row in json.load(open(path)).items():
+            # green rows only (r6 ADVICE): an errored or mismatched row
+            # must NOT count as verification — the query stays at the head
+            if row.get("err") is not None or any(
+                row.get(k) is False
+                for k in ("rows_match", "hash_match", "schema_match")
+            ):
+                continue
             last[q] = max(last.get(q, 0), rnd)
 
-    changed = set(entry._CHANGED_THIS_ROUND)
     names = list(entry.queries())
-    prios = [0 if n in changed else last.get(n, 0) for n in names]
+    # a changed-in-round entry is live only until a green row from that
+    # round or later attests the new semantics (r6 ADVICE: self-clearing)
+    prios = [
+        0
+        if last.get(n, 0) < entry._CHANGED_IN_ROUND.get(n, 0)
+        else last.get(n, 0)
+        for n in names
+    ]
     assert prios == sorted(prios), "rotation is not stalest-first"
 
     head, cap = set(names[:50]), min(50, len(names))
@@ -96,6 +109,10 @@ def test_rotation_is_stalest_first():
     # every query strictly staler than the cutoff must be inside the head
     must_have = {n for n, p in zip(names, prios) if p < cutoff}
     assert must_have <= head, f"stale rows missing from head-50: {must_have - head}"
-    # never-verified (new) and changed queries always make the head
-    fresh_now = {n for n in names if n in changed or n not in last}
+    # never-verified (new) and live-changed queries always make the head
+    fresh_now = {
+        n
+        for n in names
+        if last.get(n, 0) < entry._CHANGED_IN_ROUND.get(n, 0) or n not in last
+    }
     assert fresh_now <= head or len(names) < 50

@@ -469,3 +469,33 @@ def test_cdc_minmax_exercises_both_ivm_paths(spark, sf_dir):
     n_safe = folded.where(~endangered).count()
     assert n_end > 0, "no endangered group: retraction path untested"
     assert n_safe > 0, "every group endangered: incremental fold untested"
+
+
+def test_cdc_minmax_new_group_not_dropped(spark):
+    """r6 ADVICE: a change batch inserting into a group with NO base rows
+    must surface that group in the maintained view (the old view0-LEFT-
+    delta join silently dropped it).  Drive _ivm_minmax with a synthetic
+    batch whose insert lands in nation 99, absent from the base, and
+    check the result against a direct recompute of the merged snapshot."""
+    from tamar_spark.queries_layout import _ivm_minmax
+
+    base = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 2)],
+        "c_custkey long, c_acctbal double, c_nationkey long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (100, "I", 5.0, 99),   # insert into brand-new nation 99
+            (2, "U", 25.0, 1),     # update inside an existing nation
+            (3, "D", None, 2),     # delete emptying... no, nation 2 keeps 0 rows
+        ],
+        "key long, op string, new_bal double, new_nat long",
+    )
+    got = {
+        r["nat"]: (r["n"], r["min_bal"], r["max_bal"])
+        for r in _ivm_minmax(base, changes).collect()
+    }
+    # merged snapshot: nation 1 -> {10.0, 25.0}; nation 2 -> {} ; 99 -> {5.0}
+    assert got[99] == (1, 5.0, 5.0), f"new group dropped or wrong: {got}"
+    assert got[1] == (2, 10.0, 25.0)
+    assert 2 not in got or got[2][0] == 0
