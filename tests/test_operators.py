@@ -323,21 +323,25 @@ def test_process_state_batch(spark):
 
 
 def test_stateful_backend_dispatch_is_pinned():
-    """Pin WHICH streaming-state backend this environment exercises
-    (r5 VERDICT task 5): the dispatch picks transformWithStateInPandas
-    only when python protobuf is importable.  Probe protobuf
-    independently and assert the selector agrees — so a CI image change
-    that silently flips the active branch fails here, visibly, instead
-    of leaving the other branch dead untested."""
-    from tamar_spark.streaming.stateful import active_stateful_backend
+    """Pin the streaming-state backend CONTRACT (r6 VERDICT task 1): the
+    default is applyInPandasWithState unconditionally — never an
+    availability-dispatched transformWithStateInPandas, which no CI
+    environment of this repo has ever executed (protobuf absent) and so
+    must not be silently selectable as a default.  TWS remains reachable
+    only through the explicit use_tws=True escape hatch, whose protobuf
+    gate test_forcing_tws_without_protobuf_fails_loudly covers."""
+    import inspect
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    from tamar_spark.streaming.stateful import (
+        active_stateful_backend,
+        process_state_streaming,
+    )
 
-        expected = "transformWithStateInPandas"
-    except ImportError:
-        expected = "applyInPandasWithState"
-    assert active_stateful_backend() == expected
+    assert active_stateful_backend() == "applyInPandasWithState"
+    # the default must be opt-out-of-nothing: use_tws defaults to False,
+    # not to an environment probe
+    sig = inspect.signature(process_state_streaming)
+    assert sig.parameters["use_tws"].default is False
 
 
 def test_forcing_tws_without_protobuf_fails_loudly(spark):
@@ -360,14 +364,15 @@ def test_forcing_tws_without_protobuf_fails_loudly(spark):
         )
 
 
-@pytest.mark.parametrize("backend", ["auto", "tws"])
+@pytest.mark.parametrize("backend", ["default", "tws"])
 def test_process_state_streaming(spark, tmp_path, backend):
     """Per-key running count over a stream (reference keyed process_state,
-    src/lib.rs:323-361), run on BOTH dispatch branches: 'auto' follows
-    active_stateful_backend() (applyInPandasWithState in this protobuf-less
-    image); 'tws' forces transformWithStateInPandas and skips where its
-    protobuf dependency is absent — the skip line in the report records
-    which branch this environment actually exercised."""
+    src/lib.rs:323-361): 'default' runs the unconditional
+    applyInPandasWithState backend; 'tws' opts into the
+    transformWithStateInPandas escape hatch and skips where its protobuf
+    dependency is absent — the skip line in the report records that the
+    hatch is untested in this environment (r6 VERDICT task 1: an
+    explicitly-untested opt-in, never a silently-untested default)."""
     from tamar_spark import Environment
     from tamar_spark.streaming.stateful import (
         _tws_available,
@@ -375,7 +380,7 @@ def test_process_state_streaming(spark, tmp_path, backend):
     )
     from tamar_spark.stream import KeyedDataStream
 
-    use_tws = None
+    use_tws = False
     if backend == "tws":
         if not _tws_available():
             pytest.skip("protobuf absent: transformWithStateInPandas unavailable")

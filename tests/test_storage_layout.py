@@ -487,7 +487,7 @@ def test_cdc_minmax_new_group_not_dropped(spark):
         [
             (100, "I", 5.0, 99),   # insert into brand-new nation 99
             (2, "U", 25.0, 1),     # update inside an existing nation
-            (3, "D", None, 2),     # delete emptying... no, nation 2 keeps 0 rows
+            (3, "D", None, 2),     # delete that empties nation 2 entirely
         ],
         "key long, op string, new_bal double, new_nat long",
     )
