@@ -956,44 +956,47 @@ def cep_funnel_sequence(spark, sf_dir):
     )
 
 
-def funnel_matches(events, within_us: int, pattern=("view", "click", "purchase")):
+def funnel_matches(
+    events,
+    within_us: int,
+    pattern=("view", "click", "purchase"),
+    id_names=("view_id", "click_id", "purchase_id"),
+):
     """CEP kernel behind ``cep_funnel_sequence``: strictly consecutive
-    3-step ``pattern`` runs per user over the filtered stream, last step
-    within ``within_us`` microseconds of the first.  Total per-user order
-    (ts, event_id) — a tie in ts cannot reorder the lag chain."""
+    n-step ``pattern`` runs per user over the filtered stream, last step
+    within ``within_us`` microseconds of the first (r6 VERDICT task 3
+    generalized the lag chain from 3 to n — one ``lag(j)`` pair per
+    earlier step, still a single window pass over one shuffle).  Total
+    per-user order (ts, event_id) — a tie in ts cannot reorder the lag
+    chain.  Output: ``user_id, *id_names, elapsed_sec``."""
     from pyspark.sql.window import Window as W
 
-    a, b, c = pattern
+    n = len(pattern)
+    if len(id_names) != n:
+        raise ValueError("id_names must match the pattern length")
     f = events.where(F.col("event_type").isin(*pattern))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    lagged = f.select(
+    sel = ["user_id", "event_id", "event_type", "ts"]
+    for j in range(1, n):
+        sel.append(F.lag("event_type", j).over(w).alias(f"t{j}"))
+        sel.append(F.lag("event_id", j).over(w).alias(f"id{j}"))
+    sel.append(F.lag("ts", n - 1).over(w).alias("ts_first"))
+    lagged = f.select(*sel)
+    us, us0 = epoch_us("ts"), epoch_us("ts_first")
+    cond = F.col("event_type") == pattern[-1]
+    for j in range(1, n):
+        cond &= F.col(f"t{j}") == pattern[n - 1 - j]
+    cond &= us - us0 <= within_us
+    out_ids = [
+        (F.col(f"id{n - 1 - i}") if n - 1 - i else F.col("event_id")).alias(name)
+        for i, name in enumerate(id_names)
+    ]
+    return lagged.where(cond).select(
         "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        F.lag("event_type", 1).over(w).alias("t1"),
-        F.lag("event_id", 1).over(w).alias("id1"),
-        F.lag("event_type", 2).over(w).alias("t2"),
-        F.lag("event_id", 2).over(w).alias("id2"),
-        F.lag("ts", 2).over(w).alias("ts2"),
-    )
-    us, us2 = epoch_us("ts"), epoch_us("ts2")
-    return (
-        lagged.where(
-            (F.col("event_type") == c)
-            & (F.col("t1") == b)
-            & (F.col("t2") == a)
-            & (us - us2 <= within_us)
-        )
-        .select(
-            "user_id",
-            F.col("id2").alias("view_id"),
-            F.col("id1").alias("click_id"),
-            F.col("event_id").alias("purchase_id"),
-            # exact integer floor-div (not /, not `div`): matches the
-            # oracle's `//` for any sign of the delta
-            floor_div(us - us2, 1_000_000).alias("elapsed_sec"),
-        )
+        *out_ids,
+        # exact integer floor-div (not /, not `div`): matches the
+        # oracle's `//` for any sign of the delta
+        floor_div(us - us0, 1_000_000).alias("elapsed_sec"),
     )
 
 
@@ -1052,7 +1055,73 @@ def streaming_cep_funnel(spark, sf_dir):
     )
     keyed = DataStream(sdf, event_time="ts").key_by("user_id")
     out = funnel_match_streaming(
-        keyed, ("view", "click", "purchase"), within_us=172_800 * 1_000_000
+        keyed,
+        ("view", "click", "purchase"),
+        within_us=172_800 * 1_000_000,
+        id_names=("view_id", "click_id", "purchase_id"),
+    )
+    return _run_to_memory(out.to_df()).orderBy("user_id", "purchase_id")
+
+
+@query(
+    "streaming_cep_funnel4",
+    """
+WITH wm AS (
+  SELECT (epoch_us(MAX(ts)) // 1000 - 600000) * 1000 AS wm_us FROM events
+),
+f AS (
+  SELECT user_id, event_id, event_type, ts FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+),
+lagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         LAG(event_type, 1) OVER w AS t1, LAG(event_id, 1) OVER w AS id1,
+         LAG(event_type, 2) OVER w AS t2, LAG(event_id, 2) OVER w AS id2,
+         LAG(event_type, 3) OVER w AS t3, LAG(event_id, 3) OVER w AS id3,
+         LAG(ts, 3) OVER w AS ts3
+  FROM f
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, id3 AS signup_id, id2 AS view_id, id1 AS click_id,
+       event_id AS purchase_id,
+       CAST((epoch_us(ts) - epoch_us(ts3)) // 1000000 AS BIGINT)
+         AS elapsed_sec
+FROM lagged
+WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+  AND t3 = 'signup'
+  AND epoch_us(ts) - epoch_us(ts3) <= 345600000000
+  AND epoch_us(ts) < (SELECT wm_us FROM wm)
+ORDER BY user_id, purchase_id
+""",
+)
+def streaming_cep_funnel4(spark, sf_dir):
+    """The n-step generalization of streaming_cep_funnel exercised live
+    (r6 VERDICT task 3): a strictly-consecutive 4-step
+    signup→view→click→purchase match on the same watermark-final keyed
+    stateful kernel — the match scan, emission shape, and retention bound
+    all parameterized by the pattern length (streaming/cep.py; reference
+    keyed process_state, src/lib.rs:323-361).  Same finality rule as the
+    3-step query: a match emits only once the watermark strictly passes
+    its purchase timestamp, so the oracle is the 4-lag batch chain plus
+    that filter; matches still unsealed at end-of-stream never emit
+    (the reference's no-flush, src/lib.rs:1316-1345).  Per-key state is
+    the unsealed horizon plus THREE sealed rows — the n−1 retention the
+    kernel derives from the pattern."""
+    from tamar_spark.stream import DataStream
+    from tamar_spark.streaming.cep import funnel_match_streaming
+
+    prep_session(spark)
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type").isin("signup", "view", "click", "purchase"))
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    keyed = DataStream(sdf, event_time="ts").key_by("user_id")
+    out = funnel_match_streaming(
+        keyed,
+        ("signup", "view", "click", "purchase"),
+        within_us=345_600 * 1_000_000,
+        id_names=("signup_id", "view_id", "click_id", "purchase_id"),
     )
     return _run_to_memory(out.to_df()).orderBy("user_id", "purchase_id")
 

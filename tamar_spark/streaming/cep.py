@@ -4,7 +4,7 @@ The reference is a Flink-shaped stream processor whose keyed
 ``process_state`` (reference src/lib.rs:323-361) is exactly the substrate
 Flink-CEP builds on; the batch CEP family (queries_layout: lag-chain
 funnel, gaps-and-islands runs) expresses the same patterns declaratively
-but only over a finished table.  This module runs the fixed-length
+but only over a finished table.  This module runs the n-step
 pattern LIVE on ``applyInPandasWithState``, with the event-time watermark
 deciding when a match is FINAL — the streaming-correctness problem batch
 CEP never faces:
@@ -46,23 +46,34 @@ def funnel_match_streaming(
     id_col: str = "event_id",
     type_col: str = "event_type",
     ts_col: Optional[str] = None,
+    id_names: Optional[tuple] = None,
 ):
-    """Streaming strictly-consecutive 3-step pattern match per key.
+    """Streaming strictly-consecutive n-step pattern match per key
+    (r6 VERDICT task 3 generalized the fixed-length-3 kernel: the buffer
+    walk, watermark-finality rule, and retention bound were already
+    pattern-length-agnostic — only the match scan and output shape were
+    hardcoded).
 
     Mirrors the batch kernel ``queries_layout.funnel_matches`` (same
     pattern tuple, same ``within_us`` bound, same (ts, id) total order,
     same output columns) so the two can share one oracle up to the
-    watermark-finality filter.  ``keyed`` must wrap a streaming DataFrame
-    with ``withWatermark`` applied and already filtered to the pattern's
-    event types.
+    watermark-finality filter.  ``id_names`` names the per-step id output
+    columns (default ``step1_id..stepN_id``); the output schema is
+    ``user_id, *id_names, elapsed_sec``.  ``keyed`` must wrap a streaming
+    DataFrame with ``withWatermark`` applied and already filtered to the
+    pattern's event types.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from tamar_spark.stream import DataStream
 
-    if len(pattern) != 3:
-        raise ValueError("fixed-length kernel: pattern must have 3 steps")
-    a, b, c = pattern
+    n = len(pattern)
+    if n < 2:
+        raise ValueError("pattern must have at least 2 steps")
+    if id_names is None:
+        id_names = tuple(f"step{i + 1}_id" for i in range(n))
+    if len(id_names) != n:
+        raise ValueError("id_names must match the pattern length")
     ts = ts_col or keyed.event_time
     if ts is None:
         raise ValueError("funnel_match_streaming requires an event_time column")
@@ -92,30 +103,27 @@ def funnel_match_streaming(
             ).reset_index(drop=True)
             ts_us = buffered[ts].astype("datetime64[us]").astype("int64")
             t = buffered[type_col]
-            # consecutive-triple match over the total order, vectorized
-            is_match = (
-                (t == c)
-                & (t.shift(1) == b)
-                & (t.shift(2) == a)
-                & (ts_us - ts_us.shift(2) <= within_us)
-            )
+            # consecutive n-tuple match over the total order, vectorized:
+            # row i is a match's LAST step iff the n-1 rows before it
+            # carry the earlier pattern steps in order
+            is_match = t == pattern[-1]
+            for j in range(1, n):
+                is_match &= t.shift(j) == pattern[n - 1 - j]
+            is_match &= ts_us - ts_us.shift(n - 1) <= within_us
             # final (sealed) now and not emitted by an earlier watermark
             sealed = ts_us < wm_us
             fresh_match = is_match & sealed & (ts_us >= prev_wm_us)
             if fresh_match.any():
                 idx = fresh_match[fresh_match].index
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]] * len(idx),
-                        "view_id": buffered[id_col].shift(2)[idx].astype("int64"),
-                        "click_id": buffered[id_col].shift(1)[idx].astype("int64"),
-                        "purchase_id": buffered[id_col][idx],
-                        "elapsed_sec": (
-                            (ts_us[idx] - ts_us.shift(2)[idx].astype("int64"))
-                            // 1_000_000
-                        ),
-                    }
-                )
+                out = {"user_id": [key[0]] * len(idx)}
+                for i, name in enumerate(id_names):
+                    shift = n - 1 - i
+                    col = buffered[id_col].shift(shift) if shift else buffered[id_col]
+                    out[name] = col[idx].astype("int64")
+                out["elapsed_sec"] = (
+                    ts_us[idx] - ts_us.shift(n - 1)[idx].astype("int64")
+                ) // 1_000_000
+                yield pd.DataFrame(out)
             # candidate matches still awaiting their seal drive the timer
             pending = is_match & ~sealed
             if pending.any():
@@ -123,7 +131,7 @@ def funnel_match_streaming(
             # retention: unsealed suffix + the trailing len(pattern)-1
             # sealed rows (the only sealed rows a future match can use)
             n_sealed = int(sealed.sum())
-            remaining = buffered.iloc[max(0, n_sealed - 2) :].reset_index(
+            remaining = buffered.iloc[max(0, n_sealed - (n - 1)) :].reset_index(
                 drop=True
             )
 
@@ -145,12 +153,10 @@ def funnel_match_streaming(
                 max(next_candidate_us // 1000 + 1, gstate.getCurrentWatermarkMs() + 1)
             )
 
+    id_fields = ", ".join(f"{name} long" for name in id_names)
     out = keyed.df.groupBy(*keyed.keys).applyInPandasWithState(
         handle,
-        outputStructType=(
-            "user_id long, view_id long, click_id long, "
-            "purchase_id long, elapsed_sec long"
-        ),
+        outputStructType=f"user_id long, {id_fields}, elapsed_sec long",
         stateStructType="blob binary",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -744,3 +744,65 @@ def test_triangles_match_direct_enumeration(spark, raw):
             for n in (x, y, z):
                 want[n] = want.get(n, 0) + 1
     assert got == set(want.items())
+
+
+cep4_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user id
+        st.integers(min_value=0, max_value=30),     # minute offset (ties likely)
+        st.sampled_from(["signup", "view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=cep4_events_strategy)
+def test_funnel_matches_nstep_model(spark, events):
+    """The n-step generalization of the lag-chain CEP kernel (r6 VERDICT
+    task 3) at pattern length 4 must equal a direct per-user scan over
+    the (ts, event_id)-sorted filtered stream — same model as the 3-step
+    property test, one more step in the chain, tied timestamps included."""
+    from tamar_spark.queries_layout import funnel_matches
+
+    pattern = ("signup", "view", "click", "purchase")
+    within = 10 * 60 * 1_000_000  # 10 minutes in µs
+    got = {
+        (r.user_id, r.step1_id, r.step2_id, r.step3_id, r.step4_id, r.elapsed_sec)
+        for r in funnel_matches(
+            _cep_frame(spark, events),
+            within_us=within,
+            pattern=pattern,
+            id_names=("step1_id", "step2_id", "step3_id", "step4_id"),
+        ).collect()
+    }
+
+    by_user = {}
+    for i, (u, m, t) in enumerate(events):
+        if t in pattern:
+            by_user.setdefault(u, []).append((m * 60_000_000, i, t))
+    want = set()
+    for u, rows in by_user.items():
+        rows.sort()  # (ts, event_id) total order
+        for j in range(3, len(rows)):
+            window = rows[j - 3 : j + 1]
+            if (
+                tuple(r[2] for r in window) == pattern
+                and window[3][0] - window[0][0] <= within
+            ):
+                want.add(
+                    (
+                        u,
+                        window[0][1],
+                        window[1][1],
+                        window[2][1],
+                        window[3][1],
+                        (window[3][0] - window[0][0]) // 1_000_000,
+                    )
+                )
+    assert got == want

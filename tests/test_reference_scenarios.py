@@ -723,7 +723,10 @@ def test_streaming_cep_funnel_late_and_tied_events(spark, tmp_path):
     )
     keyed = DataStream(sdf, event_time="ts").key_by("user_id")
     out = funnel_match_streaming(
-        keyed, ("view", "click", "purchase"), within_us=48 * 3600 * 1_000_000
+        keyed,
+        ("view", "click", "purchase"),
+        within_us=48 * 3600 * 1_000_000,
+        id_names=("view_id", "click_id", "purchase_id"),
     )
     q = (
         out.to_df()
@@ -815,3 +818,116 @@ def test_streaming_cep_runs_late_extension_and_split(spark, tmp_path):
         for r in spark.table("cep_runs_out").collect()
     )
     assert got == [(1, "A", 1, 4)], got
+
+
+def test_streaming_cep_funnel_nstep_random_soup_matches_batch(spark, tmp_path):
+    """n-step streaming CEP vs the batch kernel on seeded random event
+    soups (r6 VERDICT task 3): for each seed, a 4-step pattern runs LIVE
+    over three micro-batches (maxFilesPerTrigger=1) and must emit exactly
+    the batch kernel's matches restricted to purchases sealed by the
+    final watermark — micro-batch slicing, tied timestamps, and
+    out-of-order arrival included.  (The batch kernel itself is
+    property-tested against a direct python scan in test_properties.)"""
+    import random
+    import time as _time
+
+    from tamar_spark.queries_layout import funnel_matches
+    from tamar_spark.stream import DataStream
+    from tamar_spark.streaming.cep import funnel_match_streaming
+
+    pattern = ("signup", "view", "click", "purchase")
+    id_names = ("signup_id", "view_id", "click_id", "purchase_id")
+    within_us = 30 * 60 * 1_000_000  # 30 minutes
+    base = pd.Timestamp("2024-01-01 12:00:00")
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = [
+            (
+                rng.randrange(3),
+                i,
+                rng.choice(pattern + ("error",)),
+                base + pd.Timedelta(minutes=rng.randrange(120)),
+            )
+            for i in range(120)
+        ]
+        # planted complete funnels in a quiet zone past the random range —
+        # a uniform soup rarely produces 4 exact consecutive steps, and an
+        # all-empty comparison would be vacuous; the plants are strictly
+        # consecutive by construction (per-user consecutiveness: other
+        # users' events in between don't matter) and sealed by the
+        # sentinel below under the 60-minute watermark delay
+        for u in range(3):
+            for s, step in enumerate(pattern):
+                rows.append(
+                    (u, 1000 + 10 * u + s, step,
+                     base + pd.Timedelta(minutes=125 + 5 * u + s))
+                )
+        # watermark-advancing sentinel: a lone pattern-type event (a
+        # non-pattern type would be filter-pushed BELOW the watermark node
+        # and never advance it) on its own user — can't form a match
+        rows.append((9, 9999, "signup", base + pd.Timedelta(minutes=200)))
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "event_type", "ts"])
+        # Arrival order: time-sorted thirds, then ~15% of rows displaced
+        # one micro-batch LATER — out-of-order arrival whose lateness is
+        # bounded by one chunk's time width (< the 60-minute watermark
+        # delay), so Spark never drops a row the batch oracle keeps.  An
+        # unbounded shuffle (e.g. round-robin thirds) would let the
+        # watermark race ahead and legitimately drop late rows, making
+        # batch equivalence unprovable.
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        third = (len(pdf) + 2) // 3
+        chunk = pd.Series(
+            [min(i // third + (1 if rng.random() < 0.15 else 0), 2)
+             for i in range(len(pdf))]
+        )
+        src = tmp_path / f"soup_{seed}"
+        src.mkdir()
+        for part in range(3):
+            pdf[chunk == part].to_parquet(
+                src / f"p{part}.parquet", coerce_timestamps="us"
+            )
+            _time.sleep(1.1)
+
+        schema = spark.read.parquet(str(src)).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "60 minutes")
+            .where(F.col("event_type").isin(*pattern))
+        )
+        keyed = DataStream(sdf, event_time="ts").key_by("user_id")
+        out = funnel_match_streaming(
+            keyed, pattern, within_us=within_us, id_names=id_names
+        )
+        q = (
+            out.to_df()
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"cep_soup_{seed}")
+            .option("checkpointLocation", str(tmp_path / f"soup_chk_{seed}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            tuple(r[c] for c in ("user_id", *id_names, "elapsed_sec"))
+            for r in spark.table(f"cep_soup_{seed}").collect()
+        )
+
+        batch_df = spark.createDataFrame(
+            pdf, "user_id long, event_id long, event_type string, ts timestamp"
+        )
+        # Spark's global watermark: ms-floored max event time − delay
+        wm_us = (int(pdf["ts"].max().value // 1000) // 1000 - 3_600_000) * 1000
+        want = sorted(
+            tuple(r[c] for c in ("user_id", *id_names, "elapsed_sec"))
+            for r in funnel_matches(
+                batch_df, within_us=within_us, pattern=pattern, id_names=id_names
+            ).collect()
+            if int(pdf.loc[pdf["event_id"] == r["purchase_id"], "ts"].iloc[0].value // 1000) < wm_us
+        )
+        assert got == want, f"seed {seed}: {got} != {want}"
+        assert len(want) >= 3, "planted funnels missing: comparison is vacuous"
