@@ -566,6 +566,63 @@ def main() -> None:
         spark.catalog.clearCache()
     results["edit_distance_pairs_at_16x"] = [n_pairs]
 
+    # Wide-tier probe (r6 VERDICT task 4): the production two-tier config
+    # (120-bit fingerprint for long docs + length-bucketed short tier)
+    # must hold past where the 60-bit tier's n²/2⁷ candidate term bites —
+    # timed to 64× (the 60-bit row deliberately stops at 16×).  The
+    # candidate CONSTANT is measured analytically: raw chunk-join volume
+    # = Σ c·(c−1)/2 over (chunk, key) buckets, no join executed — at
+    # sf0.1's length mix the 15-bit keys cut it ~2⁶-2⁸× vs 7-bit keys.
+    def edit_docs(k):
+        parts = []
+        for i in range(k):
+            parts.append(
+                documents_sf.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 10_000_000_000)
+                ).withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1{i:02d}")
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    def candidate_volume(df, bits, max_hamming):
+        from tamar_spark.operators.dedup import (
+            pigeonhole_chunk_keys,
+            simhash_fingerprints,
+        )
+
+        fps = simhash_fingerprints(df, bits=bits)
+        chunks = F.array(*pigeonhole_chunk_keys(bits, max_hamming + 1))
+        return int(
+            fps.select(F.posexplode(chunks).alias("chunk", "ckey"))
+            .groupBy("chunk", "ckey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("v"))
+            .collect()[0]["v"]
+        )
+
+    from tamar_spark.operators.dedup import edit_distance_pairs as _edp
+
+    results["edit_distance_wide"] = []
+    for k in [1, 4, 16, 64]:
+        t0 = time.perf_counter()
+        n_wide = _edp(
+            edit_docs(k), max_dist=30, max_hamming=7, bits=120,
+            short_max_chars=350,
+        ).count()
+        results["edit_distance_wide"].append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+    results["edit_distance_wide_pairs_at_64x"] = [n_wide]
+    long_docs_16 = edit_docs(16).where(F.length("text") >= 350)
+    results["edit_distance_candidates_16x_60v120"] = [
+        candidate_volume(long_docs_16, 60, 7),
+        candidate_volume(long_docs_16, 120, 7),
+    ]
+    spark.catalog.clearCache()
+
     # Triangle counting: k disjoint key-shifted copies of the sf0.01
     # supplier co-occurrence graph (node ids shifted per copy, so copies
     # share no edges) — triangles scale exactly k-linear, and the

@@ -597,31 +597,86 @@ def simhash_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    bits: int = 60,
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """60-bit SimHash per document from n-gram shingle hashes.
+    """SimHash per document from n-gram shingle hashes — 60-bit (default)
+    or 120-bit (``bits=120``, the production-selectivity knob).
 
     Bit *j* of the fingerprint is the sign of ``Σ ±1`` over shingles (per the
-    classic Charikar construction), computed as 60 conditional sums in one
-    hash aggregate — JVM-side, single shuffle on ``id_col``.  The shingle
+    classic Charikar construction), computed as ``bits`` conditional sums in
+    one hash aggregate — JVM-side, single shuffle on ``id_col``.  The shingle
     hash is a 15-hex-digit md5 slice (60 bits — off the sign bit), chosen so
-    DuckDB can reproduce fingerprints bit-identically for the oracle check.
+    DuckDB can reproduce fingerprints bit-identically for the oracle check;
+    the 120-bit variant takes its upper 60 bits from md5 hex digits 16-30
+    (independent of the first slice for md5's diffusion purposes), emitted
+    as a second ``simhash_hi`` long since 120 bits outgrow one bigint.
+
+    ``extra_cols`` threads per-document columns (must be functionally
+    dependent on ``id_col``, e.g. a precomputed text length) through the
+    shingle explode and the aggregate's group keys — no join-back.
     """
-    sh = shingles(df, text_col, id_col, n).withColumn(
+    if bits not in (60, 120):
+        raise ValueError("bits must be 60 or 120")
+    sh = shingles(df, text_col, id_col, n, carry_cols=extra_cols).withColumn(
         "h",
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long"),
     )
-    bit_sums = [
-        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = sh.groupBy(id_col).agg(*bit_sums)
-    fp = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    if bits == 120:
+        sh = sh.withColumn(
+            "h2",
+            F.conv(F.substring(F.md5(F.col("shingle")), 16, 15), 16, 10).cast(
+                "long"
+            ),
         )
-        fp = term if fp is None else (fp + term)
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"({'h' if j < 60 else 'h2'} >> {j % 60}) & 1") == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = sh.groupBy(id_col, *extra_cols).agg(*bit_sums)
+
+    def pack(lo: int) -> F.Column:
+        fp = None
+        for j in range(lo, lo + 60):
+            term = F.when(
+                F.col(f"b{j}") > 0, F.lit(2 ** (j - lo)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            fp = term if fp is None else (fp + term)
+        return fp
+
+    out = [F.col(id_col), *[F.col(c) for c in extra_cols], pack(0).alias("simhash")]
+    if bits == 120:
+        out.append(pack(60).alias("simhash_hi"))
+    return agg.select(*out)
+
+
+def pigeonhole_chunk_keys(bits: int, n_chunks: int) -> list:
+    """The pigeonhole chunk-key expressions over a ``(simhash[,
+    simhash_hi])`` fingerprint row: chunk i is bits [i·w, (i+1)·w) with
+    ``w = bits // n_chunks``, spliced bit-exactly across the lo/hi longs
+    when a chunk straddles bit 60.  Shared by :func:`simhash_pairs` and
+    bench_scale's candidate-volume probe (which computes raw join volume
+    as Σ c·(c−1)/2 per bucket without running the join)."""
+    width = bits // n_chunks
+    out = []
+    for i in range(n_chunks):
+        s, mask = i * width, (1 << width) - 1
+        if s + width <= 60:
+            out.append(F.expr(f"(simhash >> {s}) & {mask}"))
+        elif s >= 60:
+            out.append(F.expr(f"(simhash_hi >> {s - 60}) & {mask}"))
+        else:
+            nlo = 60 - s
+            out.append(
+                F.expr(
+                    f"((simhash >> {s}) & {(1 << nlo) - 1}) | "
+                    f"((simhash_hi & {(1 << (width - nlo)) - 1}) << {nlo})"
+                )
+            )
+    return out
 
 
 def simhash_pairs(
@@ -630,46 +685,111 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    bits: int = 60,
+    length_band: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole candidate generation: split the 64-bit fingerprint into
+    Pigeonhole candidate generation: split the fingerprint into
     ``max_hamming + 1`` chunks — any pair within distance k agrees on at
     least one chunk, so an equi-join per chunk finds all of them without a
     cross join (this is the standard sorted-chunk trick from Manku et al.'s
     web-dedup paper, re-expressed as k+1 hash joins).
+
+    Production-selectivity knobs (r6 VERDICT task 4):
+
+    - ``bits=120`` widens the fingerprint so each pigeonhole chunk carries
+      ``120/(k+1)`` bits instead of ``60/(k+1)`` — at ``max_hamming=7``
+      that is 15-bit vs 7-bit chunk keys, shrinking the raw candidate
+      volume ~n²/2⁷ → ~n²/2¹⁵ (the measured 2⁶-2⁸× drop in
+      bench_scale's wide-tier probe).  Chunks that straddle the
+      lo/hi-long boundary are spliced bit-exactly.
+    - ``length_band`` adds a ``|len₁−len₂| ≤ band`` filter directly on the
+      chunk join output, BEFORE the hamming popcount and the distinct —
+      for edit-distance verification the band ``max_dist`` is free
+      (Levenshtein ≥ length difference, so no true pair is lost).
     """
-    fps = simhash_fingerprints(df, text_col, id_col, n)
-    n_chunks = max_hamming + 1
-    width = SIMHASH_BITS // n_chunks
-    chunks = F.array(
-        *[
-            F.expr(f"(simhash >> {i * width}) & {(1 << width) - 1}").alias(f"c{i}")
-            for i in range(n_chunks)
-        ]
+    extra: tuple = ()
+    if length_band is not None:
+        df = df.withColumn("_len", F.length(F.col(text_col)))
+        extra = ("_len",)
+    fps = simhash_fingerprints(
+        df, text_col, id_col, n, bits=bits, extra_cols=extra
     )
-    exploded = fps.select(id_col, "simhash", F.posexplode(chunks).alias("chunk", "ckey"))
-    a = exploded.select(
-        F.col(id_col).alias("doc_id_1"), F.col("simhash").alias("sh1"), "chunk", "ckey"
+    chunks = F.array(*pigeonhole_chunk_keys(bits, max_hamming + 1))
+    fp_cols = ["simhash"] + (["simhash_hi"] if bits == 120 else [])
+    exploded = fps.select(
+        id_col, *fp_cols, *extra, F.posexplode(chunks).alias("chunk", "ckey")
     )
-    b = exploded.select(
-        F.col(id_col).alias("doc_id_2"), F.col("simhash").alias("sh2"), "chunk", "ckey"
+
+    def side(idx: int) -> DataFrame:
+        sel = [F.col(id_col).alias(f"doc_id_{idx}")]
+        sel.append(F.col("simhash").alias(f"sh{idx}"))
+        if bits == 120:
+            sel.append(F.col("simhash_hi").alias(f"shh{idx}"))
+        if extra:
+            sel.append(F.col("_len").alias(f"len_{idx}"))
+        return exploded.select(*sel, "chunk", "ckey")
+
+    joined = side(1).join(side(2), ["chunk", "ckey"]).filter(
+        F.col("doc_id_1") < F.col("doc_id_2")
     )
-    # hamming-filter BEFORE distinct: bit_count is a per-row map over the
-    # join output, while distinct is a full shuffle of it — with weakly
-    # selective chunk keys the raw candidate volume is ~n²/2^width per
-    # chunk, and near-pairs are rare, so filtering first shrinks the
-    # distinct's shuffle from all-candidates to true-pairs-only (the
-    # dominant term of this plan at scale; output identical).
+    # cheap filters BEFORE distinct: the length band and the hamming
+    # popcount are per-row maps over the join output, while distinct is a
+    # full shuffle of it — with weakly selective chunk keys the raw
+    # candidate volume is ~n²/2^width per chunk, and near-pairs are rare,
+    # so filtering first shrinks the distinct's shuffle from
+    # all-candidates to true-pairs-only (the dominant term of this plan
+    # at scale; output identical).
+    if length_band is not None:
+        joined = joined.filter(
+            F.abs(F.col("len_1") - F.col("len_2")) <= length_band
+        )
+    hamming = F.expr("bit_count(sh1 ^ sh2)")
+    if bits == 120:
+        hamming = hamming + F.expr("bit_count(shh1 ^ shh2)")
     pairs = (
-        a.join(b, ["chunk", "ckey"])
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .withColumn("hamming", F.expr("bit_count(sh1 ^ sh2)").cast("int"))
+        joined.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
         .distinct()
     )
     return pairs
+
+
+def length_bucket_pairs(
+    df: DataFrame,
+    max_dist: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs candidates under the length-band constraint via bucketed
+    equi-join: bucket = ``len // max_dist``; a pair with |len₁−len₂| ≤
+    ``max_dist`` differs by at most one bucket, so joining side A's bucket
+    against side B exploded to {b−1, b, b+1} finds every such pair exactly
+    once (the pair's A-bucket appears in B's triple iff they are within
+    one bucket) — never a cross join, candidate volume ~Σ bucket².
+    Used as the SHORT-document tier of :func:`edit_distance_pairs`, where
+    fingerprints are too noisy to trust and strings are cheap to verify."""
+    base = df.select(
+        F.col(id_col), F.length(F.col(text_col)).alias("_len")
+    ).withColumn("_b", (F.col("_len") / F.lit(max_dist)).cast("long"))
+    a = base.select(
+        F.col(id_col).alias("doc_id_1"), F.col("_len").alias("len_1"),
+        F.col("_b").alias("bkt"),
+    )
+    b = base.select(
+        F.col(id_col).alias("doc_id_2"), F.col("_len").alias("len_2"),
+        F.explode(
+            F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)
+        ).alias("bkt"),
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .filter(F.abs(F.col("len_1") - F.col("len_2")) <= max_dist)
+        .select("doc_id_1", "doc_id_2")
+    )
 
 
 def edit_distance_pairs(
@@ -679,6 +799,8 @@ def edit_distance_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    bits: int = 60,
+    short_max_chars: Optional[int] = None,
 ) -> DataFrame:
     """Char-level near-dup pairs: Levenshtein distance ≤ ``max_dist``,
     candidate-bounded by the SimHash pigeonhole tier.
@@ -690,11 +812,15 @@ def edit_distance_pairs(
 
     - **Candidates**: SimHash pigeonhole at hamming ≤ ``max_hamming``
       (``simhash_pairs``) — an equi-join on fingerprint chunks, never a
-      cross join.  At ``max_hamming=7`` the 60-bit fingerprint splits
-      into 8 chunks of 7 bits; 7-bit keys are weakly selective, so at
-      production scale widen the fingerprint (128-bit → 16-bit chunks)
-      or pre-block on a cheap length band (|len₁−len₂| ≤ ``max_dist`` is
-      implied by the distance bound and prunes for free).
+      cross join.  The length band |len₁−len₂| ≤ ``max_dist`` is applied
+      inside the candidate join ALWAYS — it is implied by the distance
+      bound (Levenshtein ≥ length difference), so it prunes for free with
+      zero recall cost.  At the default ``bits=60`` and ``max_hamming=7``
+      the fingerprint splits into 8 chunks of 7 bits; 7-bit keys are
+      weakly selective (~n²/2⁷ raw candidates per chunk), so at
+      production scale pass ``bits=120`` for 15-bit chunk keys — the
+      measured candidate-constant drop is ~2⁶-2⁸× (bench_scale's wide-tier
+      probe) with recall pinned by test at both widths.
     - **Verify**: Spark's banded ``levenshtein(l, r, threshold)`` — the
       O(max_dist·L) diagonal-band DP, not the O(L²) full matrix; pairs
       beyond the band exit early with -1 and are filtered.  Texts join
@@ -709,14 +835,65 @@ def edit_distance_pairs(
     hamming 8-10, recovered by widening ``max_hamming`` to 10 (recall
     pinned by test_edit_distance_tier_recall_vs_brute_force).
 
+    **Production configuration** (r6 VERDICT task 4, measured): hamming
+    distance scales with fingerprint width, so a 120-bit fingerprint at
+    the same ``max_hamming`` is a TIGHTER similarity threshold — on the
+    fixture every true pair above 120-bit hamming 7 involves a short
+    document (≤ ~310 chars; long-doc pairs concentrate at h ≤ 7 with
+    margin).  Widening ``max_hamming`` proportionally (7 → 16) restores
+    recall but shrinks chunk keys back to 7 bits, erasing the
+    selectivity gain — the wide fingerprint alone is NOT a free win.
+    The configuration that keeps both is two-tier by length
+    (``bits=120, short_max_chars=S``): documents with ``len ≥ S`` go
+    through the wide pigeonhole, and the short pool (``len < S +
+    max_dist`` — exhaustive for any pair whose shorter side is < S,
+    since Levenshtein ≥ length difference) goes through
+    :func:`length_bucket_pairs` where the banded verify on short strings
+    is cheap.  The wide tier's ``max_hamming`` must scale with the
+    width for equal recall, and the net selectivity gain is therefore
+    LENGTH-DISTRIBUTION-DEPENDENT: at sf0.01 (long docs concentrate;
+    h=7 holds with margin) chunk keys widen 7 → 15 bits, the measured
+    ~2⁶-2⁸× raw-candidate drop; at sf0.001 (all docs shortish, worst
+    long-pair 120-bit hamming 10) the bound widens to 10, keys are 10
+    bits, and the drop is ~6×.  Short-tier volume is ~Σ length-bucket²
+    over short docs only; for template-heavy corpora run exact dedup
+    first (see the playbook note in BASELINE.md).
+
     Limitation: a document with fewer than ``n`` tokens has no shingles,
-    hence no fingerprint, and can never pair — for very-short-string
-    dedup (titles, ids) use char-level shingles (n=1 on characters) or
-    an exact/length-blocked tier instead.
+    hence no fingerprint, and can never pair via the fingerprint tier —
+    for very-short-string dedup (titles, ids) the short tier (or char
+    shingles, n=1) is the right tool.
     """
-    pairs = simhash_pairs(
-        df, max_hamming=max_hamming, text_col=text_col, id_col=id_col, n=n
-    )
+    if short_max_chars is not None:
+        long_docs = df.filter(F.length(F.col(text_col)) >= short_max_chars)
+        short_pool = df.filter(
+            F.length(F.col(text_col)) < short_max_chars + max_dist
+        )
+        long_pairs = simhash_pairs(
+            long_docs,
+            max_hamming=max_hamming,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            bits=bits,
+            length_band=max_dist,
+        ).select("doc_id_1", "doc_id_2")
+        short_pairs = length_bucket_pairs(
+            short_pool, max_dist, text_col=text_col, id_col=id_col
+        )
+        # the tiers overlap on pairs wholly inside [S, S+max_dist) — the
+        # union dedups them before the verify join
+        pairs = long_pairs.unionByName(short_pairs).distinct()
+    else:
+        pairs = simhash_pairs(
+            df,
+            max_hamming=max_hamming,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            bits=bits,
+            length_band=max_dist,
+        ).select("doc_id_1", "doc_id_2")
     t = df.select(F.col(id_col), F.col(text_col))
     t1 = t.select(F.col(id_col).alias("doc_id_1"), F.col(text_col).alias("_t1"))
     t2 = t.select(F.col(id_col).alias("doc_id_2"), F.col(text_col).alias("_t2"))

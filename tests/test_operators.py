@@ -250,6 +250,22 @@ def test_edit_distance_tier_recall_vs_brute_force(spark, sf_dir, duck):
         for r in D.edit_distance_pairs(docs, max_dist=30, max_hamming=10).collect()
     }
     assert widened == truth  # full recall with the widened candidate knob
+    # production two-tier config (r6 VERDICT task 4): 120-bit fingerprint
+    # for long docs, length-bucketed exact tier for short docs.  Hamming
+    # scales with fingerprint width, so the wide tier's bound is ~2× the
+    # 60-bit widened knob (10, matching this corpus's measured worst
+    # long-pair 120-bit hamming); at sf0.01's longer documents h=7 holds
+    # with margin and the chunk keys widen to 15 bits (the ~2⁶-2⁸×
+    # candidate drop in bench_scale's wide-tier probe).  Full recall at
+    # both widths is the invariant; the selectivity gain is
+    # length-distribution-dependent, per the operator docstring.
+    prod = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D.edit_distance_pairs(
+            docs, max_dist=30, max_hamming=10, bits=120, short_max_chars=350
+        ).collect()
+    }
+    assert prod == truth  # two-tier production config: full recall
 
 
 def test_dedup_keep_best_picks_max_quality_then_min_id(spark, sf_dir):
@@ -1419,3 +1435,44 @@ def test_rounded_aggregates_stable_under_repartitioning(spark, sf_dir):
             assert a.equals(b), f"{n}: output changed with partition count"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_simhash_120bit_pigeonhole_exhaustive_with_straddling_chunks(spark):
+    """The 120-bit pigeonhole must find EVERY pair within the hamming
+    bound — including at max_hamming=8, where 9 chunks of 13 bits make
+    chunk 4 straddle the lo/hi long boundary (bits 52..64) and exercise
+    the splice expression.  Oracle: brute-force hamming over collected
+    fingerprints."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(14):
+        rows.append(Row(doc_id=i, text=" ".join(rng.choices(vocab, k=30))))
+    # planted near-dups at several distances
+    rows.append(Row(doc_id=100, text=rows[0].text.replace("w", "v", 1)))
+    rows.append(Row(doc_id=101, text=" ".join(rows[1].text.split()[:-3])))
+    rows.append(Row(doc_id=102, text=rows[2].text.replace("w", "u", 4)))
+    df = spark.createDataFrame(rows)
+
+    fps = {
+        r.doc_id: (r.simhash, r.simhash_hi)
+        for r in D.simhash_fingerprints(df, bits=120).collect()
+    }
+    ids = sorted(fps)
+    want = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            i, j = ids[x], ids[y]
+            h = bin(fps[i][0] ^ fps[j][0]).count("1") + bin(
+                fps[i][1] ^ fps[j][1]
+            ).count("1")
+            if h <= 8:
+                want.add((i, j, h))
+    got = {
+        (r.doc_id_1, r.doc_id_2, r.hamming)
+        for r in D.simhash_pairs(df, max_hamming=8, bits=120).collect()
+    }
+    assert want, "no in-bound pairs: exhaustiveness check is vacuous"
+    assert got == want
