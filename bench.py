@@ -106,6 +106,76 @@ EXTENDED = [
 
 HEADLINE = RECORDED_BASELINE + EXTENDED
 
+# Canonical anchor numbers (BASELINE.md "Canonical per-query baseline",
+# re-recorded r6 under the median protocol): {query: (median, band_max)}.
+# Used to make every BENCH_r*.json artifact self-diagnosing (r6 VERDICT
+# task 7): shared-box contention shows up as a UNIFORM inflation across
+# the anchor set including untouched queries, while a real regression is
+# CONCENTRATED in the queries whose code changed.  The artifact separates
+# the two mechanically instead of needing prose.
+CANONICAL_ANCHOR = {
+    "session_agg": (0.71, 2.41),
+    "tumbling_agg": (0.35, 0.84),
+    "sliding_agg": (0.39, 0.74),
+    "keyed_count": (0.29, 0.51),
+    "q1_pricing": (0.48, 0.75),
+    "q3_shipping": (0.99, 1.87),
+    "q5_region_revenue": (0.87, 1.35),
+    "q6_forecast_revenue": (0.25, 0.34),
+    "q10_returned_top": (0.76, 1.05),
+    "q18_large_orders": (1.16, 1.24),
+    "window_rank": (0.34, 0.57),
+    "asof_join_latest_order": (0.38, 0.45),
+    "dedup_minhash_lsh": (2.04, 5.62),
+    "dedup_ngram_jaccard": (1.24, 4.63),
+    "dedup_embedding_lsh": (1.34, 3.05),
+    "embed_cosine_topk": (1.26, 1.37),
+    "embed_ivf_topk": (1.73, 1.74),
+    "doc_quality": (0.30, 0.36),
+    "stateful_event_numbering": (3.87, 4.45),
+    "streaming_session_agg": (2.90, 4.30),
+    "streaming_stream_join": (3.36, 3.47),
+}
+
+
+def contention_report(timings: dict[str, float]) -> dict:
+    """Self-diagnosing regression block for the bench artifact.
+
+    - ``index``: median of per-query (run median / canonical median) over
+      the anchor set — the machine-load multiplier for this run.
+    - ``uniform``: True when the inflation is broad (index > 1.2 AND at
+      least 80% of anchor queries run >1.1× their canonical median) —
+      the shared-box contention signature, not a code regression.
+    - ``regressions_raw``: anchor queries breaching the recorded rule
+      literally (median > max(1.2×canonical, band max)).
+    - ``regressions_adjusted``: the same rule after dividing this run's
+      medians by ``index`` — what survives here is concentrated in a few
+      queries and IS a code regression even on a loaded machine.
+    """
+    ratios = {
+        q: round(timings[q] / med, 3)
+        for q, (med, _) in CANONICAL_ANCHOR.items()
+        if q in timings and med > 0
+    }
+    rs = sorted(ratios.values())
+    idx = rs[len(rs) // 2] if len(rs) % 2 else round((rs[len(rs) // 2 - 1] + rs[len(rs) // 2]) / 2, 3)
+    broad = sum(1 for r in ratios.values() if r > 1.1) / max(1, len(ratios))
+    thresh = {q: max(1.2 * med, bmax) for q, (med, bmax) in CANONICAL_ANCHOR.items()}
+    raw = sorted(q for q in ratios if timings[q] > thresh[q])
+    adjusted = sorted(q for q in ratios if timings[q] / max(idx, 1.0) > thresh[q])
+    return {
+        "index": idx,
+        "uniform": idx > 1.2 and broad >= 0.8,
+        "anchor_ratios": ratios,
+        "regressions_raw": raw,
+        "regressions_adjusted": adjusted,
+        "verdict": (
+            "uniform-contention"
+            if (idx > 1.2 and broad >= 0.8)
+            else ("concentrated-regression" if adjusted else "quiet")
+        ),
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,6 +246,7 @@ def main() -> None:
                 "baseline_cold_total": round(
                     sum(cold[n] for n in RECORDED_BASELINE), 3
                 ),
+                "contention": contention_report(timings),
             }
         )
     )

@@ -116,3 +116,31 @@ def test_rotation_is_stalest_first():
         if last.get(n, 0) < entry._CHANGED_IN_ROUND.get(n, 0) or n not in last
     }
     assert fresh_now <= head or len(names) < 50
+
+
+def test_contention_report_separates_uniform_from_concentrated():
+    """Pins the r6-VERDICT task-7 semantics: the bench artifact must
+    distinguish shared-box contention (uniform inflation across the
+    anchor, including untouched queries) from a real regression
+    (concentrated in a few queries) mechanically.  Three synthetic runs:
+    quiet, 1.35x-uniform (the r6 driver signature), and one 3x outlier on
+    an otherwise-quiet machine."""
+    import bench
+
+    quiet = {q: med for q, (med, _) in bench.CANONICAL_ANCHOR.items()}
+    r = bench.contention_report(quiet)
+    assert r["verdict"] == "quiet" and not r["regressions_adjusted"]
+
+    uniform = {q: round(med * 1.35, 3) for q, (med, _) in bench.CANONICAL_ANCHOR.items()}
+    r = bench.contention_report(uniform)
+    assert r["verdict"] == "uniform-contention"
+    assert r["uniform"] and abs(r["index"] - 1.35) < 0.02
+    # the raw rule fires on many queries, the adjusted rule on none —
+    # exactly the "prose was needed" case the index now decides
+    assert r["regressions_raw"] and not r["regressions_adjusted"]
+
+    spiked = dict(quiet)
+    spiked["dedup_minhash_lsh"] = quiet["dedup_minhash_lsh"] * 3
+    r = bench.contention_report(spiked)
+    assert r["verdict"] == "concentrated-regression"
+    assert r["regressions_adjusted"] == ["dedup_minhash_lsh"]
