@@ -102,6 +102,9 @@ EXTENDED = [
     "graph_triangles",
     "dedup_edit_distance",
     "dedup_keep_best",
+    # round-7 additions
+    "streaming_cep_funnel4",
+    "dedup_semantic_prod",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED
