@@ -105,6 +105,7 @@ EXTENDED = [
     # round-7 additions
     "streaming_cep_funnel4",
     "dedup_semantic_prod",
+    "corpus_tokenize_pack",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

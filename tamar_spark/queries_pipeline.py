@@ -1474,6 +1474,36 @@ def bpe_learn(words: DataFrame, steps: int) -> DataFrame:
     return out.orderBy("step")
 
 
+def bpe_apply_merges(
+    df: DataFrame, merges: DataFrame, steps: int, repr_col: str = "r"
+) -> DataFrame:
+    """Apply ``steps`` learned merge rules (from :func:`bpe_learn`) to a
+    bracketed-repr column, in merge order.  Each rule is a broadcast
+    1-row cross join feeding a plain string replace — the whole
+    application is a PROJECTION chain over the input (zero shuffles),
+    which is what makes tokenizer application embarrassingly parallel at
+    100 TB.  Shared by :func:`bpe_encode` and
+    :func:`corpus_tokenize_pack` so learn and both apply legs cannot
+    drift."""
+    for step in range(1, steps + 1):
+        rule = merges.where(F.col("step") == step).select(
+            F.col("pair_left").alias(f"_a{step}"),
+            F.col("pair_right").alias(f"_b{step}"),
+        )
+        others = [c for c in df.columns if c != repr_col]
+        df = df.crossJoin(F.broadcast(rule)).select(
+            *others,
+            F.replace(
+                F.col(repr_col),
+                F.concat(
+                    F.lit("<"), f"_a{step}", F.lit("><"), f"_b{step}", F.lit(">")
+                ),
+                F.concat(F.lit("<"), f"_a{step}", f"_b{step}", F.lit(">")),
+            ).alias(repr_col),
+        )
+    return df
+
+
 def _bpe_encode_oracle(steps: int = _BPE_STEPS) -> str:
     """DuckDB twin of :func:`bpe_encode`: the learn chain of
     :func:`_bpe_oracle` (same materialized CTEs) followed by a per-doc
@@ -1554,21 +1584,7 @@ def bpe_encode(spark, sf_dir):
             "r"
         ),
     )
-    for step in range(1, _BPE_STEPS + 1):
-        rule = merges.where(F.col("step") == step).select(
-            F.col("pair_left").alias(f"_a{step}"),
-            F.col("pair_right").alias(f"_b{step}"),
-        )
-        cur = cur.crossJoin(F.broadcast(rule)).select(
-            "doc_id",
-            F.replace(
-                F.col("r"),
-                F.concat(
-                    F.lit("<"), f"_a{step}", F.lit("><"), f"_b{step}", F.lit(">")
-                ),
-                F.concat(F.lit("<"), f"_a{step}", f"_b{step}", F.lit(">")),
-            ).alias("r"),
-        )
+    cur = bpe_apply_merges(cur, merges, _BPE_STEPS)
     toks = F.split(F.expr("substring(r, 2, length(r) - 2)"), "><")
     return (
         cur.select("doc_id", F.size(toks).alias("n"))
@@ -1579,3 +1595,132 @@ def bpe_encode(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _tokenize_pack_oracle(
+    steps: int = _BPE_STEPS, capacity: int = _PACK_CAPACITY
+) -> str:
+    """DuckDB twin of :func:`corpus_tokenize_pack`: the BPE learn chain of
+    :func:`_bpe_oracle` (same materialized CTEs), the per-doc encode pass
+    of :func:`_bpe_encode_oracle` carrying (lang, source), then the exact
+    first-fit recursion of ``_PACK_SQL`` over BPE token counts — the full
+    learn → encode → pack DAG replayed in one SQL statement."""
+    learn = _bpe_oracle(steps)
+    with_block = learn.split("\nSELECT * FROM (")[0].replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    repl = "repr"
+    for s in range(1, steps + 1):
+        repl = (
+            f"replace({repl}, '<' || (SELECT a FROM b{s}) || '><'"
+            f" || (SELECT b FROM b{s}) || '>', '<' || (SELECT a FROM b{s})"
+            f" || (SELECT b FROM b{s}) || '>')"
+        )
+    return f"""{with_block},
+docw AS MATERIALIZED (
+  SELECT lang, source, doc_id,
+         '<' || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> word[i]), '><')
+         || '><_>' AS repr
+  FROM (
+    SELECT lang, source, doc_id, unnest(string_split_regex(
+             lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')),
+             '\\s+')) AS word
+    FROM documents
+  ) WHERE word != ''
+),
+enc AS MATERIALIZED (
+  SELECT lang, source, doc_id,
+         CAST(SUM(len(string_split(substr(r, 2, length(r) - 2), '><')))
+              AS BIGINT) AS n_tok
+  FROM (SELECT lang, source, doc_id, {repl} AS r FROM docw)
+  GROUP BY 1, 2, 3
+),
+ordered AS (
+  SELECT lang, source, doc_id, n_tok,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM enc
+),
+packed AS (
+  SELECT lang, source, doc_id, n_tok, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_tok AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.source, o.doc_id, o.n_tok, o.rn,
+         CASE WHEN p.fill + o.n_tok <= {capacity} THEN p.pack_id
+              ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + o.n_tok <= {capacity} THEN p.fill + o.n_tok
+              ELSE o.n_tok END
+  FROM packed p
+  JOIN ordered o ON o.lang = p.lang AND o.source = p.source
+                AND o.rn = p.rn + 1
+)
+SELECT lang, source, doc_id, n_tok, pack_id FROM packed"""
+
+
+@query("corpus_tokenize_pack", _tokenize_pack_oracle())
+def corpus_tokenize_pack(spark, sf_dir):
+    """The end-to-end tokenize→pack leg of a training-data pipeline
+    (r6 VERDICT task 6): learn the BPE merges from the corpus
+    (:func:`bpe_learn`, vocabulary-bounded iteration), encode every
+    document with them (:func:`bpe_apply_merges` — a zero-shuffle
+    broadcast-rule projection chain), and pack the resulting REAL token
+    counts into 128-token training contexts with exact first-fit
+    (:func:`first_fit_pack`) — one DAG, where ``pack_sequences`` packed
+    heuristic whitespace counts.
+
+    Plan shape (pinned by tests/test_plan_contracts.py): after the learn
+    phase (whose state is vocabulary-sized, localCheckpointed), the
+    corpus-side plan has exactly TWO data shuffles — the per-doc token
+    aggregate and the per-shard pack walk; merge application adds only
+    broadcast exchanges.  Documents with no alphabetic words have no
+    tokens and are dropped by both engines (same rule as bpe_encode).
+
+    At 100 TB: learn state is the vocabulary (MBs); encode is
+    embarrassingly parallel; packing buckets by doc_id range
+    (``n_buckets``) so the sequential walk is bucket-bounded, per
+    first_fit_pack's scale note."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")),
+                    r"\s+",
+                )
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_learn(words, steps=_BPE_STEPS)
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    docw = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), r"\s+"
+            )
+        ).alias("word"),
+    ).where(F.col("word") != "")
+    cur = docw.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.concat(F.lit("<"), F.concat_ws("><", chars), F.lit("><_>")).alias(
+            "r"
+        ),
+    )
+    cur = bpe_apply_merges(cur, merges, _BPE_STEPS)
+    toks = F.split(F.expr("substring(r, 2, length(r) - 2)"), "><")
+    per_doc = (
+        cur.select("lang", "source", "doc_id", F.size(toks).alias("n"))
+        .groupBy("lang", "source", "doc_id")
+        .agg(F.sum("n").cast("bigint").alias("n_tok"))
+    )
+    return first_fit_pack(per_doc)

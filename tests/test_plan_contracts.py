@@ -292,3 +292,18 @@ def test_media_queries_prune_to_used_columns(spark, sf_dir):
             name,
             read_schema,
         )
+
+
+def test_tokenize_pack_encode_stage_is_projection_only(spark, sf_dir):
+    """corpus_tokenize_pack (r6 VERDICT task 6): after the vocabulary-
+    bounded learn phase (localCheckpointed, not in this plan), the
+    corpus-side DAG must shuffle exactly twice — the per-doc token
+    aggregate and the per-shard pack walk.  Merge application is 6
+    broadcast 1-row rules folded into the projection chain; if a refactor
+    ever makes rule application shuffle (e.g. a real join on a token
+    key), this pins the regression."""
+    df = QUERIES["corpus_tokenize_pack"](spark, sf_dir)
+    got = shuffle_count(df)
+    assert got == 2, f"expected 2 data shuffles, got {got}"
+    plan = executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan  # the pack walk kernel
