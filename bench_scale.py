@@ -692,6 +692,32 @@ def main() -> None:
         results["cc_clusters"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
 
+    # Long-chain components (r6 VERDICT task 8): a k×100k-node CHAIN is
+    # the diameter-growing adversary — min-label propagation would need
+    # n-1 rounds, the large-star/small-star path must stay ~log₂(n)
+    # rounds (measured log₂(n)+1; the rounds row records the actual
+    # count so the O(log² n) claim is pinned by data, not prose).
+    def cc_chain(k):
+        from tamar_spark.operators.graph import connected_components_star
+
+        n = k * 100_000
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("doc_id_1"), (F.col("id") + 1).alias("doc_id_2")
+        )
+        stats: dict = {}
+        df = connected_components_star(chain, max_iter=40, stats=stats)
+        return df, stats
+
+    results["cc_chain"] = []
+    results["cc_chain_rounds"] = []
+    for k in [1, 4]:
+        t0 = time.perf_counter()
+        df, stats = cc_chain(k)
+        df.count()
+        results["cc_chain"].append(round(time.perf_counter() - t0, 2))
+        results["cc_chain_rounds"].append(stats["rounds"])
+        spark.catalog.clearCache()
+
     # SemDeDup k-scaling: corpus and cluster count grow together (constant
     # expected cluster size), so the pair join must be linear; the skew
     # contrast times the 10%-hot cluster with and without the sub-cluster

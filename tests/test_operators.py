@@ -973,6 +973,34 @@ def test_star_components_match_label_propagation(spark):
     assert a == b
 
 
+def test_star_cc_round_count_is_logarithmic_on_chains(spark):
+    """Pins the O(log² n) claim that justifies the star path's existence
+    (r6 VERDICT task 8): on an n-node CHAIN — the diameter-growing worst
+    case where min-label propagation needs n-1 rounds — large-star/
+    small-star must converge in ~log₂(n) rounds (measured: log₂(n)+1 at
+    every probed size; pinned with +2 slack), and the round count must
+    grow by ≤2 per 4× nodes, never linearly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tamar_spark.operators.graph import connected_components_star
+
+    rounds = {}
+    for n in [64, 256, 1024]:
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("doc_id_1"), (F.col("id") + 1).alias("doc_id_2")
+        )
+        stats: dict = {}
+        out = connected_components_star(chain, max_iter=40, stats=stats)
+        assert out.filter(F.col("component") != 0).count() == 0
+        assert out.count() == n
+        rounds[n] = stats["rounds"]
+        assert stats["rounds"] <= math.log2(n) + 2, (n, stats["rounds"])
+    assert rounds[256] - rounds[64] <= 2
+    assert rounds[1024] - rounds[256] <= 2
+
+
 def test_approx_percentile_rank_error(spark):
     """percentile_approx at accuracy 10000 must land within rank error
     1e-3·n of the exact quantile (loose 10x slack over the sketch's 1e-4
