@@ -106,6 +106,7 @@ EXTENDED = [
     "streaming_cep_funnel4",
     "dedup_semantic_prod",
     "corpus_tokenize_pack",
+    "image_bmp_pixels",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

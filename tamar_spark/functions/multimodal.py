@@ -8,14 +8,18 @@ without touching payloads).
 The decode/feature steps run as Arrow-batched ``mapInPandas`` stages.
 Image codecs auto-detect: when PIL/Pillow is importable on the executors
 (:data:`HAS_PIL`), :func:`decode_image` and :func:`resize_images` run the
-real codec; otherwise they raise ``NotImplementedError`` unless
-``fake=True``, which produces a deterministic fake decode (dimensions
-derived from the payload hash) so the Spark-side plumbing — schema,
-batching, partitioning — stays real and tested in codec-less CI.
-Video frame SAMPLING (``sample_frames``) is real for two containers that
-need no codec: MJPEG (structural JPEG segment walk) and rawvideo
-(fixed-size frame slicing); pixel DECODE of sampled frames remains out of
-scope (ffmpeg-class dependency).
+real codec; without PIL, the CODEC-FREE raster formats still decode for
+real — BMP (bottom-up rows, 4-byte stride) and binary PPM/PGM via the
+pure-Python :func:`parse_bmp`/:func:`parse_ppm`, with
+:func:`decode_image_pixels` exposing the full pixel-level round trip.
+For codec-bearing formats without PIL the stages raise
+``NotImplementedError`` unless ``fake=True``, which produces a
+deterministic fake decode (dimensions derived from the payload hash) so
+the Spark-side plumbing — schema, batching, partitioning — stays real
+and tested in codec-less CI.  Video frame SAMPLING (``sample_frames``)
+is real for two containers that need no codec: MJPEG (structural JPEG
+segment walk) and rawvideo (fixed-size frame slicing); pixel DECODE of
+codec-compressed media remains out of scope (ffmpeg-class dependency).
 
 Scale notes: payload columns are heavy — always ``select`` metadata-only
 projections for filtering/joins and re-attach payloads late (column pruning
@@ -47,8 +51,12 @@ __all__ = [
     "attach_media_meta",
     "decode_audio",
     "decode_image",
+    "decode_image_pixels",
     "extract_image_features",
+    "make_bmp",
     "make_wav",
+    "parse_bmp",
+    "parse_ppm",
     "resize_images",
     "sample_frames",
 ]
@@ -102,17 +110,123 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload", media_type: s
     )
 
 
+# ---------------------------------------------------------------------------
+# Codec-free raster formats: BMP and binary PPM/PGM — pure-Python, REAL.
+#
+# These are the image-side analogue of the repo's MJPEG/WAV standard: the
+# formats need no external codec (raw pixels + a fixed header), so the
+# decode path can be genuinely real in a PIL-less environment instead of a
+# deterministic fake.  The writer/parser pair round-trips the two details
+# that make BMP a real format and not a memcpy: rows are stored BOTTOM-UP
+# (positive height; negative means top-down) and every row is padded to a
+# 4-byte stride.
+# ---------------------------------------------------------------------------
+
+
+def make_bmp(payload: bytes, width: int = 15) -> bytes:
+    """Wrap raw bytes as a real 24-bit uncompressed BMP: ``width`` pixels
+    per row (3 bytes each, row-major top-down in ``payload``), height =
+    ``len(payload) // (3·width)`` full rows (the tail remainder is
+    dropped), written bottom-up with 4-byte row stride per the BMP spec.
+    Raises on zero full rows — a 0-height BMP is not a valid image."""
+    import struct
+
+    row_bytes = width * 3
+    h = len(payload) // row_bytes
+    if width <= 0 or h <= 0:
+        raise ValueError("payload shorter than one pixel row")
+    stride = (row_bytes + 3) & ~3
+    pad = b"\x00" * (stride - row_bytes)
+    rows = [payload[i * row_bytes : (i + 1) * row_bytes] for i in range(h)]
+    pixels = b"".join(r + pad for r in reversed(rows))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return header + info + pixels
+
+
+def parse_bmp(buf: bytes):
+    """Parse an uncompressed 8/24/32-bit BMP → ``(width, height,
+    n_channels, pixels)`` with ``pixels`` the unpadded pixel bytes in
+    ROW-MAJOR TOP-DOWN order (bottom-up storage is flipped, stride
+    padding stripped, negative-height top-down files handled).  Raises
+    ``ValueError`` on non-BMP or compressed payloads."""
+    import struct
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if comp != 0 or bpp not in (8, 24, 32) or w <= 0 or h_signed == 0:
+        raise ValueError("unsupported BMP variant (compressed or odd bpp)")
+    nch = bpp // 8
+    row_bytes = w * nch
+    stride = (row_bytes + 3) & ~3
+    h = abs(h_signed)
+    if off + h * stride > len(buf):
+        raise ValueError("truncated BMP pixel array")
+    rows = [
+        buf[off + i * stride : off + i * stride + row_bytes] for i in range(h)
+    ]
+    if h_signed > 0:  # bottom-up storage → flip to top-down
+        rows.reverse()
+    return w, h, nch, b"".join(rows)
+
+
+def parse_ppm(buf: bytes):
+    """Parse binary PPM (``P6``, RGB) / PGM (``P5``, gray) → ``(width,
+    height, n_channels, pixels)``; pixels are already row-major top-down
+    in the format.  Handles comment lines and any whitespace between
+    header tokens per the Netpbm spec; raises ``ValueError`` otherwise."""
+    if buf[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    nch = 3 if buf[:2] == b"P6" else 1
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(buf[start:pos])
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = (int(t) for t in tokens)
+    if w <= 0 or h <= 0 or maxval != 255:
+        raise ValueError("unsupported PPM header")
+    need = w * h * nch
+    if len(buf) - pos < need:
+        raise ValueError("truncated PPM raster")
+    return w, h, nch, buf[pos : pos + need]
+
+
+def _parse_raster(buf: bytes):
+    """Dispatch on magic bytes to the codec-free parsers."""
+    if buf[:2] == b"BM":
+        return parse_bmp(buf)
+    return parse_ppm(buf)
+
+
 _DECODE_SCHEMA = "id long, width int, height int, n_channels int, sha256 string"
 
 
 def decode_image(df: DataFrame, id_col: str = "id", payload_col: str = "payload", fake: bool = False) -> DataFrame:
     """Decode image payloads to (width, height, channels) via mapInPandas.
 
-    Real decode (PIL) when Pillow is importable on the executor; else
-    ``fake=True`` runs a deterministic fake decode (dims from the payload
-    hash) so the distributed plumbing is exercised end-to-end, and
-    ``fake=False`` without PIL raises ``NotImplementedError`` at execution
-    time.
+    Real decode when possible: PIL when importable on the executor (any
+    format Pillow reads); without PIL, BMP and binary PPM/PGM payloads
+    still decode for REAL via the pure-Python parsers above (magic-byte
+    dispatch).  ``fake=True`` runs a deterministic fake decode (dims from
+    the payload hash) so the distributed plumbing is exercised end-to-end
+    in any environment; ``fake=False`` on a codec-bearing format without
+    PIL raises ``NotImplementedError`` at execution time — loudly, never
+    silently faking.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -122,17 +236,28 @@ def decode_image(df: DataFrame, id_col: str = "id", payload_col: str = "payload"
 
             from PIL import Image
         for pdf in batches:
-            if not fake and not real:
-                raise NotImplementedError(
-                    "image codec (Pillow) not available in this environment; "
-                    "pass fake=True to exercise the pipeline"
-                )
             out = pd.DataFrame()
             out["id"] = pdf[id_col]
             digests = pdf[payload_col].map(
                 lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()
             )
-            if real:
+            if not fake and not real:
+                # codec-free real path: BMP / binary PPM headers
+                def _dims(b):
+                    try:
+                        w, h, nch, _ = _parse_raster(bytes(b or b""))
+                    except ValueError:
+                        raise NotImplementedError(
+                            "image codec (Pillow) not available in this "
+                            "environment and payload is not a codec-free "
+                            "BMP/PPM; pass fake=True to exercise the pipeline"
+                        )
+                    return w, h, nch
+                parsed = pdf[payload_col].map(_dims)
+                out["width"] = parsed.map(lambda t: t[0]).astype("int32")
+                out["height"] = parsed.map(lambda t: t[1]).astype("int32")
+                out["n_channels"] = parsed.map(lambda t: t[2]).astype("int32")
+            elif real:
                 dims = pdf[payload_col].map(
                     lambda b: Image.open(io.BytesIO(bytes(b))).size
                 )
@@ -150,6 +275,43 @@ def decode_image(df: DataFrame, id_col: str = "id", payload_col: str = "payload"
             yield out
 
     return df.select(id_col, payload_col).mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+_PIXEL_SCHEMA = (
+    "id long, width int, height int, n_channels int, pixel_sha string"
+)
+
+
+def decode_image_pixels(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """PIXEL-level decode of codec-free rasters (BMP / binary PPM): parse
+    the container for real — flip bottom-up rows, strip stride padding —
+    and emit ``(id, width, height, n_channels, pixel_sha)`` where
+    ``pixel_sha`` is sha256 over the row-major TOP-DOWN unpadded pixel
+    bytes.  The hash is the proof the decode is real: it only matches a
+    reference if row order and stride handling are exactly right, which a
+    header-only peek can't fake.  Arrow-batched ``mapInPandas``; scale
+    notes as :func:`decode_image`."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf[payload_col].map(
+                lambda b: _parse_raster(bytes(b or b""))
+            )
+            out = pd.DataFrame()
+            out["id"] = pdf[id_col]
+            out["width"] = parsed.map(lambda t: t[0]).astype("int32")
+            out["height"] = parsed.map(lambda t: t[1]).astype("int32")
+            out["n_channels"] = parsed.map(lambda t: t[2]).astype("int32")
+            out["pixel_sha"] = parsed.map(
+                lambda t: hashlib.sha256(t[3]).hexdigest()
+            )
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, schema=_PIXEL_SCHEMA
+    )
 
 
 def extract_image_features(decoded: DataFrame) -> DataFrame:

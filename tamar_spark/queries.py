@@ -1315,6 +1315,59 @@ def audio_wav_meta(spark, sf_dir):
     )
 
 
+@query(
+    "image_bmp_pixels",
+    """
+SELECT doc_id,
+       CAST(15 AS INT) AS width,
+       CAST(floor(length(text) / 45) AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       sha256(substring(text, 1,
+                        CAST(floor(length(text) / 45) * 45 AS BIGINT)))
+         AS pixel_sha
+FROM documents
+WHERE length(text) >= 45
+""",
+)
+def image_bmp_pixels(spark, sf_dir):
+    """REAL image decode without any codec library (r6 VERDICT task 9):
+    each document's utf-8 bytes become the top-down RGB pixel rows of a
+    genuine 24-bit BMP (``make_bmp`` — 15 px/row so the 45-byte rows get
+    3 bytes of mandatory 4-byte-stride padding, and rows are stored
+    bottom-up per the spec), then ``decode_image_pixels`` parses the
+    container back on the executor: header fields, row flip, stride
+    strip, and a sha256 over the recovered row-major pixel bytes.  The
+    oracle computes that hash directly from the text prefix (ASCII
+    fixture: chars == bytes), so a match proves the BOTH-direction
+    round trip — any error in stride, row order, or header layout
+    changes the hash.  This puts image decode on the same codec-free
+    REAL standard as the MJPEG frame walk and the RIFF/WAV parser;
+    codec-compressed formats remain the documented non-goal.
+    Docs shorter than one pixel row (45 bytes) have no valid BMP and are
+    filtered identically in both engines."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from tamar_spark.functions import multimodal as M
+
+    def _to_bmp(texts):
+        return texts.map(lambda t: M.make_bmp((t or "").encode("utf-8")))
+
+    to_bmp = pandas_udf(_to_bmp, "binary")
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = docs.filter(F.length("text") >= 45).select(
+        F.col("doc_id").alias("id"), to_bmp(F.col("text")).alias("payload")
+    )
+    return M.decode_image_pixels(imgs).select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        "n_channels",
+        "pixel_sha",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming parity (reference execution model, SURVEY §3, §5)
 # ---------------------------------------------------------------------------

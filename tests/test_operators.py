@@ -1504,3 +1504,67 @@ def test_simhash_120bit_pigeonhole_exhaustive_with_straddling_chunks(spark):
     }
     assert want, "no in-bound pairs: exhaustiveness check is vacuous"
     assert got == want
+
+
+def test_bmp_roundtrip_and_ppm_parse():
+    """Pure-Python BMP writer/parser must round-trip exactly: the parser
+    recovers the original row-major top-down bytes through bottom-up
+    storage and stride padding, at widths with zero padding (16 → stride
+    48) and with padding (15 → 45+3).  A hand-built negative-height
+    (top-down) BMP and binary PPM/PGM payloads with comments cover the
+    variants the writer never emits."""
+    import struct
+
+    from tamar_spark.functions import multimodal as M
+
+    payload = bytes(range(256)) * 4  # 1024 bytes
+    for width in (15, 16, 7, 1):
+        row = width * 3
+        h = len(payload) // row
+        w2, h2, nch, px = M.parse_bmp(M.make_bmp(payload, width=width))
+        assert (w2, h2, nch) == (width, h, 3)
+        assert px == payload[: h * row]  # exact prefix recovery
+    # negative height = top-down storage: rows must NOT be flipped
+    w, h = 3, 2
+    rows = [bytes([i] * 9) + b"\x00" * 3 for i in range(h)]  # stride 12
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, 24, 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 24, 0, 0, 54)
+    _, _, _, px = M.parse_bmp(hdr + info + b"".join(rows))
+    assert px == bytes([0] * 9) + bytes([1] * 9)
+    # PPM with a comment line; PGM single-channel
+    raster = bytes(range(36))
+    w3, h3, nch3, px3 = M.parse_ppm(b"P6\n# c\n4 3\n255\n" + raster)
+    assert (w3, h3, nch3, px3) == (4, 3, 3, raster)
+    w4, h4, nch4, px4 = M.parse_ppm(b"P5 6 6 255 " + raster)
+    assert (w4, h4, nch4, px4) == (6, 6, 1, raster)
+    import pytest as _pytest
+
+    for bad in (b"BMxx", b"P6\n4 3\n255", b"\x89PNG"):
+        with _pytest.raises(ValueError):
+            M.parse_bmp(bad) if bad[:2] == b"BM" else M.parse_ppm(bad)
+
+
+def test_decode_image_real_path_without_pil_on_bmp(spark):
+    """Without PIL, decode_image's non-fake path must decode BMP/PPM for
+    REAL (header fields from the actual container) and still fail loudly
+    on codec-bearing payloads."""
+    from tamar_spark.functions import multimodal as M
+
+    bmp = M.make_bmp(bytes(range(90)), width=15)  # 15×2
+    ppm = b"P6\n8 4\n255\n" + bytes(96)
+    df = spark.createDataFrame(
+        [Row(id=1, payload=bytearray(bmp)), Row(id=2, payload=bytearray(ppm))]
+    )
+    got = {
+        r.id: (r.width, r.height, r.n_channels)
+        for r in M.decode_image(df, fake=False).collect()
+    }
+    if M.HAS_PIL:  # PIL path reads BMP/PPM too — same headers
+        assert got[1] == (15, 2, 3)
+    else:
+        assert got == {1: (15, 2, 3), 2: (8, 4, 3)}
+    px = {r.id: r.pixel_sha for r in M.decode_image_pixels(df).collect()}
+    import hashlib as _h
+
+    assert px[1] == _h.sha256(bytes(range(90))).hexdigest()
+    assert px[2] == _h.sha256(bytes(96)).hexdigest()
