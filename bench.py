@@ -107,6 +107,7 @@ EXTENDED = [
     "dedup_semantic_prod",
     "corpus_tokenize_pack",
     "image_bmp_pixels",
+    "embed_ivfpq_topk",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -30,6 +30,7 @@ __all__ = [
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",
+    "ivfpq_topk",
     "pq_topk",
     "sign_lsh_buckets",
 ]
@@ -454,6 +455,214 @@ def pq_topk(
         )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dim: Optional[int] = None,
+    rerank: int = 50,
+) -> DataFrame:
+    """IVF+PQ composed (Jégou et al. 2011, the FAISS ``IVFPQ`` shape) —
+    the production ANN tier at 100 TB, where neither standalone path
+    suffices: IVF alone still stores and scans full float vectors inside
+    probed lists; PQ alone still ADC-scans the ENTIRE corpus.  Composed:
+
+    - **coarse prune (IVF)**: assign every vector to its nearest of
+      ``n_centroids`` coarse centroids; a query touches only its
+      ``n_probe`` nearest lists — candidate volume ~``n_probe/n_centroids``
+      of the corpus;
+    - **residual PQ encode**: compress ``v − centroid(list)`` (the
+      residual — much lower variance than raw vectors, so the same
+      codebook budget quantizes finer) to ``n_sub`` codebook indices;
+      codebooks are SHARED across lists (the classic memory/accuracy
+      trade; per-list codebooks are the other knob);
+    - **ADC scan inside probed lists**: ``⟨q,v⟩ = ⟨q,c_list⟩ +
+      ⟨q, v−c_list⟩`` — the first term is already computed when probing,
+      the second is ``n_sub`` lookup-table adds against the per-query LUT
+      ``⟨q_m, codebook_entry⟩`` (no corpus float vector touched); the
+      approximate cosine divides by the STORED exact vector norm (one
+      float per vector — standard practice; the per-query ``‖q‖`` is a
+      constant factor and drops out of the ranking);
+    - **exact rerank** of the ADC top-``rerank`` (the measured-r6 quality
+      knob: rerank depth, not codebook size, dominates recall).
+
+    Determinism (full oracle-hash checkability): coarse centroids seed
+    from the ``n_centroids`` smallest ``md5(id)`` rows (the IVF pattern);
+    residual codebooks seed from the ``n_codes`` smallest
+    ``md5('r' || id)`` rows — a DIFFERENT hash stream, because the
+    coarse-seed rows are their own centroids and their residuals are the
+    zero vector (a degenerate codebook).  Every float op is an
+    exactly-rounded IEEE double in a pinned order: residual subtraction
+    per component, ``d² = (⟨r,r⟩ − 2⟨r,ce⟩) + ⟨ce,ce⟩``, the ADC sum as
+    ``(((⟨q,c⟩ + p₀) + p₁) + p₂) + p₃``.  Ties break (score DESC, id).
+
+    Scale: centroid and codebook tables broadcast (KBs); the corpus-side
+    plan is one assignment pass (broadcast argmax), one encode pass
+    (broadcast argmin per subspace), then an equi-join on ``list_id``
+    with the probed query lists; per-vector storage afterward is
+    ``n_sub`` codes + one norm + one list id.
+    """
+    if dim is None:
+        dim = corpus.schema[vec_col].metadata.get("dim")
+    if dim is None:
+        raise ValueError(
+            "ivfpq_topk needs the embedding dimension: pass dim= or attach "
+            f'{{"dim": N}} metadata to the {vec_col!r} schema field'
+        )
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    sub_dim = dim // n_sub
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+
+    seed = (
+        c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
+        .orderBy("_h", "neighbor_id")
+        .limit(n_centroids)
+    )
+    cents = seed.select(
+        (F.row_number().over(Window.orderBy("_h", "neighbor_id")) - 1).alias(
+            "list_id"
+        ),
+        F.col("_cv").alias("_cent"),
+        F.col("_cn").alias("_cent_n"),
+    )
+
+    sim = dot(F.col("_cv"), F.col("_cent")) / (F.col("_cn") * F.col("_cent_n"))
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("_s").desc(), "list_id"
+    )
+    assigned = (
+        c.join(F.broadcast(cents))
+        .withColumn("_s", sim)
+        .withColumn("_ark", F.row_number().over(w_assign))
+        .filter(F.col("_ark") == 1)
+        .select(
+            "neighbor_id",
+            "list_id",
+            "_cn",
+            F.zip_with("_cv", "_cent", lambda x, y: x - y).alias("_rv"),
+        )
+    )
+
+    def chunks(vec: Column) -> Column:
+        return F.array(
+            *[F.slice(vec, m * sub_dim + 1, sub_dim) for m in range(n_sub)]
+        )
+
+    cb_seed = (
+        assigned.withColumn(
+            "_h", F.md5(F.concat(F.lit("r"), F.col("neighbor_id").cast("string")))
+        )
+        .orderBy("_h", "neighbor_id")
+        .limit(n_codes)
+    )
+    cbooks = cb_seed.select(
+        (F.row_number().over(Window.orderBy("_h", "neighbor_id")) - 1).alias(
+            "code"
+        ),
+        F.col("_rv"),
+    ).select("code", F.posexplode(chunks(F.col("_rv"))).alias("m", "_ce"))
+
+    d2 = (
+        dot(F.col("_rh"), F.col("_rh")) - 2 * dot(F.col("_rh"), F.col("_ce"))
+    ) + dot(F.col("_ce"), F.col("_ce"))
+    r_chunks = assigned.select(
+        "neighbor_id",
+        "list_id",
+        "_cn",
+        F.posexplode(chunks(F.col("_rv"))).alias("m", "_rh"),
+    )
+    codes = (
+        r_chunks.join(F.broadcast(cbooks), "m")
+        .withColumn("_d2", d2)
+        .groupBy("neighbor_id", "m")
+        .agg(
+            F.min_by("code", F.struct("_d2", "code")).alias("code"),
+            F.first("list_id").alias("list_id"),
+            F.first("_cn").alias("_cn"),
+        )
+    )
+
+    q_sim = dot(F.col("_qv"), F.col("_cent")) / (F.col("_qn") * F.col("_cent_n"))
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("_s").desc(), "list_id"
+    )
+    q_lists = (
+        q.join(F.broadcast(cents))
+        .withColumn("_s", q_sim)
+        .withColumn("_qc", dot(F.col("_qv"), F.col("_cent")))
+        .withColumn("_prk", F.row_number().over(w_probe))
+        .filter(F.col("_prk") <= n_probe)
+        .select(query_id_col, "list_id", "_qc")
+    )
+    q_chunks = q.select(
+        query_id_col, F.posexplode(chunks(F.col("_qv"))).alias("m", "_qh")
+    )
+    lut = q_chunks.join(F.broadcast(cbooks), "m").select(
+        query_id_col, "m", "code", dot(F.col("_qh"), F.col("_ce")).alias("_p")
+    )
+
+    parts = (
+        codes.join(F.broadcast(q_lists), "list_id")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .join(F.broadcast(lut), [query_id_col, "m", "code"])
+    )
+    pivot = parts.groupBy(query_id_col, "neighbor_id").agg(
+        F.first("_qc").alias("_qc"),
+        F.first("_cn").alias("_cn"),
+        *[
+            F.sum(F.when(F.col("m") == j, F.col("_p"))).alias(f"_p{j}")
+            for j in range(n_sub)
+        ],
+    )
+    ip = F.col("_qc")
+    for j in range(n_sub):
+        ip = ip + F.col(f"_p{j}")
+    # ranked by ip/‖v‖ — the per-query ‖q‖ factor is constant within a
+    # partition, so dividing by it cannot change any ADC ordering
+    scored = pivot.withColumn("score", ip / F.col("_cn"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= rerank)
+        .select(query_id_col, "neighbor_id")
+    )
+    qw = q.select(query_id_col, "_qv", "_qn")
+    exact = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(qw), query_id_col)
+        .withColumn(
+            "score",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             query_id_col,

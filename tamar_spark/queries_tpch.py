@@ -1028,6 +1028,120 @@ def embed_pq_topk(spark, sf_dir):
     return S.pq_topk(emb, queries_df, k=5, dim=64, rerank=50)
 
 
+_IVFPQ_TOPK_SQL = """
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+seed AS (
+  SELECT neighbor_id, cv, md5(CAST(neighbor_id AS VARCHAR)) AS h
+  FROM c ORDER BY h, neighbor_id LIMIT 16
+), cents AS (
+  SELECT row_number() OVER (ORDER BY h, neighbor_id) - 1 AS list_id, cv AS cent
+  FROM seed
+), assigned AS (
+  SELECT neighbor_id, cv, list_id, cent FROM (
+    SELECT c.neighbor_id, c.cv, cents.list_id, cents.cent,
+           row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+             list_dot_product(c.cv, cents.cent) /
+               (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cents.cent, cents.cent))) DESC,
+             cents.list_id) AS rk
+    FROM c, cents)
+  WHERE rk = 1
+), res AS (
+  SELECT neighbor_id, list_id, sqrt(list_dot_product(cv, cv)) AS cn,
+         list_transform(range(1, len(cv) + 1), i -> cv[i] - cent[i]) AS rv
+  FROM assigned
+), cbseed AS (
+  SELECT neighbor_id, rv, md5('r' || CAST(neighbor_id AS VARCHAR)) AS h
+  FROM res ORDER BY h, neighbor_id LIMIT 16
+), cbooks0 AS (
+  SELECT row_number() OVER (ORDER BY h, neighbor_id) - 1 AS code, rv FROM cbseed
+), mm AS (
+  SELECT CAST(unnest(range(4)) AS INT) AS m
+), cb AS (
+  SELECT code, m, list_slice(rv, m*16+1, m*16+16) AS ce FROM cbooks0, mm
+), rchunk AS (
+  SELECT neighbor_id, list_id, cn, m, list_slice(rv, m*16+1, m*16+16) AS rh FROM res, mm
+), codes AS (
+  SELECT neighbor_id, list_id, cn, m, code FROM (
+    SELECT rchunk.neighbor_id, rchunk.list_id, rchunk.cn, rchunk.m, cb.code,
+           row_number() OVER (PARTITION BY rchunk.neighbor_id, rchunk.m ORDER BY
+             (list_dot_product(rh, rh) - 2*list_dot_product(rh, ce)) + list_dot_product(ce, ce),
+             cb.code) AS rk
+    FROM rchunk JOIN cb USING (m))
+  WHERE rk = 1
+), q_lists AS (
+  SELECT query_id, list_id, qc FROM (
+    SELECT q.query_id, cents.list_id,
+           list_dot_product(q.qv, cents.cent) AS qc,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, cents.cent) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.cent, cents.cent))) DESC,
+             cents.list_id) AS rk
+    FROM q, cents)
+  WHERE rk <= 4
+), qchunk AS (
+  SELECT query_id, m, list_slice(qv, m*16+1, m*16+16) AS qh FROM q, mm
+), lut AS (
+  SELECT query_id, m, code, list_dot_product(qh, ce) AS p FROM qchunk JOIN cb USING (m)
+), parts AS (
+  SELECT ql.query_id, codes.neighbor_id, ql.qc, codes.cn, codes.m, lut.p
+  FROM codes JOIN q_lists ql USING (list_id)
+  JOIN lut ON lut.query_id = ql.query_id AND lut.m = codes.m AND lut.code = codes.code
+  WHERE codes.neighbor_id <> ql.query_id
+), adcscore AS (
+  SELECT query_id, neighbor_id,
+         (((((max(qc) + sum(CASE WHEN m = 0 THEN p END))
+             + sum(CASE WHEN m = 1 THEN p END))
+            + sum(CASE WHEN m = 2 THEN p END))
+           + sum(CASE WHEN m = 3 THEN p END)) / max(cn)) AS s
+  FROM parts GROUP BY 1, 2
+), adc AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rk
+  FROM adcscore
+), rr AS (
+  SELECT a.query_id, a.neighbor_id,
+         list_dot_product(q.qv, c.cv) /
+           (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+  FROM adc a
+  JOIN c ON a.neighbor_id = c.neighbor_id
+  JOIN q ON a.query_id = q.query_id
+  WHERE a.rk <= 50
+), ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+  FROM rr
+)
+SELECT query_id, neighbor_id, round(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("embed_ivfpq_topk", _IVFPQ_TOPK_SQL)
+def embed_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composed — the FAISS-``IVFPQ`` production ANN shape
+    (Jégou et al. 2011), completing the family's scale story: IVF coarse
+    pruning (16 lists, probe 4) bounds the candidate set, residual PQ
+    (4×4-bit shared codebooks over ``v − centroid``) compresses the
+    in-list scan to lookup-table adds against one stored norm per
+    vector, and the ADC top-50 reranks exactly.  Standalone IVF still
+    scans full floats inside probed lists; standalone PQ still
+    ADC-scans the whole corpus; composed, per-vector state after encode
+    is 4 codes + 1 norm + 1 list id and a query touches
+    ~n_probe/n_centroids of the codes.  Residual codebooks seed from a
+    separate md5 stream ('r'||id) — the coarse-seed rows are their own
+    centroids, so their residuals are zero and would degenerate the
+    codebook (see ``similarity.ivfpq_topk``).  Every float chain is
+    pinned-order IEEE; the DuckDB twin replays assignment → residual →
+    encode → probe → LUT → ADC → rerank bitwise.  Quality gate:
+    ``test_ivfpq_recall_and_layout_independence``."""
+    from tamar_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivfpq_topk(emb, queries_df, k=5, dim=64)
+
+
 @query(
     "regex_funcs",
     """

@@ -1568,3 +1568,57 @@ def test_decode_image_real_path_without_pil_on_bmp(spark):
 
     assert px[1] == _h.sha256(bytes(range(90))).hexdigest()
     assert px[2] == _h.sha256(bytes(96)).hexdigest()
+
+
+def test_ivfpq_recall_and_layout_independence(spark):
+    """IVF+PQ quality gate on the planted-cluster corpus (same regime as
+    the PQ gate): coarse pruning must send queries to the right lists and
+    the residual-ADC + exact-rerank tail must restore neighbor ordering —
+    recall@5 >= 0.8 vs brute force.  Layout-independence pins the
+    order-stable double seeding (coarse md5(id), residual md5('r'||id))."""
+    import random
+
+    from tamar_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    rng = random.Random(29)
+    dim, n_clusters, per_cluster = 16, 10, 20
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_clusters * per_cluster):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+
+    exact = _topk_sets(cosine_topk(emb, queries_df, k=5))
+    got = _topk_sets(
+        ivfpq_topk(emb, queries_df, k=5, dim=dim, n_centroids=8, n_probe=3)
+    )
+    hits = sum(len(got.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.values())
+    assert hits / total >= 0.8, f"IVFPQ recall too low: {hits / total}"
+
+    a = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, queries_df, k=5, dim=dim, n_centroids=8, n_probe=3
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb.repartition(7),
+                queries_df,
+                k=5,
+                dim=dim,
+                n_centroids=8,
+                n_probe=3,
+            ).collect(),
+        )
+    )
+    assert a == b
