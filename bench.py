@@ -108,6 +108,8 @@ EXTENDED = [
     "corpus_tokenize_pack",
     "image_bmp_pixels",
     "embed_ivfpq_topk",
+    "lang_segments",
+    "streaming_asof_dim",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -1192,6 +1192,134 @@ def lang_id(spark, sf_dir):
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
 
 
+_LANG_SEG_CASE = """
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+           WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+           WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+           WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh' END
+"""
+
+_LANG_SEGMENTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, '.') AS l FROM documents
+), s AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx,
+         string_split_regex(trim(lower(l[i])), '\\s+') AS w
+  FROM t, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+), sc AS (
+  SELECT doc_id, sent_idx,
+    CAST(len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
+    CAST(len(list_filter(w, x -> x IN ('the','and','of','to','is'))) AS BIGINT) AS s_en,
+    CAST(len(list_filter(w, x -> x IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
+    CAST(len(list_filter(w, x -> x IN ('le','la','les','des','est'))) AS BIGINT) AS s_fr,
+    CAST(len(list_filter(w, x -> x IN ('的','是','了','在','和'))) AS BIGINT) AS s_zh
+  FROM s
+), sl AS (
+  SELECT doc_id, sent_idx, {_LANG_SEG_CASE} AS lang FROM sc
+), isl AS (
+  SELECT doc_id, sent_idx, lang,
+         sent_idx - row_number() OVER (PARTITION BY doc_id, lang
+                                       ORDER BY sent_idx) AS g
+  FROM sl
+), seg AS (
+  SELECT doc_id, lang, min(sent_idx) AS start_idx, max(sent_idx) AS end_idx,
+         count(*) AS n
+  FROM isl GROUP BY doc_id, lang, g
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_idx) - 1
+            AS INT) AS seg_idx,
+       lang, CAST(start_idx AS INT) AS start_idx,
+       CAST(end_idx AS INT) AS end_idx, CAST(n AS BIGINT) AS n_sentences
+FROM seg
+"""
+
+
+@query("lang_segments", _LANG_SEGMENTS_SQL)
+def lang_segments(spark, sf_dir):
+    """Mixed-language document segmentation: sentence-split each document
+    (the udtf_sentences rule — '.'-separated, trailing empties kept),
+    language-ID each sentence with the shared stopword-marker heuristic,
+    and collapse CONSECUTIVE same-language sentences into segments
+    ``(seg_idx, lang, start_idx, end_idx, n_sentences)`` — the routing
+    unit a multilingual curation pipeline filters and rebalances by
+    (per-language spans, not per-document majority votes that erase
+    minority-language passages).
+
+    Plan shape — the 100 TB story: the whole computation is ONE
+    projection + explode, ZERO shuffles.  Sentences, per-sentence
+    language, and the segment collapse all happen inside per-row array
+    expressions: the gaps-and-islands step is an ``aggregate`` fold over
+    the sentence-language array (same technique as
+    ``top_token_count``'s run-length fold), not the window-function
+    rewrite — which would shuffle every sentence of every document on
+    doc_id twice.  The DuckDB twin uses the window formulation (SQL has
+    no per-row fold ergonomics), proving both give identical segments."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent_arr = F.split(F.col("text"), r"\.")
+    langs = F.transform(sent_arr, lambda s: T.lang_id(F.trim(s)))
+    seg_t = "array<struct<lang:string,start_idx:int,n:int>>"
+    init = F.struct(
+        F.expr("array()").cast(seg_t).alias("done"),
+        F.lit(None).cast("string").alias("cur_lang"),
+        F.lit(0).alias("cur_start"),
+        F.lit(0).alias("cur_n"),
+        F.lit(0).alias("pos"),
+    )
+
+    def flush(acc):
+        return F.concat(
+            acc["done"],
+            F.array(
+                F.struct(
+                    acc["cur_lang"].alias("lang"),
+                    acc["cur_start"].alias("start_idx"),
+                    acc["cur_n"].alias("n"),
+                )
+            ),
+        )
+
+    def step(acc, lang):
+        same = lang == acc["cur_lang"]
+        return F.struct(
+            F.when(acc["cur_n"] == 0, acc["done"])
+            .when(same, acc["done"])
+            .otherwise(flush(acc))
+            .alias("done"),
+            lang.alias("cur_lang"),
+            F.when(same & (acc["cur_n"] > 0), acc["cur_start"])
+            .otherwise(acc["pos"])
+            .alias("cur_start"),
+            F.when(same & (acc["cur_n"] > 0), acc["cur_n"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur_n"),
+            (acc["pos"] + 1).alias("pos"),
+        )
+
+    segments = F.aggregate(
+        langs,
+        init,
+        step,
+        lambda acc: F.when(acc["cur_n"] == 0, acc["done"]).otherwise(
+            flush(acc)
+        ),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(segments).alias("seg_idx", "_s")
+    ).select(
+        "doc_id",
+        F.col("seg_idx").cast("int").alias("seg_idx"),
+        F.col("_s.lang").alias("lang"),
+        F.col("_s.start_idx").alias("start_idx"),
+        (F.col("_s.start_idx") + F.col("_s.n") - 1)
+        .cast("int")
+        .alias("end_idx"),
+        F.col("_s.n").cast("bigint").alias("n_sentences"),
+    )
+
+
 @query(
     "doc_fingerprint",
     """

@@ -1730,6 +1730,73 @@ def streaming_static_join(spark, sf_dir):
 
 
 @query(
+    "streaming_asof_dim",
+    """
+WITH v AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM orders
+)
+SELECT e.event_id, e.user_id,
+       CAST(v.o_orderkey AS BIGINT) AS version_order,
+       floor(v.o_totalprice * 100 + 0.5) / 100 AS version_price
+FROM events e JOIN v ON v.o_custkey = e.user_id
+ AND e.ts >= v.o_orderdate AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+""",
+)
+def streaming_asof_dim(spark, sf_dir):
+    """Streaming point-in-time (as-of) dimension enrichment — the
+    feature-store join: each live event picks up the dimension VERSION
+    that was valid at its event time, never a later one (no training-
+    serving leakage).  The slowly-changing dimension is built batch-side
+    by interval-versioning the orders table (``lead`` over
+    (customer, order date) → ``[valid_from, valid_to)`` windows, an SCD
+    type-2 snapshot); the stream then needs only a STATELESS broadcast
+    join — key equality plus the interval predicate — because all
+    temporal logic lives in the precomputed validity columns.  Contrast
+    with a stream-stream as-of, which would need watermarked state; this
+    is the shape to prefer whenever the dimension changes slowly enough
+    to snapshot.
+
+    Scale: the versioned dim is one batch shuffle on the dim (not the
+    stream); the stream side is map-only (broadcast, zero state, append
+    mode — no watermark required for stream-static inner joins).  A pair
+    of same-day orders yields an empty ``[d, d)`` interval that can never
+    match — identical semantics in both engines.  Price rounds via
+    round_ieee (floor(x·100+0.5)/100) so the hash is engine-stable on
+    .5-boundary cells."""
+    from tamar_spark.queries import (
+        _events_stream,
+        _run_to_memory,
+        prep_session,
+        round_ieee,
+    )
+
+    prep_session(spark)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("valid_to", F.lead("o_orderdate").over(w))
+    )
+    sdf = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    joined = sdf.join(
+        F.broadcast(dim),
+        (sdf["user_id"] == dim["o_custkey"])
+        & (sdf["ts"] >= dim["o_orderdate"])
+        & (dim["valid_to"].isNull() | (sdf["ts"] < dim["valid_to"])),
+    )
+    out = joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").cast("bigint").alias("version_order"),
+        round_ieee(F.col("o_totalprice"), 2).alias("version_price"),
+    )
+    return _run_to_memory(out)
+
+
+@query(
     "doc_chunks",
     """
 WITH t AS (

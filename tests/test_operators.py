@@ -1622,3 +1622,88 @@ def test_ivfpq_recall_and_layout_independence(spark):
         )
     )
     assert a == b
+
+
+def test_lang_segments_tile_and_alternate(spark, sf_dir):
+    """The zero-shuffle array-fold segmentation must produce, per doc,
+    segments that (a) tile [0, n_sentences) exactly — contiguous, ordered,
+    non-overlapping — and (b) never place two consecutive segments with the
+    same language (else the collapse missed a merge).  This is the invariant
+    pair the windowed gaps-and-islands formulation guarantees by
+    construction; the fold must match it."""
+    from tamar_spark.queries import QUERIES
+
+    seg = QUERIES["lang_segments"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.size(F.split("text", r"\.")) ).alias("n_sent")
+    )
+    per_doc = seg.groupBy("doc_id").agg(
+        F.min("start_idx").alias("first_start"),
+        F.max("end_idx").alias("last_end"),
+        F.sum("n_sentences").alias("tot"),
+        # ordered-by-seg_idx arrays for adjacency checks
+        F.array_sort(
+            F.collect_list(F.struct("seg_idx", "start_idx", "end_idx", "lang"))
+        ).alias("segs"),
+    )
+    joined = per_doc.join(docs, "doc_id")
+    bad_tile = joined.filter(
+        (F.col("first_start") != 0)
+        | (F.col("last_end") != F.col("n_sent") - 1)
+        | (F.col("tot") != F.col("n_sent"))
+    ).count()
+    assert bad_tile == 0
+    # adjacency: each segment starts right after the previous ends, and
+    # consecutive languages differ
+    gaps = joined.select(
+        F.exists(
+            F.zip_with(
+                F.slice(F.col("segs"), 1, F.size("segs") - 1),
+                F.slice(F.col("segs"), 2, F.size("segs") - 1),
+                lambda a, b: (b["start_idx"] != a["end_idx"] + 1)
+                | (b["lang"] == a["lang"]),
+            ),
+            lambda x: x,
+        ).alias("bad")
+    ).filter("bad").count()
+    assert gaps == 0
+
+
+def test_streaming_asof_dim_point_in_time(spark, sf_dir):
+    """The streaming SCD2 enrichment must be point-in-time correct: every
+    output row's event ts falls inside its matched version's
+    [o_orderdate, valid_to) window, and the match is the LATEST version at
+    or before ts (no training-serving leakage, no stale pick when a newer
+    valid version exists)."""
+    from tamar_spark.queries import QUERIES
+
+    out = QUERIES["streaming_asof_dim"](spark, sf_dir)
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn(
+            "valid_to",
+            F.lead("o_orderdate").over(
+                w.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            ),
+        )
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").alias("ev_ts")
+    )
+    checked = (
+        out.join(
+            dim,
+            (out["user_id"] == dim["o_custkey"])
+            & (out["version_order"] == dim["o_orderkey"]),
+        )
+        .join(ev, "event_id")
+    )
+    n_out = out.count()
+    assert n_out > 0
+    in_window = checked.filter(
+        (F.col("ev_ts") >= F.col("o_orderdate"))
+        & (F.col("valid_to").isNull() | (F.col("ev_ts") < F.col("valid_to")))
+    ).count()
+    assert in_window == n_out  # every row matched exactly its valid version

@@ -97,6 +97,9 @@ CONTRACTS = [
     ("cep_runs", 2, 0),  # gaps-and-islands: shared user shuffle + agg
     ("trend_ols", 2, 0),  # 1-row t0 broadcast + one exact-moment agg
     ("table_profile", 2, 0),  # one Expand + aggregate; single table scan
+    # per-row array fold does sentence-split, lang-ID, and the segment
+    # collapse in one projection — no window functions, no shuffle
+    ("lang_segments", 0, 0),
 ]
 
 
