@@ -110,6 +110,7 @@ EXTENDED = [
     "embed_ivfpq_topk",
     "lang_segments",
     "streaming_asof_dim",
+    "embed_mmr_topk",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

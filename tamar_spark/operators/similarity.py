@@ -29,6 +29,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "lsh_topk",
+    "mmr_topk",
     "ivf_topk",
     "ivfpq_topk",
     "pq_topk",
@@ -94,6 +95,139 @@ def cosine_topk(
             F.round("score", 6).alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 16,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein):
+    greedily pick ``k`` results maximizing ``lam·rel(q,d) −
+    mu·max_{s∈selected} sim(d,s)`` — the diversified-retrieval /
+    representative-sampling primitive (pick k EXAMPLES that cover a
+    neighborhood, not k near-copies of the single best hit).
+
+    Two stages:
+    1. Candidate generation — exact cosine top-``n_candidates`` per query
+       (broadcast query side, one corpus scan, per-query window).  At
+       100 TB this is the only stage that touches the corpus.
+    2. Greedy selection — ``k`` unrolled DataFrame rounds over the
+       candidate set, which is bounded at ``n_queries × n_candidates``
+       rows (and ``× n_candidates`` pair sims), NEVER corpus-sized: each
+       round is an anti-join (drop selected), a max-sim aggregate against
+       the selected set, and a per-query row_number argmax.  All
+       candidate-bounded shuffles on tiny data.
+
+    ``lam`` and ``mu`` are passed separately (NOT ``1 − lam``) so both
+    engines parse the same decimal literal — ``1 − 0.7`` in IEEE double is
+    0.30000000000000004, which would diverge from SQL's ``0.3``.
+    Deterministic: argmax ties break on candidate id; float chains are
+    bit-identical across engines (same fold order, same literals).
+    Returns ``(query_id, pick, vec_id, mmr_score, relevance)`` with
+    ``pick`` = 1-based selection order; ``pick`` 1 is the raw top-1 (its
+    mmr_score = relevance; no penalty term yet)."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    c = corpus.select(
+        F.col(id_col).alias("cand"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    scored = c.join(
+        F.broadcast(q), F.col("cand") != F.col(query_id_col)
+    ).withColumn(
+        "rel", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
+    w_rel = Window.partitionBy(query_id_col).orderBy(
+        F.col("rel").desc(), F.col("cand").asc()
+    )
+    # localCheckpoint: cands and pairs are re-referenced by every greedy
+    # round; without truncation Catalyst re-derives the corpus scan per
+    # round branch.
+    cands = (
+        scored.withColumn("_rnk", F.row_number().over(w_rel))
+        .filter(F.col("_rnk") <= n_candidates)
+        .select(query_id_col, "cand", "rel", "_cv", "_cn")
+        .localCheckpoint()
+    )
+    a = cands.select(
+        query_id_col,
+        F.col("cand").alias("ca"),
+        F.col("_cv").alias("_va"),
+        F.col("_cn").alias("_na"),
+    )
+    b = cands.select(
+        F.col(query_id_col).alias("_qb"),
+        F.col("cand").alias("cb"),
+        F.col("_cv").alias("_vb"),
+        F.col("_cn").alias("_nb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col(query_id_col) == F.col("_qb")) & (F.col("ca") != F.col("cb")),
+        )
+        .withColumn(
+            "sim",
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
+        .select(query_id_col, "ca", "cb", "sim")
+        .localCheckpoint()
+    )
+    slim = cands.select(query_id_col, "cand", "rel")
+    w_pick = Window.partitionBy(query_id_col).orderBy(
+        F.col("mmr").desc(), F.col("cand").asc()
+    )
+    selected = (
+        slim.withColumn("_rn", F.row_number().over(w_rel))
+        .filter(F.col("_rn") == 1)
+        .select(
+            query_id_col,
+            "cand",
+            F.col("rel").alias("mmr"),
+            "rel",
+            F.lit(1).alias("pick"),
+        )
+    )
+    for i in range(2, k + 1):
+        rem = slim.join(
+            selected.select(query_id_col, "cand"), [query_id_col, "cand"], "left_anti"
+        )
+        ms = (
+            pairs.join(
+                selected.select(
+                    query_id_col, F.col("cand").alias("cb")
+                ),
+                [query_id_col, "cb"],
+            )
+            .groupBy(query_id_col, F.col("ca").alias("cand"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            rem.join(ms, [query_id_col, "cand"])
+            .withColumn(
+                "mmr",
+                F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim"),
+            )
+            .withColumn("_rn", F.row_number().over(w_pick))
+            .filter(F.col("_rn") == 1)
+            .select(query_id_col, "cand", "mmr", "rel", F.lit(i).alias("pick"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        query_id_col,
+        F.col("pick").cast("int").alias("pick"),
+        F.col("cand").alias(id_col),
+        "mmr",
+        "rel",
     )
 
 

@@ -669,3 +669,103 @@ def graph_triangles(spark, sf_dir):
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
     )
+
+
+def _mmr_oracle(k: int = 5, n_candidates: int = 16) -> str:
+    """Unrolled greedy-MMR twin: sel1 = argmax relevance; each later step
+    anti-joins the selected set, aggregates max pair-sim against it, and
+    takes the per-query (0.7·rel − 0.3·maxsim) argmax — the same fixed
+    literals and fold order as the Spark side, so every float compares
+    bit-identically and the argmax never diverges."""
+    sql = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 100 = 0
+), c AS (
+  SELECT vec_id AS cand, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, cand, cv,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS rel
+  FROM q, c WHERE cand <> query_id
+), cands AS (
+  SELECT query_id, cand, cv, rel FROM (
+    SELECT query_id, cand, cv, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand) AS rnk
+    FROM scored
+  ) WHERE rnk <= {n_candidates}
+), pairs AS (
+  SELECT a.query_id, a.cand AS ca, b.cand AS cb,
+         list_dot_product(a.cv, b.cv) /
+           (sqrt(list_dot_product(a.cv, a.cv))
+            * sqrt(list_dot_product(b.cv, b.cv))) AS sim
+  FROM cands a JOIN cands b
+    ON a.query_id = b.query_id AND a.cand <> b.cand
+), sel1 AS (
+  SELECT query_id, cand, rel AS mmr, rel, 1 AS pick FROM (
+    SELECT query_id, cand, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand) AS rn
+    FROM cands
+  ) WHERE rn = 1
+)"""
+    for i in range(2, k + 1):
+        p = i - 1
+        sql += f""", pick{i} AS (
+  SELECT query_id, cand, mmr, rel, {i} AS pick FROM (
+    SELECT r.query_id, r.cand,
+           0.7 * r.rel - 0.3 * m.maxsim AS mmr, r.rel,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY (0.7 * r.rel - 0.3 * m.maxsim) DESC,
+                                       r.cand) AS rn
+    FROM (
+      SELECT * FROM cands r0
+      WHERE NOT EXISTS (SELECT 1 FROM sel{p} s0
+                        WHERE s0.query_id = r0.query_id
+                          AND s0.cand = r0.cand)
+    ) r
+    JOIN (
+      SELECT p.query_id, p.ca AS cand, max(p.sim) AS maxsim
+      FROM pairs p JOIN sel{p} s
+        ON p.query_id = s.query_id AND p.cb = s.cand
+      GROUP BY 1, 2
+    ) m ON r.query_id = m.query_id AND r.cand = m.cand
+  ) WHERE rn = 1
+), sel{i} AS (
+  SELECT * FROM sel{p} UNION ALL SELECT * FROM pick{i}
+)"""
+    sql += f"""
+SELECT query_id, CAST(pick AS INT) AS pick, cand AS vec_id,
+       floor(mmr * 1e6 + 0.5) / 1e6 AS mmr_score,
+       floor(rel * 1e6 + 0.5) / 1e6 AS relevance
+FROM sel{k}"""
+    return sql
+
+
+@query("embed_mmr_topk", _mmr_oracle())
+def embed_mmr_topk(spark, sf_dir):
+    """Diversified retrieval: greedy maximal-marginal-relevance top-5 from
+    exact-cosine top-16 candidates (λ=0.7, μ=0.3) for every 100th vector —
+    the representative-sampling primitive for curation UIs and few-shot
+    example selection, where the plain top-k returns five near-copies of
+    the best hit.  Candidate generation is the only corpus-touching stage
+    (broadcast queries, one scan); the greedy rounds run on the
+    n_queries×16 candidate set with candidate-bounded shuffles only — at
+    100 TB the selection cost is independent of corpus size.  The oracle
+    unrolls the same 5 greedy steps as CTEs; fixed 0.7/0.3 literals (not
+    1−λ, which is 0.30000000000000004 in IEEE) keep every argmax
+    bit-identical across engines."""
+    from tamar_spark.operators import similarity as S
+    from tamar_spark.queries import round_ieee
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    out = S.mmr_topk(emb, queries_df, k=5, n_candidates=16, lam=0.7, mu=0.3)
+    return out.select(
+        "query_id",
+        "pick",
+        "vec_id",
+        round_ieee(F.col("mmr"), 6).alias("mmr_score"),
+        round_ieee(F.col("rel"), 6).alias("relevance"),
+    )

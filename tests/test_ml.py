@@ -95,3 +95,72 @@ def test_containment_cap_matches_uncapped(spark, sf_dir):
     uncapped = sorted(map(tuple, D.containment_pairs(docs, 0.8).collect()))
     assert capped == uncapped
     assert len(capped) > 0  # fixture dup groups must surface
+
+
+def test_mmr_matches_direct_greedy_model(spark):
+    """mmr_topk vs a direct numpy greedy MMR on a crafted set: one tight
+    near-dup cluster close to the query plus scattered singletons.  Plain
+    top-k would return the whole cluster; MMR must interleave singletons.
+    The DataFrame rounds must reproduce the reference greedy EXACTLY
+    (same lam/mu literals, id tiebreaks)."""
+    import numpy as np
+
+    from tamar_spark.operators.similarity import mmr_topk
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    vecs = {}
+    q = np.zeros(dim)
+    q[0] = 1.0
+    vecs[0] = q  # the query itself (excluded from candidates)
+
+    def at(angle, axis):
+        # vector at `angle` from q in the (q, e_axis) plane, tiny jitter
+        # to break exact ties deterministically
+        v = np.zeros(dim)
+        v[0] = np.cos(angle)
+        v[axis] = np.sin(angle)
+        return v + 0.003 * rng.standard_normal(dim)
+
+    # near-dup cluster 0.3 rad off-axis in the (q, e1) plane: the HIGHEST
+    # relevance (~0.955) and mutual sim ~1 — a λ=μ=0.5 MMR must stop
+    # returning it after the first pick (remaining members score
+    # 0.5·(0.955−1) < 0), while orthogonal-direction singletons
+    # (rel ~0.765, sim-to-cluster cos0.7·cos0.3 ~0.73) stay positive
+    for i in range(1, 6):
+        vecs[i] = at(0.3, 1)
+    # singletons at 0.7 rad, each in its OWN orthogonal plane (e2..e7):
+    # mutually dissimilar (cos²0.7 ~0.59), individually relevant
+    for j in range(6):
+        vecs[6 + j] = at(0.7, 2 + j)
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0)
+    got = {
+        (r["query_id"], r["pick"]): r["vec_id"]
+        for r in mmr_topk(
+            df, queries, k=6, n_candidates=11, lam=0.5, mu=0.5
+        ).collect()
+    }
+
+    # direct model
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rel = {i: cos(q, v) for i, v in vecs.items() if i != 0}
+    cands = sorted(rel, key=lambda i: (-rel[i], i))[:11]
+    sel = [min(cands, key=lambda i: (-rel[i], i))]
+    while len(sel) < 6:
+        rem = [i for i in cands if i not in sel]
+        score = {
+            i: 0.5 * rel[i]
+            - 0.5 * max(cos(vecs[i], vecs[s]) for s in sel)
+            for i in rem
+        }
+        sel.append(min(rem, key=lambda i: (-score[i], i)))
+    expect = {(0, p + 1): v for p, v in enumerate(sel)}
+    assert got == expect
+    # and the diversity property actually bites on this input: plain top-6
+    # is the cluster + one; MMR must pull in ≥2 extra singletons
+    plain = set(sorted(rel, key=lambda i: (-rel[i], i))[:6])
+    assert len(set(sel) - plain) >= 2
