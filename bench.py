@@ -111,6 +111,7 @@ EXTENDED = [
     "lang_segments",
     "streaming_asof_dim",
     "embed_mmr_topk",
+    "k_anonymity",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -1379,3 +1379,124 @@ def table_profile(spark, sf_dir):
         )
         .orderBy("col_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Privacy: k-anonymity generalization / suppression
+# --------------------------------------------------------------------------
+
+_KANON_K = 8
+
+_KANON_SQL = f"""
+WITH q AS (
+  SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 2000) AS INT) AS bal
+  FROM customer
+), l0 AS (
+  SELECT nat, seg, bal, count(*) AS n FROM q GROUP BY 1, 2, 3
+), l1 AS (
+  SELECT nat, seg, count(*) AS n FROM q GROUP BY 1, 2
+), l2 AS (
+  SELECT seg, count(*) AS n FROM q GROUP BY 1
+)
+SELECT q.c_custkey,
+       CASE WHEN l0.n >= {_KANON_K} THEN 0
+            WHEN l1.n >= {_KANON_K} THEN 1
+            WHEN l2.n >= {_KANON_K} THEN 2 ELSE 3 END AS gen_level,
+       CASE WHEN l0.n >= {_KANON_K} OR l1.n >= {_KANON_K}
+            THEN CAST(q.nat AS VARCHAR) ELSE '*' END AS anon_nation,
+       CASE WHEN l0.n >= {_KANON_K} OR l1.n >= {_KANON_K} OR l2.n >= {_KANON_K}
+            THEN q.seg ELSE '*' END AS anon_segment,
+       CASE WHEN l0.n >= {_KANON_K}
+            THEN CAST(q.bal AS VARCHAR) ELSE '*' END AS anon_bal,
+       CAST(CASE WHEN l0.n >= {_KANON_K} THEN l0.n
+                 WHEN l1.n >= {_KANON_K} THEN l1.n
+                 WHEN l2.n >= {_KANON_K} THEN l2.n
+                 ELSE (SELECT count(*) FROM q) END AS BIGINT) AS class_size
+FROM q
+JOIN l0 ON l0.nat = q.nat AND l0.seg = q.seg AND l0.bal = q.bal
+JOIN l1 ON l1.nat = q.nat AND l1.seg = q.seg
+JOIN l2 ON l2.seg = q.seg
+"""
+
+
+@query("k_anonymity", _KANON_SQL)
+def k_anonymity(spark, sf_dir):
+    """k-anonymity (k=8) via a fixed generalization ladder over the
+    quasi-identifiers (nation, segment, acctbal-bucket): each row is
+    generalized to the FIRST level whose equivalence class reaches k —
+    L0 keeps all three QIs, L1 drops the balance bucket, L2 drops nation,
+    L3 fully suppresses — the release gate a training-data pipeline runs
+    before shipping user-adjacent metadata columns (Sweeney's k-anonymity;
+    the ladder is the Datafly-style single-path lattice walk).
+
+    Plan: the three class-size tables come from ONE scan via
+    ``groupingSets`` (one Expand + one aggregate — the same
+    single-pass trick as ``time_rollup``), each is QI-cardinality-bounded
+    (tiny vs the corpus), and joins back are all BROADCAST — the fact
+    table never shuffles, so the operator is one scan + map-side joins at
+    any corpus size.  All-integer arithmetic; bucket boundary floor(x/2000)
+    divides exactly in IEEE for the 2-decimal fixture balances."""
+    prep_session(spark)
+    k = _KANON_K
+    q = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal"),
+    )
+    sets = (
+        q.groupingSets(
+            [["nat", "seg", "bal"], ["nat", "seg"], ["seg"]],
+            "nat", "seg", "bal",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("nat").alias("g_nat"),
+            F.grouping("bal").alias("g_bal"),
+        )
+    )
+    l0 = sets.filter((F.col("g_nat") == 0) & (F.col("g_bal") == 0)).select(
+        F.col("nat").alias("n0"), F.col("seg").alias("s0"),
+        F.col("bal").alias("b0"), F.col("n").alias("cnt0"),
+    )
+    l1 = sets.filter((F.col("g_nat") == 0) & (F.col("g_bal") == 1)).select(
+        F.col("nat").alias("n1"), F.col("seg").alias("s1"),
+        F.col("n").alias("cnt1"),
+    )
+    l2 = sets.filter((F.col("g_nat") == 1) & (F.col("g_bal") == 1)).select(
+        F.col("seg").alias("s2"), F.col("n").alias("cnt2"),
+    )
+    total = q.groupBy().agg(F.count(F.lit(1)).alias("cnt3"))
+    out = (
+        q.join(
+            F.broadcast(l0),
+            (q["nat"] == l0["n0"]) & (q["seg"] == l0["s0"]) & (q["bal"] == l0["b0"]),
+        )
+        .join(F.broadcast(l1), (q["nat"] == l1["n1"]) & (q["seg"] == l1["s1"]))
+        .join(F.broadcast(l2), q["seg"] == l2["s2"])
+        .join(F.broadcast(total))
+    )
+    lvl = (
+        F.when(F.col("cnt0") >= k, F.lit(0))
+        .when(F.col("cnt1") >= k, F.lit(1))
+        .when(F.col("cnt2") >= k, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return out.select(
+        "c_custkey",
+        lvl.alias("gen_level"),
+        F.when(lvl <= 1, F.col("nat").cast("string"))
+        .otherwise(F.lit("*"))
+        .alias("anon_nation"),
+        F.when(lvl <= 2, F.col("seg")).otherwise(F.lit("*")).alias("anon_segment"),
+        F.when(lvl == 0, F.col("bal").cast("string"))
+        .otherwise(F.lit("*"))
+        .alias("anon_bal"),
+        F.when(F.col("cnt0") >= k, F.col("cnt0"))
+        .when(F.col("cnt1") >= k, F.col("cnt1"))
+        .when(F.col("cnt2") >= k, F.col("cnt2"))
+        .otherwise(F.col("cnt3"))
+        .cast("bigint")
+        .alias("class_size"),
+    )

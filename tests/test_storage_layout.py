@@ -499,3 +499,39 @@ def test_cdc_minmax_new_group_not_dropped(spark):
     assert got[99] == (1, 5.0, 5.0), f"new group dropped or wrong: {got}"
     assert got[1] == (2, 10.0, 25.0)
     assert 2 not in got or got[2][0] == 0
+
+
+def test_k_anonymity_guarantee_and_minimality(spark, sf_dir):
+    """The released table must honor the k=8 guarantee (every non-fully-
+    suppressed row's equivalence class reaches k) AND be minimal (a row is
+    only generalized when its finer class was genuinely below k — no
+    over-suppression destroying utility)."""
+    from tamar_spark.queries import QUERIES
+
+    out = QUERIES["k_anonymity"](spark, sf_dir)
+    k = 8
+    assert out.filter((F.col("gen_level") <= 2) & (F.col("class_size") < k)).count() == 0
+    # minimality: recompute L0 classes from the raw table; every row
+    # released at level >= 1 must come from an L0 class below k
+    raw = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal"),
+    )
+    l0 = raw.groupBy("nat", "seg", "bal").agg(F.count(F.lit(1)).alias("n0"))
+    joined = out.join(raw, "c_custkey").join(l0, ["nat", "seg", "bal"])
+    assert joined.filter((F.col("gen_level") >= 1) & (F.col("n0") >= k)).count() == 0
+    assert joined.filter((F.col("gen_level") == 0) & (F.col("n0") < k)).count() == 0
+    # released columns agree with the level: level L masks exactly the
+    # QIs above L ('*' markers), never more, never fewer
+    bad_mask = out.filter(
+        ((F.col("gen_level") <= 1) & (F.col("anon_nation") == "*"))
+        | ((F.col("gen_level") >= 2) & (F.col("anon_nation") != "*"))
+        | ((F.col("gen_level") <= 2) & (F.col("anon_segment") == "*"))
+        | ((F.col("gen_level") == 0) & (F.col("anon_bal") == "*"))
+        | ((F.col("gen_level") >= 1) & (F.col("anon_bal") != "*"))
+    ).count()
+    assert bad_mask == 0
+    # (the sf0.01 oracle run exercises levels 0, 1 and 2 simultaneously;
+    # at sf0.001 every class collapses to the segment level)
