@@ -112,6 +112,7 @@ EXTENDED = [
     "streaming_asof_dim",
     "embed_mmr_topk",
     "k_anonymity",
+    "streaming_ewma_anomaly",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -1707,3 +1707,46 @@ def test_streaming_asof_dim_point_in_time(spark, sf_dir):
         & (F.col("valid_to").isNull() | (F.col("ev_ts") < F.col("valid_to")))
     ).count()
     assert in_window == n_out  # every row matched exactly its valid version
+
+
+def test_streaming_ewma_anomaly_scores_before_update(spark, sf_dir):
+    """E2E vs a direct per-user walk: the monitor must score each event
+    against the PRE-update baseline (so a spike is flagged, and the next
+    normal reading is judged against the spike-polluted baseline), carry
+    state in (ts, event_id) order, and leave the first event unflagged."""
+    import math
+
+    import pandas as pd
+
+    from tamar_spark.queries import QUERIES
+
+    out = (
+        QUERIES["streaming_ewma_anomaly"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_id")
+    )
+    raw = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "user_id", "ts", "value"]
+    ].sort_values(["user_id", "ts", "event_id"])
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    n_checked = 0
+    for _, grp in raw.groupby("user_id"):
+        e = None
+        for row in grp.itertuples():
+            got = out.loc[row.event_id]
+            if e is None:
+                assert pd.isna(got["prior_ewma"]) and not got["is_anomaly"]
+                e = float(row.value)
+            else:
+                d = abs(float(row.value) - e)
+                assert got["prior_ewma"] == r6(e)
+                assert got["deviation"] == r6(d)
+                assert bool(got["is_anomaly"]) == (d > 100.0)
+                e = 0.5 * float(row.value) + 0.5 * e
+            n_checked += 1
+    assert n_checked == len(out)
+    # the monitor actually fires on the fixture
+    assert out["is_anomaly"].sum() > 0
