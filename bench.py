@@ -113,6 +113,7 @@ EXTENDED = [
     "embed_mmr_topk",
     "k_anonymity",
     "streaming_ewma_anomaly",
+    "bucketed_join_agg",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

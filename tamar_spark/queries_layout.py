@@ -35,6 +35,7 @@ from tamar_spark.queries import (
     query,
     epoch_us,
     floor_div,
+    dsum_r,
     _events_stream,
     _run_to_memory,
 )
@@ -1499,4 +1500,116 @@ def k_anonymity(spark, sf_dir):
         .otherwise(F.col("cnt3"))
         .cast("bigint")
         .alias("class_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed (co-located) join: the pre-shuffled table layout
+# --------------------------------------------------------------------------
+
+_N_BUCKETS = 8
+
+
+def _bucketed_tables(spark, sf_dir):
+    """Materialize lineitem + orders as Spark bucketed tables (hash-bucketed
+    AND sorted by orderkey, ``_N_BUCKETS`` buckets) once per fixture dir;
+    later calls reuse the warehouse copy.  Bucketing is the declared-layout
+    contract that lets Catalyst drop BOTH exchanges AND both sorts from a
+    key-equal sort-merge join — at 100 TB this is THE lever for repeated
+    fact-fact joins: pay the layout shuffle once at ingest, never again."""
+    import re as _re
+
+    tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    lt, ot = f"li_bucketed_{tag}", f"ord_bucketed_{tag}"
+    specs = [
+        (lt, "lineitem", "l_orderkey",
+         ["l_orderkey", "l_extendedprice", "l_discount"]),
+        (ot, "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+    ]
+    for name, src, key, cols in specs:
+        if not spark.catalog.tableExists(name):
+            # bucket metadata lives in the session catalog (in-memory
+            # here), so a fresh session must re-register; an orphaned
+            # warehouse dir from a previous session blocks saveAsTable —
+            # clear it and rewrite (at a real deployment the metastore is
+            # durable and this branch never runs)
+            import shutil
+
+            loc = (
+                spark.conf.get(
+                    "spark.sql.warehouse.dir", "spark-warehouse"
+                ).removeprefix("file:")
+                + "/"
+                + name.lower()
+            )
+            shutil.rmtree(loc, ignore_errors=True)
+            (
+                load_table(spark, sf_dir, src)
+                .select(*cols)
+                # repartition on the SAME murmur3-pmod hash bucketBy uses,
+                # so each write task holds exactly one bucket → ONE file
+                # per bucket — the layout precondition for Spark to also
+                # elide the sort-merge sorts (multi-file buckets are only
+                # per-file sorted, and Spark would re-sort)
+                .repartition(_N_BUCKETS, F.col(key))
+                .write.bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    return lt, ot
+
+
+@query(
+    "bucketed_join_agg",
+    """
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+""",
+)
+def bucketed_join_agg(spark, sf_dir):
+    """Fact-fact join on PRE-BUCKETED tables: lineitem ⋈ orders on
+    orderkey, then a per-order revenue aggregate — and because both
+    tables are bucketed AND sorted on the join key, the whole pipeline
+    (join + groupBy on that same key) runs with ZERO exchanges and ZERO
+    sorts: scans feed the sort-merge join directly and the aggregation
+    rides the same co-partitioning (plan pinned by
+    ``test_bucketed_join_has_no_exchange``).
+
+    This is the Spark-native answer to the reference engine's single-node
+    luxury of never shuffling: declare the layout once (ingest-time
+    bucketBy — the one-off shuffle amortized over every later join),
+    then every orderkey-equi join/agg in the workload is map-side.  The
+    oracle runs the identical join on the plain parquet views — results
+    are layout-independent, the PLAN is what bucketing buys."""
+    prep_session(spark)
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # propagate the per-bucket sort order out of the scan (off by default
+    # since SPARK-28595 because multi-file buckets are only per-file
+    # sorted; _bucketed_tables guarantees ONE file per bucket, the exact
+    # precondition under which this is sound) — this elides even the
+    # within-partition sorts, leaving scan → SMJ → agg with no exchange
+    # and no sort anywhere
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    lt, ot = _bucketed_tables(spark, sf_dir)
+    li = spark.table(lt)
+    orders = spark.table(ot)
+    return (
+        # merge hint: at fixture scale Catalyst would broadcast the orders
+        # side, which also works but hides the point — at 100 TB BOTH
+        # sides are fact-sized, and the bucketed layout is what lets the
+        # sort-merge join run exchange-free AND sort-free
+        li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            dsum_r(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
     )

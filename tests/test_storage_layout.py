@@ -535,3 +535,22 @@ def test_k_anonymity_guarantee_and_minimality(spark, sf_dir):
     assert bad_mask == 0
     # (the sf0.01 oracle run exercises levels 0, 1 and 2 simultaneously;
     # at sf0.001 every class collapses to the segment level)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The bucketed-layout showcase: lineitem ⋈ orders on the bucket key,
+    plus the groupBy on that key, must compile to scan → sort-merge join →
+    aggregate with ZERO exchanges and ZERO sorts — the layout shuffle was
+    paid at ingest, nothing at query time."""
+    import re
+
+    from tamar_spark.plans import executed_plan, shuffle_count
+    from tamar_spark.queries import QUERIES
+
+    df = QUERIES["bucketed_join_agg"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert shuffle_count(df) == 0
+    assert "Exchange" not in plan, plan
+    assert not re.search(r"\bSort \[", plan), plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
