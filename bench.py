@@ -114,6 +114,7 @@ EXTENDED = [
     "k_anonymity",
     "streaming_ewma_anomaly",
     "bucketed_join_agg",
+    "dsir_select",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

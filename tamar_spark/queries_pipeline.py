@@ -1724,3 +1724,115 @@ def corpus_tokenize_pack(spark, sf_dir):
         .agg(F.sum("n").cast("bigint").alias("n_tok"))
     )
     return first_fit_pack(per_doc)
+
+
+@query(
+    "dsir_select",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+), lab AS (
+  SELECT doc_id, lang FROM documents
+), lbg AS (
+  SELECT bg.doc_id, lab.lang, bg.bigram FROM bg JOIN lab USING (doc_id)
+), tb AS (
+  SELECT bigram, count(*) AS ct FROM lbg WHERE lang = 'en' GROUP BY 1
+), rb AS (
+  SELECT bigram, count(*) AS cr FROM lbg WHERE lang <> 'en' GROUP BY 1
+), nt AS (
+  SELECT count(*) AS n FROM lbg WHERE lang = 'en'
+), nr AS (
+  SELECT count(*) AS n FROM lbg WHERE lang <> 'en'
+), sc AS (
+  SELECT p.doc_id, p.lang,
+         count(*) AS n_bigrams,
+         sum(coalesce(tb.ct, 0) + 1) AS num,
+         sum(coalesce(rb.cr, 0) + 1) AS den
+  FROM lbg p LEFT JOIN tb USING (bigram) LEFT JOIN rb USING (bigram)
+  WHERE p.lang <> 'en'
+  GROUP BY 1, 2
+), imp AS (
+  SELECT doc_id, lang, n_bigrams,
+         (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+           * (CAST((SELECT n FROM nr) AS DOUBLE)
+              / CAST((SELECT n FROM nt) AS DOUBLE)) AS w
+  FROM sc
+), ranked AS (
+  SELECT doc_id, lang, n_bigrams, w,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY w DESC, doc_id) AS r,
+         count(*) OVER (PARTITION BY lang) AS lang_n
+  FROM imp
+)
+SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       floor(w * 1e6 + 0.5) / 1e6 AS importance,
+       CAST(r AS INT) AS sel_rank
+FROM ranked
+WHERE r <= CAST(floor(lang_n / 4.0) AS BIGINT)
+""",
+)
+def dsir_select(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023) in its log-free rational
+    form: score each raw-pool document by an importance weight
+    ``(Σ(ct+1) / Σ(cr+1)) · (N_raw / N_target)`` — add-one-smoothed target
+    vs raw bigram evidence (the hashed-ngram importance estimator of the
+    paper, with the log-likelihood-ratio sum replaced by exact integer
+    sums and THREE IEEE double ops, so the weight hashes identically
+    across engines where a ln-based weight cannot) — then keep the top
+    quarter PER LANGUAGE (target = English documents; pool = the rest:
+    "which non-en docs read most like the en corpus").
+
+    Scale: both count tables are mergeable bigram aggregates; the
+    join-back is a bigram-key equi-join (df-capped or CMS-replaced at
+    extreme scale like lm_familiarity); ranking is windowed PER LANG KEY,
+    never a global single-partition sort.  The per-lang quota keeps the
+    selection balanced — the same reason data_mixture uses exact
+    quotas."""
+    from tamar_spark.queries_layout import bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = bigrams(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    tgt = bg.filter(F.col("lang") == "en")
+    pool = bg.filter(F.col("lang") != "en")
+    tb = tgt.groupBy("bigram").agg(F.count(F.lit(1)).alias("ct"))
+    rb = pool.groupBy("bigram").agg(F.count(F.lit(1)).alias("cr"))
+    nt = tgt.groupBy().agg(F.count(F.lit(1)).alias("n_t"))
+    nr = pool.groupBy().agg(F.count(F.lit(1)).alias("n_r"))
+    sc = (
+        pool.join(tb, "bigram", "left")
+        .join(rb, "bigram", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("ct"), F.lit(0)) + 1).alias("num"),
+            F.sum(F.coalesce(F.col("cr"), F.lit(0)) + 1).alias("den"),
+        )
+    )
+    w = (F.col("num").cast("double") / F.col("den").cast("double")) * (
+        F.col("n_r").cast("double") / F.col("n_t").cast("double")
+    )
+    win = Window.partitionBy("lang").orderBy(F.col("w").desc(), F.col("doc_id"))
+    cwin = Window.partitionBy("lang")
+    ranked = (
+        sc.join(F.broadcast(nt))
+        .join(F.broadcast(nr))
+        .withColumn("w", w)
+        .withColumn("r", F.row_number().over(win))
+        .withColumn("lang_n", F.count(F.lit(1)).over(cwin))
+    )
+    from tamar_spark.queries import round_ieee
+
+    return ranked.filter(
+        F.col("r") <= F.floor(F.col("lang_n") / F.lit(4.0)).cast("bigint")
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        round_ieee(F.col("w"), 6).alias("importance"),
+        F.col("r").cast("int").alias("sel_rank"),
+    )

@@ -1750,3 +1750,34 @@ def test_streaming_ewma_anomaly_scores_before_update(spark, sf_dir):
     assert n_checked == len(out)
     # the monitor actually fires on the fixture
     assert out["is_anomaly"].sum() > 0
+
+
+def test_dsir_select_prefers_target_like_docs(spark, tmp_path):
+    """On a crafted corpus the importance ordering must be semantic: a
+    pool document built from the target corpus's bigrams outranks (and is
+    selected over) same-language gibberish documents sharing no target
+    bigram."""
+    import pandas as pd
+
+    from tamar_spark.queries import QUERIES
+
+    target_phrase = "the quick brown fox jumps over the lazy dog"
+    rows = []
+    # target corpus: en docs repeating the phrase's bigrams
+    for i in range(4):
+        rows.append((i, target_phrase, "en", "srcT", len(target_phrase)))
+    # pool (fr): one target-like doc, seven gibberish docs → quota 2 of 8
+    rows.append((100, "quick brown fox jumps over the lazy", "fr", "srcP", 35))
+    for j in range(7):
+        txt = f"zab{j} qux{j} blorp{j} wib{j} zonk{j} flum{j}"
+        rows.append((101 + j, txt, "fr", "srcP", len(txt)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = QUERIES["dsir_select"](spark, str(tmp_path)).toPandas()
+    # 8 fr pool docs → floor(8/4) = 2 selected; the target-like doc wins
+    assert len(out) == 2
+    assert out.loc[out["sel_rank"] == 1, "doc_id"].iloc[0] == 100
+    top = out.set_index("doc_id")["importance"]
+    assert top[100] > top.drop(100).max()
