@@ -785,6 +785,44 @@ def main() -> None:
         results["pack_walkbound"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
 
+    # MMR diversified top-k: corpus k×-replicated (sign-rotated per copy,
+    # same scheme as lsh_dedup so replicas are not trivial duplicates),
+    # query set FIXED at 20.  The greedy selection runs on the
+    # n_queries×n_candidates set, which does not grow with the corpus —
+    # so total wall must track the (linear) candidate-generation scan
+    # only; superlinear growth here would mean selection cost leaked a
+    # corpus-size dependence.
+    def mmr_scale(k):
+        from tamar_spark.operators.similarity import mmr_topk
+
+        parts = []
+        for i in range(k):
+            sign_arr = F.array(
+                *[F.lit(float(1 - 2 * ((i >> (j % 5)) & 1))) for j in range(64)]
+            )
+            parts.append(
+                embeddings.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        sign_arr,
+                        lambda a, s: a * s,
+                    ).alias("embedding"),
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        queries_df = embeddings.filter(F.col("vec_id") % 100 == 0)
+        return mmr_topk(u, queries_df, k=5, n_candidates=16)
+
+    results["mmr_topk"] = []
+    for k in [1, 4, 16]:
+        t0 = time.perf_counter()
+        mmr_scale(k).count()
+        results["mmr_topk"].append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+
     print(json.dumps({"sf_base": 0.1, "scales": SCALES, "queries": results}))
 
 
