@@ -115,6 +115,7 @@ EXTENDED = [
     "streaming_ewma_anomaly",
     "bucketed_join_agg",
     "dsir_select",
+    "cdc_time_travel",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -1613,3 +1613,107 @@ def bucketed_join_agg(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CDC time travel: AS-OF-version snapshot via log replay
+# --------------------------------------------------------------------------
+
+_CDC_LOG_SQL = f"""
+  SELECT 1 AS version, key, op, new_bal, new_seg FROM ({_CDC_CHANGES_SQL})
+  UNION ALL
+  SELECT 2 AS version, c_custkey AS key, 'U' AS op,
+         c_acctbal + 50.0 AS new_bal, c_mktsegment AS new_seg
+  FROM customer
+  WHERE c_custkey % 7 = 2 AND c_custkey % 17 != 3
+  UNION ALL
+  SELECT 3 AS version, c_custkey AS key, 'D' AS op,
+         NULL AS new_bal, c_mktsegment AS new_seg
+  FROM customer WHERE c_custkey % 19 = 5 AND c_custkey % 17 != 3
+"""
+
+
+@query(
+    "cdc_time_travel",
+    f"""
+WITH log AS ({_CDC_LOG_SQL}),
+snap AS (
+  SELECT key, op, new_bal, new_seg FROM (
+    SELECT *, row_number() OVER (PARTITION BY key
+                                 ORDER BY version DESC) AS rn
+    FROM log WHERE version <= 2
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT COALESCE(b.c_custkey, a.key) AS key,
+         COALESCE(a.new_bal, b.c_acctbal) AS bal,
+         COALESCE(b.c_mktsegment, a.new_seg) AS seg,
+         a.op
+  FROM customer b FULL OUTER JOIN snap a ON b.c_custkey = a.key
+)
+SELECT seg, COUNT(*) AS n, ROUND(SUM(bal), 2) AS total_bal
+FROM merged
+WHERE op IS NULL OR op != 'D'
+GROUP BY seg
+ORDER BY seg
+""",
+)
+def cdc_time_travel(spark, sf_dir):
+    """Time travel over a CDC change log (the Delta/Iceberg ``VERSION AS
+    OF`` read, reconstructed by log replay): a 3-version log over the
+    customer base (v1 = the standard mixed batch, v2 = +50 updates on
+    key%7=2, v3 = deletes on key%19=5), read AS OF version 2 — the
+    replay filters the log to ``version <= 2``, keeps each key's LATEST
+    image (one keyed window), and applies the result against the base in
+    the same single full-outer join as cdc_upsert.  v3's deletes must NOT
+    appear: time travel is precisely reading yesterday's table after
+    today's compaction.
+
+    Scale: log filter prunes on a version column (partition-prunable in a
+    real table layout); latest-image-per-key is one keyed shuffle over
+    the CHANGE volume only (never the base); the merge join is the
+    standard CDC shape.  Versions whose rules overlap (a key updated in
+    v1 AND v2) prove the replay takes images, not diffs."""
+    from pyspark.sql.window import Window
+
+    base = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    v1 = _cdc_changes(base).select("key", "op", "new_bal", "new_seg").withColumn(
+        "version", F.lit(1)
+    )
+    v2 = base.where((k % 7 == 2) & (k % 17 != 3)).select(
+        k.alias("key"),
+        F.lit("U").alias("op"),
+        (F.col("c_acctbal") + 50.0).alias("new_bal"),
+        F.col("c_mktsegment").alias("new_seg"),
+        F.lit(2).alias("version"),
+    )
+    v3 = base.where((k % 19 == 5) & (k % 17 != 3)).select(
+        k.alias("key"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_bal"),
+        F.col("c_mktsegment").alias("new_seg"),
+        F.lit(3).alias("version"),
+    )
+    log = v1.unionByName(v2).unionByName(v3)
+    w = Window.partitionBy("key").orderBy(F.col("version").desc())
+    asof = (
+        log.where(F.col("version") <= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "op", "new_bal", "new_seg")
+    )
+    merged = base.join(asof, base["c_custkey"] == asof["key"], "full_outer")
+    return (
+        merged.where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("c_mktsegment", "new_seg").alias("seg"),
+            F.coalesce("new_bal", "c_acctbal").alias("bal"),
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+        .orderBy("seg")
+    )

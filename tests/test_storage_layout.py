@@ -554,3 +554,38 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert not re.search(r"\bSort \[", plan), plan
     assert "SortMergeJoin" in plan
     assert "Bucketed: true" in plan
+
+
+def test_cdc_time_travel_excludes_future_versions(spark, sf_dir):
+    """AS OF 2 must contain v1+v2 but not v3: per-segment row counts equal
+    the v1-only snapshot's (v2 is updates-only), while v3's deletes would
+    shrink them; and the fixture must actually exercise the image-wins
+    path (keys updated in BOTH v1 and v2)."""
+    from tamar_spark.queries import QUERIES
+
+    asof2 = {
+        r["seg"]: (r["n"], r["total_bal"])
+        for r in QUERIES["cdc_time_travel"](spark, sf_dir).collect()
+    }
+    v1only = {
+        r["seg"]: (r["n"], r["total_bal"])
+        for r in QUERIES["cdc_upsert"](spark, sf_dir).collect()
+    }
+    assert set(asof2) == set(v1only)
+    for seg in asof2:
+        assert asof2[seg][0] == v1only[seg][0]  # same membership (no v3)
+    # balances shifted by v2's +50 updates somewhere
+    assert any(asof2[s][1] != v1only[s][1] for s in asof2)
+    # image-wins coverage: some base key is updated in both v1 and v2
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    both = base.filter(
+        (F.col("c_custkey") % 10 == 0)
+        & (F.col("c_custkey") % 7 == 2)
+        & (F.col("c_custkey") % 17 != 3)
+    ).count()
+    assert both > 0
+    # and v3 would have deleted something, so the exclusion is non-vacuous
+    v3 = base.filter(
+        (F.col("c_custkey") % 19 == 5) & (F.col("c_custkey") % 17 != 3)
+    ).count()
+    assert v3 > 0
