@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "connected_components",
     "connected_components_star",
+    "kcore",
     "triangles_per_node",
 ]
 
@@ -188,6 +189,71 @@ def connected_components_star(
             F.least(F.col("u"), F.col("_nm")).alias("component"),
         )
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 12,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph in which
+    every node has degree ≥ k, computed by iterative peeling (Matula &
+    Beck) — each round drops every node whose degree WITHIN the surviving
+    subgraph is below k, until no node is dropped.  The density primitive
+    of graph curation: k-cores locate the cohesive kernel of a near-dup
+    cluster graph or a citation/link graph, where raw degree is fooled by
+    stars and connected components are fooled by chains.
+
+    Input: distinct undirected edges (one row per pair, any orientation).
+    Output: ``(node, core_degree)`` for surviving nodes — ``core_degree``
+    is the node's degree inside the core, ≥ k by the fixpoint property.
+
+    Each round is ONE shuffle: degrees of the surviving subgraph via a
+    self-semi-join of the symmetrized edge list against the alive set
+    (keys only — no payload), then a count aggregate with the ≥ k filter.
+    The alive set only shrinks, so round cost is monotonically
+    non-increasing; rounds = the graph's peel depth at k (bounded by the
+    cascade length, typically ≤ 10 on near-regular graphs — each round's
+    survivors are checkpointed so plan depth stays flat, the CC lesson).
+    Early exit compares one count per round: alive is monotone
+    decreasing, so an unchanged count IS the fixpoint.  ``max_rounds``
+    bounds the walk; callers that need the exact core must check
+    ``stats["converged"]`` (the registered query's oracle unrolls the
+    same fixed round count, so the comparison is exact either way)."""
+    sym = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
+    alive = deg.filter(F.col("core_degree") >= k).localCheckpoint()
+    n_alive = alive.count()
+    rounds, converged = 0, False
+    for _ in range(max_rounds):
+        surv = sym.join(alive.select("u"), "u", "left_semi").join(
+            alive.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        nxt = (
+            surv.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .filter(F.col("core_degree") >= k)
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        rounds += 1
+        alive = nxt
+        if n_next == n_alive:
+            converged = True
+            break
+        n_alive = n_next
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    return alive.select(F.col("u").alias("node"), "core_degree")
 
 
 # Previous invocation's persisted oriented-edge list.  The returned plan is

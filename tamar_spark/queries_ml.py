@@ -769,3 +769,105 @@ def embed_mmr_topk(spark, sf_dir):
         round_ieee(F.col("mmr"), 6).alias("mmr_score"),
         round_ieee(F.col("rel"), 6).alias("relevance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — the graph-density primitive (Matula & Beck peel)
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 12
+
+
+def _kcore_oracle(rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled peel twin: a0 filters on full-graph degree; every later
+    round recomputes degrees within the previous survivor set and
+    re-filters.  Fixed ``rounds`` unrolls — extra rounds past the fixpoint
+    are no-ops, so the comparison is exact whether or not the Spark side's
+    early exit fired (it runs the same recompute ≤ ``rounds`` times)."""
+    sql = """
+WITH li AS (
+  SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM edges
+  UNION ALL SELECT b AS u, a AS v FROM edges
+),
+kval AS MATERIALIZED (
+  SELECT CAST((7 * ((2 * (SELECT count(*) FROM edges))
+                    // (SELECT count(*) FROM (SELECT DISTINCT u FROM sym))))
+              // 10 AS BIGINT) AS k
+),
+a0 AS MATERIALIZED (
+  SELECT u, count(*) AS d FROM sym GROUP BY u
+  HAVING count(*) >= (SELECT k FROM kval)
+)"""
+    for i in range(1, rounds):
+        p = i - 1
+        sql += f""", a{i} AS MATERIALIZED (
+  SELECT s.u, count(*) AS d
+  FROM sym s
+  JOIN a{p} x ON s.u = x.u
+  JOIN a{p} y ON s.v = y.u
+  GROUP BY s.u
+  HAVING count(*) >= (SELECT k FROM kval)
+)"""
+    sql += f"""
+SELECT u AS node, CAST(d AS BIGINT) AS core_degree
+FROM a{rounds - 1}
+ORDER BY node
+"""
+    return sql
+
+
+@query("graph_kcore", _kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    """k-core of the part co-purchase graph (parts sharing an order are
+    adjacent), k derived from the data as 0.7× the average degree in
+    exact integer arithmetic (k = (7·(2E div V)) div 10) so the operator
+    tracks graph density across scale factors the way a production
+    curation job would (the same statistic-derived-parameter pattern as
+    ``dedup_semantic_prod``).  k-cores are the graph-density primitive
+    raw degree can't fake (a star has high center degree but an empty
+    2-core) — the standard lens for locating the cohesive kernel of
+    near-dup cluster graphs and link/citation graphs before sampling.
+
+    Output: every surviving node with its WITHIN-CORE degree (≥ k by the
+    fixpoint property).  The peel cascade is real on this graph: at
+    sf0.01, k=80 strips 143 of 2000 parts over 5 rounds; pushing k just
+    20% higher collapses the entire graph — the sharp core-collapse
+    threshold of near-regular graphs, which is exactly why k must be
+    data-derived.
+
+    Scale: edge building is the per-order bounded self-join (≤7 items
+    per order); each peel round is one keys-only double semi-join + one
+    count aggregate, checkpointed so plan depth stays flat (the CC
+    lesson); the alive set only shrinks, so per-round cost is monotone
+    non-increasing and the early exit (count unchanged ⇒ fixpoint, by
+    monotonicity) costs one count per round.  The oracle unrolls the
+    identical 12 fixed rounds — no-ops past the fixpoint — so the hash
+    check is exact regardless of where the early exit fires."""
+    from tamar_spark.operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    n_nodes = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .distinct()
+        .count()
+    )
+    k = (7 * ((2 * n_edges) // n_nodes)) // 10
+    return kcore(edges, k=k, max_rounds=_KCORE_ROUNDS).orderBy("node")

@@ -1001,6 +1001,68 @@ def test_star_cc_round_count_is_logarithmic_on_chains(spark):
     assert rounds[1024] - rounds[256] <= 2
 
 
+def test_kcore_star_vs_clique(spark):
+    """The semantic point of k-cores: a star's center has degree 5 but the
+    2-core of a star is EMPTY (leaves die first, then the center), while a
+    4-clique survives a 2-core intact with in-core degree 3."""
+    from pyspark.sql import functions as F
+
+    from tamar_spark.operators.graph import kcore
+
+    star = [(0, i) for i in range(1, 6)]
+    clique = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    df = spark.createDataFrame(star + clique, "a long, b long")
+    stats: dict = {}
+    got = {r.node: r.core_degree for r in kcore(df, k=2, stats=stats).collect()}
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3}
+    assert stats["converged"]
+
+
+def test_kcore_matches_direct_peel_on_random_graph(spark):
+    """The distributed peel must equal a direct sequential peel (node set
+    AND in-core degrees) on a random graph at several k — including a k
+    high enough to collapse the graph entirely."""
+    import random
+
+    from tamar_spark.operators.graph import kcore
+
+    rng = random.Random(29)
+    nodes = list(range(60))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+            )
+            if a != b
+        }
+    )
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    df = spark.createDataFrame(edges, "a long, b long")
+    for k in (3, 6, 40):
+        alive = set(adj)
+        while True:
+            dead = {
+                u for u in alive if sum(1 for v in adj[u] if v in alive) < k
+            }
+            if not dead:
+                break
+            alive -= dead
+        expect = {
+            u: sum(1 for v in adj[u] if v in alive) for u in alive
+        }
+        stats: dict = {}
+        got = {
+            r.node: r.core_degree
+            for r in kcore(df, k=k, max_rounds=30, stats=stats).collect()
+        }
+        assert got == expect, k
+        assert stats["converged"], k
+
+
 def test_approx_percentile_rank_error(spark):
     """percentile_approx at accuracy 10000 must land within rank error
     1e-3·n of the exact quantile (loose 10x slack over the sketch's 1e-4
