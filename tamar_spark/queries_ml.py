@@ -871,3 +871,160 @@ def graph_kcore(spark, sf_dir):
     )
     k = (7 * ((2 * n_edges) // n_nodes)) // 10
     return kcore(edges, k=k, max_rounds=_KCORE_ROUNDS).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical + semantic legs fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+
+_HYBRID_RRF_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(w) AS word FROM words
+),
+sizes AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+),
+lexinter AS (
+  SELECT q.doc_id AS qid, c.doc_id AS did, count(*) AS ni
+  FROM tok q JOIN tok c ON q.word = c.word
+  WHERE q.doc_id % 100 = 0 AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT qid, did,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(ni AS DOUBLE) / (sq.n + sc.n - ni) DESC, did
+         ) AS r
+  FROM lexinter
+  JOIN sizes sq ON sq.doc_id = qid
+  JOIN sizes sc ON sc.doc_id = did
+),
+lex20 AS (SELECT * FROM lex WHERE r <= 20),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+cv AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+semscored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS s
+  FROM qv, cv WHERE neighbor_id <> query_id
+),
+sem20 AS (
+  SELECT query_id, neighbor_id, r FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, neighbor_id) AS r
+    FROM semscored
+  ) WHERE r <= 20
+),
+fused AS (
+  SELECT COALESCE(l.qid, s.query_id) AS query_id,
+         COALESCE(l.did, s.neighbor_id) AS doc_id,
+         l.r AS lex_rank, s.r AS sem_rank,
+         COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + l.r), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + s.r), CAST(0 AS DOUBLE))
+           AS f
+  FROM lex20 l
+  FULL OUTER JOIN sem20 s ON l.qid = s.query_id AND l.did = s.neighbor_id
+)
+SELECT query_id, doc_id, round(f, 6) AS rrf_score,
+       CAST(lex_rank AS INT) AS lex_rank, CAST(sem_rank AS INT) AS sem_rank,
+       CAST(rnk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY f DESC, doc_id) AS rnk
+  FROM fused
+) WHERE rnk <= 10
+"""
+
+
+@query("hybrid_rrf_topk", _HYBRID_RRF_SQL)
+def hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid search: a lexical leg (exact word-set Jaccard to the anchor
+    document) and a semantic leg (exact cosine to the anchor embedding)
+    fused by reciprocal-rank fusion — score(d) = Σ_legs 1/(60 + rank_leg(d))
+    (Cormack et al.), the standard way production retrieval stacks combine
+    BM25-class and embedding-class signals without score calibration.
+    RRF sees only RANKS, which is exactly what makes it engine-portable
+    too: the fused score is a sum of two reciprocals of small integers —
+    identical IEEE doubles on both engines, no float ordering anywhere
+    upstream of an argmax that isn't itself rank-based.
+
+    Per anchor (every 100th doc): top-20 lexical candidates, top-20
+    semantic candidates, full-outer-join the two lists (a doc may appear
+    in one or both), fuse, keep the top-10.  Leg ranks are emitted so the
+    result shows WHERE each hit came from — the classic hybrid-recall
+    diagnostic.
+
+    Scale: both legs are anchor-bounded — the lexical leg is one corpus
+    scan against a broadcast anchor token-set table (constant per row;
+    the shared-token inverted-index join is the alternative when the
+    anchor set itself is large), the semantic leg is the existing
+    broadcast-queries cosine scan; the fusion join and final window touch
+    ≤ 40 candidate rows per anchor, so fusion cost is independent of
+    corpus size (the MMR lesson).  Candidate generation dominates and is
+    embarrassingly parallel."""
+    from tamar_spark.operators import similarity as S
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("w")
+    )
+    anchors = toks.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("w").alias("qw")
+    )
+    inter = F.size(F.array_intersect("w", "qw"))
+    union = F.size("w") + F.size("qw") - inter
+    lex_scored = (
+        toks.join(F.broadcast(anchors), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            inter.alias("ni"),
+            (inter.cast("double") / union).alias("jacc"),
+        )
+        .filter(F.col("ni") > 0)
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("jacc"), "doc_id")
+    lex20 = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= 20)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem20 = S.cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    one = F.lit(1.0)
+    zero = F.lit(0.0)
+    fused = (
+        lex20.join(sem20, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "f",
+            F.coalesce(one / (_RRF_K + F.col("lex_rank")), zero)
+            + F.coalesce(one / (_RRF_K + F.col("sem_rank")), zero),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("f"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("f", 6).alias("rrf_score"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

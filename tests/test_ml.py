@@ -164,3 +164,72 @@ def test_mmr_matches_direct_greedy_model(spark):
     # is the cluster + one; MMR must pull in ≥2 extra singletons
     plain = set(sorted(rel, key=lambda i: (-rel[i], i))[:6])
     assert len(set(sel) - plain) >= 2
+
+
+def test_hybrid_rrf_fuses_leg_ranks_exactly(spark, sf_dir):
+    """The fused score must equal 1/(60+lex_rank) + 1/(60+sem_rank)
+    recomputed directly from the emitted leg ranks (missing leg = 0), the
+    per-query ranking must be contiguous from 1 and ordered by that score,
+    and at least one hit must come from each leg alone AND from both —
+    otherwise the fixture isn't actually exercising the fusion."""
+    from tamar_spark.queries import QUERIES
+
+    rows = QUERIES["hybrid_rrf_topk"](spark, sf_dir).collect()
+    assert rows
+    by_q: dict = {}
+    both = lex_only = sem_only = 0
+    for r in rows:
+        expect = 0.0
+        if r.lex_rank is not None:
+            expect += 1.0 / (60 + r.lex_rank)
+        if r.sem_rank is not None:
+            expect += 1.0 / (60 + r.sem_rank)
+        assert abs(r.rrf_score - expect) < 1e-6, r
+        if r.lex_rank is not None and r.sem_rank is not None:
+            both += 1
+        elif r.lex_rank is not None:
+            lex_only += 1
+        else:
+            sem_only += 1
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.rrf_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    assert both and lex_only and sem_only, (both, lex_only, sem_only)
+
+
+def test_kcore_query_converges_on_fixture(spark, sf_dir):
+    """The registered graph_kcore claim is the true k-core (not a
+    truncated peel): the operator must reach its fixpoint within the
+    unrolled-round budget on the fixture graph, and every surviving
+    node's in-core degree must be >= the derived k."""
+    from pyspark.sql import functions as F
+
+    from tamar_spark.operators.graph import kcore
+    from tamar_spark.queries_ml import _KCORE_ROUNDS
+    from tamar_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+    )
+    n_edges = edges.count()
+    n_nodes = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .distinct()
+        .count()
+    )
+    k = (7 * ((2 * n_edges) // n_nodes)) // 10
+    stats: dict = {}
+    out = kcore(edges, k=k, max_rounds=_KCORE_ROUNDS, stats=stats)
+    assert stats["converged"], stats
+    assert out.filter(F.col("core_degree") < k).count() == 0
+    assert out.count() > 0  # the derived k must not collapse the fixture
