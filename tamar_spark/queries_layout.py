@@ -1717,3 +1717,78 @@ def cdc_time_travel(spark, sf_dir):
         )
         .orderBy("seg")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension build: type-2 history maintenance from a CDC batch
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scd2_dim_build",
+    f"""
+WITH changes AS ({_CDC_CHANGES_SQL}),
+old AS (
+  SELECT b.c_custkey AS key, b.c_acctbal AS bal, b.c_mktsegment AS seg,
+         1 AS valid_from,
+         CASE WHEN c.op IN ('U', 'D') THEN 2 END AS valid_to,
+         c.op IS NULL AS is_current
+  FROM customer b LEFT JOIN changes c ON b.c_custkey = c.key
+),
+new AS (
+  SELECT key, new_bal AS bal, new_seg AS seg,
+         2 AS valid_from, NULL AS valid_to, TRUE AS is_current
+  FROM changes WHERE op != 'D'
+)
+SELECT key, bal, seg, CAST(valid_from AS INT) AS valid_from,
+       CAST(valid_to AS INT) AS valid_to, is_current
+FROM (SELECT * FROM old UNION ALL SELECT * FROM new)
+""",
+)
+def scd2_dim_build(spark, sf_dir):
+    """Slowly-changing-dimension type 2 maintenance (the Kimball SCD2
+    MERGE): apply the standard CDC batch to the customer dimension as
+    version 2, KEEPING history — updated and deleted keys get their
+    version-1 row closed (``valid_to = 2``, no longer current) while
+    updates and inserts add an open version-2 row.  The batch counterpart
+    of ``streaming_asof_dim``, which consumes exactly this interval-
+    versioned shape for point-in-time enrichment; ``cdc_upsert`` is the
+    type-1 (overwrite) variant of the same change feed.
+
+    The whole build is set algebra — one key-equi LEFT join of the base
+    against the change batch (closes/carries old rows) plus one
+    projection of the batch (opens new rows), unioned.  No window, no
+    per-key sort, ONE shuffle (the join; at 100 TB both sides
+    hash-partition on the dimension key, and the change batch is
+    typically broadcast-sized anyway).  Inserts never collide with base
+    keys by the change generator's max-key offset, so the 'I' rows need
+    no old-row lookup — the same guarantee cdc_incremental_agg leans on."""
+    base = load_table(spark, sf_dir, "customer")
+    changes = _cdc_changes(base)
+    old = (
+        base.join(
+            changes.select("key", "op"),
+            base["c_custkey"] == F.col("key"),
+            "left",
+        )
+        .select(
+            base["c_custkey"].alias("key"),
+            base["c_acctbal"].alias("bal"),
+            base["c_mktsegment"].alias("seg"),
+            F.lit(1).alias("valid_from"),
+            F.when(F.col("op").isin("U", "D"), F.lit(2))
+            .otherwise(F.lit(None))
+            .cast("int")
+            .alias("valid_to"),
+            F.col("op").isNull().alias("is_current"),
+        )
+    )
+    new = changes.filter(F.col("op") != "D").select(
+        "key",
+        F.col("new_bal").alias("bal"),
+        F.col("new_seg").alias("seg"),
+        F.lit(2).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return old.unionByName(new)

@@ -589,3 +589,53 @@ def test_cdc_time_travel_excludes_future_versions(spark, sf_dir):
         (F.col("c_custkey") % 19 == 5) & (F.col("c_custkey") % 17 != 3)
     ).count()
     assert v3 > 0
+
+
+def test_scd2_dim_build_history_invariants(spark, sf_dir):
+    """Kimball type-2 invariants on the built history: every key has
+    exactly one current row unless deleted; updated keys carry BOTH their
+    closed v1 row (original balance) and an open v2 row at +100; deleted
+    keys carry only a closed row; inserts only an open v2 row; untouched
+    keys exactly their original current row.  Validity intervals must
+    tile: a closed row's valid_to equals its successor's valid_from."""
+    from pyspark.sql import functions as F
+
+    from tamar_spark.queries import QUERIES
+    from tamar_spark.sources import load_table
+
+    rows = QUERIES["scd2_dim_build"](spark, sf_dir).collect()
+    base = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .collect()
+    }
+    maxk = max(base)
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    checked = {"U": 0, "D": 0, "I": 0, "-": 0}
+    for key, rs in by_key.items():
+        cur = [r for r in rs if r.is_current]
+        closed = [r for r in rs if not r.is_current]
+        assert len(cur) <= 1, key
+        for r in closed:
+            assert r.valid_to == 2 and r.valid_from == 1, r
+        if key > maxk:  # insert (offset keys are new by construction)
+            assert len(rs) == 1 and cur and cur[0].valid_from == 2
+            assert cur[0].bal == 0.0
+            checked["I"] += 1
+        elif key % 17 == 3:  # delete: history kept, nothing current
+            assert len(rs) == 1 and not cur
+            checked["D"] += 1
+        elif key % 10 == 0:  # update: closed v1 + open v2 at +100
+            assert len(rs) == 2 and len(closed) == 1 and len(cur) == 1
+            assert closed[0].bal == base[key]
+            assert cur[0].bal == base[key] + 100.0
+            assert cur[0].valid_from == closed[0].valid_to
+            checked["U"] += 1
+        else:  # untouched
+            assert len(rs) == 1 and cur and cur[0].valid_from == 1
+            assert cur[0].bal == base[key]
+            checked["-"] += 1
+    assert all(v > 0 for v in checked.values()), checked
