@@ -1792,3 +1792,81 @@ def scd2_dim_build(spark, sf_dir):
         F.lit(True).alias("is_current"),
     )
     return old.unionByName(new)
+
+
+# --------------------------------------------------------------------------
+# Join-key skew profiler: the pre-flight diagnostic for shuffle planning
+# --------------------------------------------------------------------------
+
+
+@query(
+    "key_skew_profile",
+    """
+WITH c AS (
+  SELECT 'l_orderkey' AS join_key, l_orderkey AS k FROM lineitem
+  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+), per AS (
+  SELECT join_key, k, count(*) AS n FROM c GROUP BY 1, 2
+)
+SELECT join_key,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       round(CAST(max(n) * count(*) AS DOUBLE) / sum(n), 4) AS skew_ratio,
+       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share
+FROM per GROUP BY join_key
+ORDER BY join_key
+""",
+)
+def key_skew_profile(spark, sf_dir):
+    """Per-candidate-join-key skew profile over the fact table — the
+    pre-flight diagnostic behind every partitioning decision this repo's
+    scale notes lean on (salting thresholds, AQE skew-join expectations,
+    bucket column choice): for each candidate key, its distinct-value
+    count, the heaviest single key's row count, the skew ratio
+    max/avg = max·distinct/rows (1.0 = perfectly uniform; the salted-join
+    trigger), and the heaviest key's share of all rows (the
+    single-reducer bound: no partitioning of this key can put less than
+    top_share of the table in one task).
+
+    ONE fact scan: groupingSets over the three single-key sets (one
+    Expand + one partial-aggregated count per (set, value)), then a
+    3-row second aggregate per set.  The per-value count table is the
+    same intermediate a salted-join planner samples; at 100 TB the
+    Expand triples scan rows but map-side combine collapses them to one
+    row per distinct key value before the shuffle.  skew_ratio is the
+    exact integer product max·distinct divided once (< 2^53 — exact),
+    so both engines round the identical double."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    cnts = (
+        li.groupingSets(
+            [["l_orderkey"], ["l_partkey"], ["l_suppkey"]],
+            "l_orderkey", "l_partkey", "l_suppkey",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_orderkey").alias("g_o"),
+            F.grouping("l_partkey").alias("g_p"),
+        )
+    )
+    key_name = (
+        F.when(F.col("g_o") == 0, F.lit("l_orderkey"))
+        .when(F.col("g_p") == 0, F.lit("l_partkey"))
+        .otherwise(F.lit("l_suppkey"))
+    )
+    return (
+        cnts.groupBy(key_name.alias("join_key"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("n").cast("bigint").alias("max_rows"),
+            F.round(
+                (F.max("n") * F.count(F.lit(1))).cast("double") / F.sum("n"), 4
+            ).alias("skew_ratio"),
+            F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_share"),
+        )
+        .orderBy("join_key")
+    )

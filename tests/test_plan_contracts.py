@@ -100,6 +100,16 @@ CONTRACTS = [
     # per-row array fold does sentence-split, lang-ID, and the segment
     # collapse in one projection — no window functions, no shuffle
     ("lang_segments", 0, 0),
+    # round-7 wave 2
+    # one Expand off a single fact scan + per-value agg + 3-row agg + sort
+    ("key_skew_profile", 3, 0),
+    # SCD2: change batch broadcast against the base, union — no shuffle
+    ("scd2_dim_build", 1, 1),
+    # two leg windows + fusion join + final window, legs anchor-broadcast
+    ("hybrid_rrf_topk", 5, 0),
+    # peel rounds are localCheckpoint-truncated; visible plan is the final
+    # round's keys-only semi joins + count aggregate
+    ("graph_kcore", 2, 0),
 ]
 
 
