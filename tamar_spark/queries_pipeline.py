@@ -1836,3 +1836,121 @@ def dsir_select(spark, sf_dir):
         round_ieee(F.col("w"), 6).alias("importance"),
         F.col("r").cast("int").alias("sel_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer evaluation: per-language fertility of the corpus-learned BPE
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle(steps: int = _BPE_STEPS) -> str:
+    """DuckDB twin of :func:`bpe_fertility`: the learn chain of
+    :func:`_bpe_oracle`, the per-word encode of :func:`_bpe_encode_oracle`
+    carrying ``lang`` and the normalized word length, then one
+    per-language rollup of the fertility ratios."""
+    learn = _bpe_oracle(steps)
+    with_block = learn.split("\nSELECT * FROM (")[0]
+    repl = "repr"
+    for s in range(1, steps + 1):
+        repl = (
+            f"replace({repl}, '<' || (SELECT a FROM b{s}) || '><'"
+            f" || (SELECT b FROM b{s}) || '>', '<' || (SELECT a FROM b{s})"
+            f" || (SELECT b FROM b{s}) || '>')"
+        )
+    return f"""{with_block},
+docw AS MATERIALIZED (
+  SELECT lang, length(word) AS wlen,
+         '<' || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> word[i]), '><')
+         || '><_>' AS repr
+  FROM (
+    SELECT lang, unnest(string_split_regex(
+             lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')),
+             '\\s+')) AS word
+    FROM documents
+  ) WHERE word != ''
+),
+enc AS (
+  SELECT lang, wlen,
+         len(string_split(substr(r, 2, length(r) - 2), '><')) AS n
+  FROM (SELECT lang, wlen, {repl} AS r FROM docw)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(wlen) AS BIGINT) AS n_chars,
+       round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 4) AS fertility,
+       round(CAST(SUM(wlen) AS DOUBLE) / SUM(n), 4) AS chars_per_token
+FROM enc GROUP BY lang ORDER BY lang"""
+
+
+@query("bpe_fertility", _bpe_fertility_oracle())
+def bpe_fertility(spark, sf_dir):
+    """Tokenizer EVALUATION leg on top of the learn/encode pair: per
+    language, the fertility of the corpus-learned BPE — tokens per word —
+    and the characters-per-token compression, the two numbers a tokenizer
+    review actually reads (fertility >> 1 on a language means its text
+    pays more context budget per word; the metric behind every
+    "tokenizer X penalizes language Y" analysis, cf. the multilingual
+    fertility tables of the XLM-R / NLLB papers).  Note the `<_>`
+    end-of-word marker counts one token per word on both sides, exactly
+    as in bpe_encode, so fertility is (subwords+1)/word — comparable
+    across runs because the convention is pinned by the shared kernel.
+
+    Plan: the merge table is learned once (vocabulary-bounded); the
+    encode pass carries (lang, word-length) through the same broadcast
+    replace chain as bpe_encode (shared kernel — the legs cannot drift);
+    the rollup is one tiny per-language aggregate.  Ratios are exact
+    integer sums with ONE double division each, rounded identically on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")),
+                    r"\s+",
+                )
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_learn(words, steps=_BPE_STEPS)
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    docw = docs.select(
+        "lang",
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), r"\s+"
+            )
+        ).alias("word"),
+    ).where(F.col("word") != "")
+    cur = docw.select(
+        "lang",
+        F.length("word").alias("wlen"),
+        F.concat(F.lit("<"), F.concat_ws("><", chars), F.lit("><_>")).alias(
+            "r"
+        ),
+    )
+    cur = bpe_apply_merges(cur, merges, _BPE_STEPS)
+    toks = F.split(F.expr("substring(r, 2, length(r) - 2)"), "><")
+    return (
+        cur.select("lang", "wlen", F.size(toks).alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum("wlen").cast("bigint").alias("n_chars"),
+            F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 4).alias(
+                "fertility"
+            ),
+            F.round(F.sum("wlen").cast("double") / F.sum("n"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
