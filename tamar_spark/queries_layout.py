@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from tamar_spark.env import prep_session
 from tamar_spark.queries import (
     query,
+    _SESSION_ORACLE,
     epoch_us,
     floor_div,
     dsum_r,
@@ -1869,4 +1870,124 @@ def key_skew_profile(spark, sf_dir):
             F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_share"),
         )
         .orderBy("join_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental sessionization: IVM for gap-based session windows
+# --------------------------------------------------------------------------
+
+
+def _gap_merge_sessions(items, gap: str = "INTERVAL 12 HOURS"):
+    """Gap-merge a per-key set of time INTERVALS carrying partial
+    aggregates: ``(user_id, s, e, n, psum)`` rows (an event is the
+    degenerate interval s = e = ts) → merged sessions with summed
+    partials.  Interval gap-merge equals point gap-merge because sessions
+    are exactly the connected components of the ≤-gap relation on the
+    timeline and an interval is the union of its points — which is what
+    lets a session TABLE absorb an event DELTA without replaying the
+    events inside the stored sessions.  New-session rule ``s >
+    running_max(prev e) + gap`` mirrors the oracle's strict ``>`` (an
+    event landing exactly on the boundary merges, same as the SQL twin).
+    One keyed sort window + one aggregate; partial sums stay DECIMAL
+    (associative) so re-summing partials is bit-identical to summing raw
+    values."""
+    from pyspark.sql.window import Window
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_e = F.max("e").over(w_prev)
+    flagged = items.withColumn(
+        "is_new",
+        F.when(prev_e.isNull() | (F.col("s") > prev_e + F.expr(gap)), 1).otherwise(
+            0
+        ),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("session_id", F.sum("is_new").over(w_run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("s").alias("window_start"),
+        (F.max("e") + F.expr(gap)).alias("window_end"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("psum").alias("psum"),
+    )
+
+
+_SESSION_IVM_ORACLE = _SESSION_ORACLE.replace("INTERVAL 30 MINUTE", "INTERVAL 12 HOUR")
+
+
+@query("session_ivm", _SESSION_IVM_ORACLE)
+def session_ivm(spark, sf_dir):
+    """Incremental view maintenance for SESSION WINDOWS — the non-trivial
+    IVM case (cdc_incremental_agg folds additive groups; sessions are
+    NOT additive: one late event can weld two stored sessions into one).
+    The maintained view is the session table (gap 12 h — wide enough
+    that the fixture's sparse event stream actually WELDS delta events
+    into stored sessions across the cut; at 30 min every session is a
+    singleton and the hard path would idle) over all events older than a
+    cut (max ts − 24 h); the delta is the last day of events.  The merge exploits that stored sessions are mergeable
+    interval summaries: for AFFECTED KEYS ONLY, re-gap-merge their stored
+    session rows together with the delta events as degenerate intervals —
+    correctness from interval-merge ≡ point-merge (see
+    ``_gap_merge_sessions``); every other key's rows pass through via an
+    anti join, untouched and unread past the key column.
+
+    Registered with the flagship session oracle (at the 12 h gap) — a
+    full recompute over ALL events — the driver hash proves maintained ≡ recomputed, the same
+    proof obligation as cdc_incremental_agg/minmax.
+
+    Scale: the maintained table is amortized (built once, here
+    checkpointed to stand in for the stored table); the incremental step
+    costs one distinct over the delta's keys, one semi/anti join pair on
+    user_id, and a sort window over (affected keys' session rows + delta
+    events) — proportional to the DELTA and its keys' session counts,
+    never to the corpus.  Partial sums stay DECIMAL end-to-end, so the
+    final 2 dp round equals the full recompute bit-for-bit."""
+    from tamar_spark.queries import _DEC
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    maxts = ev.agg(F.max("ts").alias("_maxts"))
+    ev2 = ev.crossJoin(F.broadcast(maxts)).withColumn(
+        "_cut", F.col("_maxts") - F.expr("INTERVAL 24 HOURS")
+    )
+    as_point = lambda df: df.select(  # noqa: E731
+        "user_id",
+        F.col("ts").alias("s"),
+        F.col("ts").alias("e"),
+        F.lit(1).alias("n"),
+        F.col("value").cast(_DEC).alias("psum"),
+    )
+    v1 = _gap_merge_sessions(
+        as_point(ev2.filter(F.col("ts") < F.col("_cut")))
+    ).localCheckpoint()  # the "stored" session table
+    delta = ev2.filter(F.col("ts") >= F.col("_cut"))
+    affected = delta.select("user_id").distinct()
+    untouched = v1.join(affected, "user_id", "left_anti")
+    touched = v1.join(affected, "user_id", "left_semi")
+    items = touched.select(
+        "user_id",
+        F.col("window_start").alias("s"),
+        (F.col("window_end") - F.expr("INTERVAL 12 HOURS")).alias("e"),
+        F.col("n_events").alias("n"),
+        "psum",
+    ).unionByName(as_point(delta))
+    remerged = _gap_merge_sessions(items)
+    cols = ["user_id", "window_start", "window_end", "n_events", "psum"]
+    return (
+        untouched.select(*cols)
+        .unionByName(remerged.select(*cols))
+        .select(
+            "window_start",
+            "window_end",
+            "user_id",
+            "n_events",
+            F.round("psum", 2).cast("double").alias("sum_value"),
+        )
     )

@@ -110,6 +110,9 @@ CONTRACTS = [
     # peel rounds are localCheckpoint-truncated; visible plan is the final
     # round's keys-only semi joins + count aggregate
     ("graph_kcore", 2, 0),
+    # session IVM: stored table checkpointed; the incremental step is one
+    # broadcast semi/anti pair + one keyed sort window + union
+    ("session_ivm", 3, 2),
 ]
 
 

@@ -639,3 +639,45 @@ def test_scd2_dim_build_history_invariants(spark, sf_dir):
             assert cur[0].bal == base[key]
             checked["-"] += 1
     assert all(v > 0 for v in checked.values()), checked
+
+
+def test_session_ivm_welds_across_the_cut(spark, sf_dir):
+    """The IVM merge must actually exercise its hard case on the fixture:
+    at least one output session STARTS before the 24 h cut and ENDS
+    after it (a delta event welded onto — or into — a stored session),
+    and at least one key passes through the anti join untouched.
+    Additionally the welded result must differ from the naive
+    'stored ∪ sessionize(delta alone)' union, proving the delta cannot
+    just be sessionized independently."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tamar_spark.queries import QUERIES
+    from tamar_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(F.max("ts").alias("m")).collect()[0]["m"] - datetime.timedelta(
+        hours=24
+    )
+    rows = QUERIES["session_ivm"](spark, sf_dir).collect()
+    gap = datetime.timedelta(hours=12)
+    spans_cut = [
+        r for r in rows if r.window_start < cut and (r.window_end - gap) >= cut
+    ]
+    assert spans_cut, "no session welds across the cut — IVM case untested"
+    delta_keys = {
+        r.user_id
+        for r in ev.filter(F.col("ts") >= F.lit(cut)).select("user_id").collect()
+    }
+    untouched_keys = {r.user_id for r in rows} - delta_keys
+    assert untouched_keys, "every key was affected — anti-join path untested"
+    # welded sessions contain events from BOTH sides of the cut, so their
+    # event counts can't be reproduced by sessionizing the delta alone
+    for r in spans_cut[:5]:
+        pre = ev.filter(
+            (F.col("user_id") == r.user_id)
+            & (F.col("ts") >= F.lit(r.window_start))
+            & (F.col("ts") < F.lit(cut))
+        ).count()
+        assert pre > 0, "welded session has no stored-side events"
