@@ -823,6 +823,112 @@ def main() -> None:
         results["mmr_topk"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
 
+    # k-core peel: k×100k-node corpora of 9-node blocks — a 6-clique, a
+    # bridge node t (deg 3: clique anchor + two leaves), two leaves.  At
+    # k=3 the cascade is CONSTANT and multi-round whatever the corpus
+    # size (leaves deg 1 die in the degree pre-filter, t's recomputed
+    # degree then drops to 1 and dies next round, cliques are the core) —
+    # the duplicate-cluster regime.  Rounds stay fixed (recorded), so
+    # wall must track edge volume only; superlinear growth would mean a
+    # round leaked a corpus-size dependence beyond its edge scan.
+    def kcore_scale(k):
+        from tamar_spark.operators.graph import kcore
+
+        n = k * 99_000  # nodes in blocks of 9
+        ids = spark.range(n)
+        pos = F.col("id") % 9
+        clique = (
+            ids.filter(pos < 6)
+            .alias("x")
+            .join(
+                ids.filter(pos < 6).alias("y"),
+                ((F.col("x.id") / 9).cast("long") == (F.col("y.id") / 9).cast("long"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        )
+        # bridge pos6 → clique pos0; leaves pos7, pos8 → bridge pos6
+        bridge = ids.filter(pos == 6).select(
+            (F.col("id") - 6).alias("a"), F.col("id").alias("b")
+        )
+        leaves = ids.filter(pos.isin(7, 8)).select(
+            F.col("id").alias("a"),
+            ((F.col("id") / 9).cast("long") * 9 + 6).alias("b"),
+        )
+        stats: dict = {}
+        df = kcore(clique.unionByName(bridge).unionByName(leaves), k=3, stats=stats)
+        return df, stats
+
+    results["kcore"] = []
+    results["kcore_rounds"] = []
+    for k in [1, 4, 16]:
+        t0 = time.perf_counter()
+        df, stats = kcore_scale(k)
+        df.count()
+        results["kcore"].append(round(time.perf_counter() - t0, 2))
+        results["kcore_rounds"].append(stats["rounds"])
+        spark.catalog.clearCache()
+
+    # Session IVM: the maintained STORED table grows k× (synthetic users,
+    # one 3-event pre-cut session each) while the delta stays FIXED at
+    # the sf0.1 last-day events — incremental maintenance cost must stay
+    # ~flat because the semi/anti joins ship keys only and the re-merge
+    # window touches affected keys' rows alone.  The stored-table build
+    # (amortized in production) is timed separately for contrast.
+    def session_ivm_scale(k):
+        from tamar_spark.queries_layout import _gap_merge_sessions
+
+        n = k * 200_000
+        base_t = F.lit("2024-01-10 00:00:00").cast("timestamp")
+        stored_pts = spark.range(n).select(
+            (F.col("id") + 10_000_000).alias("user_id"),
+            (base_t + F.make_interval(mins=(F.col("id") % 1000).cast("int"))).alias("s"),
+            (base_t + F.make_interval(mins=(F.col("id") % 1000).cast("int"))).alias("e"),
+            F.lit(1).alias("n"),
+            F.lit(1).cast("decimal(28,6)").alias("psum"),
+        )
+        t0 = time.perf_counter()
+        v1 = _gap_merge_sessions(stored_pts).localCheckpoint()
+        build_s = round(time.perf_counter() - t0, 2)
+
+        ev = events.crossJoin(
+            F.broadcast(events.agg(F.max("ts").alias("_maxts")))
+        )
+        delta = ev.filter(
+            F.col("ts") >= F.col("_maxts") - F.expr("INTERVAL 24 HOURS")
+        ).select(
+            "user_id",
+            F.col("ts").alias("s"),
+            F.col("ts").alias("e"),
+            F.lit(1).alias("n"),
+            F.col("value").cast("decimal(28,6)").alias("psum"),
+        )
+        t0 = time.perf_counter()
+        affected = delta.select("user_id").distinct()
+        untouched = v1.join(affected, "user_id", "left_anti")
+        touched = v1.join(affected, "user_id", "left_semi")
+        items = touched.select(
+            "user_id",
+            F.col("window_start").alias("s"),
+            (F.col("window_end") - F.expr("INTERVAL 12 HOURS")).alias("e"),
+            F.col("n_events").alias("n"),
+            "psum",
+        ).unionByName(delta)
+        cols = ["user_id", "window_start", "window_end", "n_events", "psum"]
+        _gap_merge_sessions(items).select(*cols).unionByName(
+            untouched.select(*cols)
+        ).count()
+        inc_s = round(time.perf_counter() - t0, 2)
+        return build_s, inc_s
+
+    results["session_ivm_build"] = []
+    results["session_ivm_incremental"] = []
+    for k in [1, 4, 16]:
+        build_s, inc_s = session_ivm_scale(k)
+        results["session_ivm_build"].append(build_s)
+        results["session_ivm_incremental"].append(inc_s)
+        spark.catalog.clearCache()
+
     print(json.dumps({"sf_base": 0.1, "scales": SCALES, "queries": results}))
 
 
