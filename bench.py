@@ -116,6 +116,12 @@ EXTENDED = [
     "bucketed_join_agg",
     "dsir_select",
     "cdc_time_travel",
+    "graph_kcore",
+    "hybrid_rrf_topk",
+    "scd2_dim_build",
+    "key_skew_profile",
+    "bpe_fertility",
+    "session_ivm",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED
