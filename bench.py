@@ -122,6 +122,7 @@ EXTENDED = [
     "key_skew_profile",
     "bpe_fertility",
     "session_ivm",
+    "resample_ffill",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -1991,3 +1991,117 @@ def session_ivm(spark, sf_dir):
             F.round("psum", 2).cast("double").alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series resampling: regular grid + forward fill (gap-fill)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "resample_ffill",
+    """
+WITH ev AS (
+  SELECT user_id, ts, value, event_id,
+         date_trunc('hour', ts) AS slot
+  FROM events WHERE user_id % 100 = 0
+),
+obs AS (
+  SELECT user_id, slot, value FROM (
+    SELECT user_id, slot, value,
+           row_number() OVER (PARTITION BY user_id, slot
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM ev GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+  FROM bounds
+),
+marked AS (
+  SELECT g.user_id, g.slot, o.value,
+         max(CASE WHEN o.value IS NOT NULL THEN g.slot END)
+           OVER (PARTITION BY g.user_id ORDER BY g.slot
+                 ROWS UNBOUNDED PRECEDING) AS carry
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.slot = g.slot
+)
+SELECT m.user_id, m.slot,
+       c.value AS value_ffill,
+       m.value IS NOT NULL AS is_observed,
+       CAST(date_diff('hour', m.carry, m.slot) AS INT) AS hours_since_obs
+FROM marked m JOIN obs c ON c.user_id = m.user_id AND c.slot = m.carry
+""",
+)
+def resample_ffill(spark, sf_dir):
+    """Regular-grid resampling with forward fill — the feature-store /
+    monitoring primitive that turns an irregular event stream into the
+    hourly panel a model or dashboard consumes (pandas ``resample('1h')
+    .ffill()``, TimescaleDB ``time_bucket_gapfill + locf``), for every
+    100th user: one slot per hour between the user's first and last
+    event, carrying the most recent observation forward and reporting
+    its staleness.
+
+    Per (user, hour-slot) the representative observation is the LAST
+    event in the slot (ties by event_id — total order, engine-identical);
+    the grid comes from ``sequence()`` exploded off each user's bounds;
+    the fill is ONE prefix-max window: max over struct(slot, value) of
+    observed slots ≤ t — running max of a monotone sequence ≡ last
+    non-null, without IGNORE NULLS (which SQL engines disagree on).
+
+    Scale: everything keys on user_id — slot collapse, bounds, grid
+    explode, and the fill window share one partitioning (AQE reuses it);
+    grid rows are bounded by span/granularity per user, so the explode
+    is output-proportional, and there is no cross-user operator anywhere.
+    The staleness column is the monitor: hours_since_obs > SLA flags a
+    silent feed."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 100 == 0)
+        .select(
+            "user_id",
+            "ts",
+            "value",
+            "event_id",
+            F.date_trunc("hour", F.col("ts")).alias("slot"),
+        )
+    )
+    obs = (
+        ev.groupBy("user_id", "slot")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("_last"))
+        .select("user_id", "slot", F.col("_last.value").alias("value"))
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("slot").alias("lo"), F.max("slot").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("slot"),
+    )
+    joined = grid.join(obs, ["user_id", "slot"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = F.max(
+        F.when(F.col("value").isNotNull(), F.struct("slot", "value"))
+    ).over(w)
+    return joined.select(
+        "user_id",
+        "slot",
+        carry.getField("value").alias("value_ffill"),
+        F.col("value").isNotNull().alias("is_observed"),
+        (
+            (epoch_us("slot") - epoch_us(carry.getField("slot")))
+            / F.lit(3_600_000_000)
+        )
+        .cast("int")
+        .alias("hours_since_obs"),
+    )

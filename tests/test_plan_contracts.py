@@ -113,6 +113,9 @@ CONTRACTS = [
     # session IVM: stored table checkpointed; the incremental step is one
     # broadcast semi/anti pair + one keyed sort window + union
     ("session_ivm", 3, 2),
+    # gap-fill: slot collapse + grid join + fill window all share the
+    # user_id partitioning
+    ("resample_ffill", 2, 1),
 ]
 
 

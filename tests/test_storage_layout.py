@@ -681,3 +681,38 @@ def test_session_ivm_welds_across_the_cut(spark, sf_dir):
             & (F.col("ts") < F.lit(cut))
         ).count()
         assert pre > 0, "welded session has no stored-side events"
+
+
+def test_resample_ffill_grid_is_contiguous_and_carries(spark, sf_dir):
+    """Gap-fill invariants: each user's grid is a contiguous hourly run
+    from first to last event slot; hours_since_obs is 0 exactly on
+    observed slots and increments by 1 per unobserved slot since the
+    carry; filled values equal the most recent observed value."""
+    import datetime
+
+    from tamar_spark.queries import QUERIES
+
+    rows = QUERIES["resample_ffill"](spark, sf_dir).collect()
+    assert rows
+    by_u: dict = {}
+    for r in rows:
+        by_u.setdefault(r.user_id, []).append(r)
+    saw_gap = False
+    for u, rs in by_u.items():
+        rs.sort(key=lambda r: r.slot)
+        last_val = None
+        since = None
+        for i, r in enumerate(rs):
+            if i:
+                assert r.slot - rs[i - 1].slot == datetime.timedelta(hours=1)
+            if r.is_observed:
+                assert r.hours_since_obs == 0
+                last_val = r.value_ffill
+                since = 0
+            else:
+                saw_gap = True
+                since += 1
+                assert r.hours_since_obs == since
+                assert r.value_ffill == last_val
+        assert rs[0].is_observed  # grid starts at an event's slot
+    assert saw_gap  # the fixture must actually exercise the fill
