@@ -123,6 +123,8 @@ EXTENDED = [
     "bpe_fertility",
     "session_ivm",
     "resample_ffill",
+    "quantile_normalize",
+    "rendezvous_shards",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -1954,3 +1954,174 @@ def bpe_fertility(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Score calibration: per-language quantile normalization of quality signals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_normalize",
+    """
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY n_chars, doc_id) AS lang_pct,
+         percent_rank() OVER (ORDER BY n_chars, doc_id) AS global_pct
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score,
+       round(lang_pct, 6) AS lang_pct,
+       round(global_pct, 6) AS global_pct,
+       lang_pct >= 0.5 AS keep_lang,
+       global_pct >= 0.5 AS keep_global,
+       (lang_pct >= 0.5) <> (global_pct >= 0.5) AS flipped
+FROM scored
+""",
+)
+def quantile_normalize(spark, sf_dir):
+    """Per-language quantile normalization of a quality signal — the
+    calibration step every multilingual curation pipeline needs before a
+    single keep-threshold: raw scorer outputs (here the document length
+    signal) are NOT comparable across languages (different scripts and
+    tokenizations shift the whole distribution), so thresholding the raw
+    score silently over-prunes some languages.  Mapping each score to its
+    within-language percentile makes one global cut fair; the ``flipped``
+    column measures exactly how many documents a raw global threshold
+    would have mis-kept/mis-dropped — the audit number for the change.
+
+    percent_rank is pure rank arithmetic ((rank−1)/(n−1), one exactly-
+    rounded IEEE division of integers) with a total (score, doc_id)
+    order, so both engines emit bit-identical doubles.  Plan: two window
+    passes — one partitioned by language (shuffles on lang), one global
+    (at 100 TB swap the global pass for the equi-depth histogram's
+    distributed ntile or a sampled CDF; the per-language pass is the one
+    that matters and shuffles on a bounded key set)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    w_lang = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w_all = Window.orderBy("n_chars", "doc_id")
+    lang_pct = F.percent_rank().over(w_lang)
+    global_pct = F.percent_rank().over(w_all)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("score"),
+        F.round(lang_pct, 6).alias("lang_pct"),
+        F.round(global_pct, 6).alias("global_pct"),
+        (lang_pct >= 0.5).alias("keep_lang"),
+        (global_pct >= 0.5).alias("keep_global"),
+        ((lang_pct >= 0.5) != (global_pct >= 0.5)).alias("flipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding — consistent rebalancing
+# ---------------------------------------------------------------------------
+
+
+def _rendezvous_assign(docs, n_shards: int):
+    """Assign each doc to argmax_shard md5(doc_id || ':' || shard) — HRW
+    (rendezvous) hashing: deterministic, coordination-free, and minimally
+    disruptive (adding shard k+1 moves ONLY the docs whose new hash wins,
+    ~1/(k+1) of the corpus, each moving INTO the new shard).  The md5 hex
+    STRING is the weight — lexicographic max, identical in every engine,
+    no numeric conversion anywhere."""
+    shards = F.explode(
+        F.sequence(F.lit(0), F.lit(n_shards - 1))
+    ).alias("shard")
+    scored = docs.select("doc_id", shards).select(
+        "doc_id",
+        "shard",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("shard"))).alias("w"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.max(F.struct("w", "shard")).alias("_best"))
+        .select("doc_id", F.col("_best.shard").alias("shard"))
+    )
+
+
+@query(
+    "rendezvous_shards",
+    """
+WITH docs AS (SELECT doc_id FROM documents),
+a8 AS (
+  SELECT doc_id, shard FROM (
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY md5(doc_id || ':' || shard) DESC,
+                                       shard) AS rn
+    FROM docs, (SELECT unnest(generate_series(0, 7)) AS shard)
+  ) WHERE rn = 1
+),
+a9 AS (
+  SELECT doc_id, shard FROM (
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY md5(doc_id || ':' || shard) DESC,
+                                       shard) AS rn
+    FROM docs, (SELECT unnest(generate_series(0, 8)) AS shard)
+  ) WHERE rn = 1
+),
+c8 AS (SELECT shard, count(*) AS n_k8 FROM a8 GROUP BY 1),
+c9 AS (SELECT shard, count(*) AS n_k9 FROM a9 GROUP BY 1),
+mv AS (
+  SELECT a9.shard, count(*) AS moved_in
+  FROM a8 JOIN a9 USING (doc_id) WHERE a8.shard <> a9.shard GROUP BY 1
+)
+SELECT shard,
+       CAST(COALESCE(n_k8, 0) AS BIGINT) AS n_k8,
+       CAST(COALESCE(n_k9, 0) AS BIGINT) AS n_k9,
+       CAST(COALESCE(moved_in, 0) AS BIGINT) AS moved_in
+FROM c9 LEFT JOIN c8 USING (shard) LEFT JOIN mv USING (shard)
+ORDER BY shard
+""",
+)
+def rendezvous_shards(spark, sf_dir):
+    """Rendezvous (highest-random-weight) sharding with a live rebalance
+    audit: assign every document to its argmax-hash shard at 8 shards and
+    again at 9, and report per shard how many documents it holds under
+    each topology and how many CHANGED shard — HRW's guarantee is that
+    expansion moves only ~n/9 documents, every one of them INTO the new
+    shard (pinned by test; a modulo partitioner would reshuffle ~8/9 of
+    the corpus).  This is the shard-assignment layer under the
+    incremental-ingest story: grow the dedup index or the training-shard
+    layout without rewriting what's already placed.
+
+    The hash weight is the md5 HEX STRING compared lexicographically —
+    portable across engines with no numeric conversion; the per-doc
+    argmax is one max(struct) aggregate over an 8/9-way generated
+    explode, so the whole operator is one scan, two narrow aggregates,
+    and a shard-count rollup; nothing keys on anything finer than
+    doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a8 = _rendezvous_assign(docs, 8).withColumnRenamed("shard", "s8")
+    a9 = _rendezvous_assign(docs, 9).withColumnRenamed("shard", "s9")
+    c8 = a8.groupBy(F.col("s8").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_k8")
+    )
+    c9 = a9.groupBy(F.col("s9").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_k9")
+    )
+    mv = (
+        a8.join(a9, "doc_id")
+        .filter(F.col("s8") != F.col("s9"))
+        .groupBy(F.col("s9").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("moved_in"))
+    )
+    return (
+        c9.join(c8, "shard", "left")
+        .join(mv, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_k8", F.lit(0)).cast("bigint").alias("n_k8"),
+            F.coalesce("n_k9", F.lit(0)).cast("bigint").alias("n_k9"),
+            F.coalesce("moved_in", F.lit(0)).cast("bigint").alias("moved_in"),
+        )
+        .orderBy("shard")
+    )

@@ -116,6 +116,10 @@ CONTRACTS = [
     # gap-fill: slot collapse + grid join + fill window all share the
     # user_id partitioning
     ("resample_ffill", 2, 1),
+    # two rank windows over one scan (lang-keyed + global calibration)
+    ("quantile_normalize", 1, 0),
+    # two argmax assigns (explode + max-struct agg) + occupancy rollups
+    ("rendezvous_shards", 8, 0),
 ]
 
 

@@ -806,3 +806,61 @@ def test_funnel_matches_nstep_model(spark, events):
                     )
                 )
     assert got == want
+
+
+def test_rendezvous_moves_only_into_the_new_shard(spark, sf_dir):
+    """HRW's minimal-disruption guarantee, recomputed against a direct
+    hashlib model: every document's shard at k=8 and k=9 must equal the
+    Python argmax of md5('doc:shard'), and expansion must move documents
+    ONLY into the new shard (anything else would mean the weight function
+    depends on the shard set, which breaks consistency)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tamar_spark.queries_pipeline import _rendezvous_assign
+    from tamar_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a8 = {r.doc_id: r.shard for r in _rendezvous_assign(docs, 8).collect()}
+    a9 = {r.doc_id: r.shard for r in _rendezvous_assign(docs, 9).collect()}
+
+    def model(doc_id, k):
+        return max(
+            range(k),
+            key=lambda s: (hashlib.md5(f"{doc_id}:{s}".encode()).hexdigest(), s),
+        )
+
+    assert a8 and set(a8) == set(a9)
+    for d in a8:
+        assert a8[d] == model(d, 8)
+        assert a9[d] == model(d, 9)
+        if a8[d] != a9[d]:
+            assert a9[d] == 8, (d, a8[d], a9[d])
+    moved = sum(1 for d in a8 if a8[d] != a9[d])
+    assert moved > 0  # the fixture must exercise the rebalance
+
+
+def test_quantile_normalize_calibrates_each_language(spark, sf_dir):
+    """Per-language percentiles must make the 0.5 cut fair by
+    construction: every language keeps floor(n/2) of its documents
+    (percent_rank >= 0.5 over a total order), whereas the raw global cut
+    keeps language-dependent fractions — and the flipped column must
+    capture exactly the disagreement."""
+    from tamar_spark.queries import QUERIES
+
+    rows = QUERIES["quantile_normalize"](spark, sf_dir).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert r.flipped == (r.keep_lang != r.keep_global)
+    any_flipped = any(r.flipped for r in rows)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        kept = sum(1 for r in rs if r.keep_lang)
+        # percent_rank >= 0.5 keeps the top ceil((n-1)/2)+... exactly:
+        # ranks r with (r-1)/(n-1) >= 0.5, i.e. r >= (n+1)/2
+        expect = n - (-(-(n + 1) // 2)) + 1 if n > 1 else 1
+        assert kept == expect, (lang, n, kept, expect)
+    assert any_flipped  # raw-vs-calibrated must actually disagree somewhere
