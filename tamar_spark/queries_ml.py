@@ -1028,3 +1028,171 @@ def hybrid_rrf_topk(spark, sf_dir):
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: top principal component by unrolled power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_ITERS = 2
+
+
+def _pca_oracle(dim: int = _PCA_DIM, iters: int = _PCA_ITERS) -> str:
+    """Unrolled power-iteration twin: center (6 dp exact-decimal means),
+    then per iteration w = Σ_rows round((x̃·v), no-op) · x̃ with 9 dp
+    per-term rounding into DECIMAL sums, normalize by the fixed-order
+    Σw² norm, re-round components to 9 dp.  Every float op is either an
+    exactly-rounded scalar IEEE op or an exact decimal sum, so the chain
+    is bit-identical across engines."""
+    sql = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+mean_c AS MATERIALIZED (
+  SELECT i AS pos,
+         round(CAST(SUM(CAST(round(v[i], 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM e, LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) t
+  GROUP BY i
+),
+mean_v AS MATERIALIZED (
+  SELECT list(m ORDER BY pos) AS mv FROM mean_c
+),
+x AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, {dim} + 1), i -> v[i] - mv[i]) AS xv
+  FROM e, mean_v
+),
+v0 AS MATERIALIZED (
+  SELECT list_transform(range(1, {dim} + 1),
+                        i -> CASE WHEN i = 1 THEN CAST(1 AS DOUBLE)
+                                  ELSE CAST(0 AS DOUBLE) END) AS pv
+)"""
+    prev = "v0"
+    for it in range(1, iters + 1):
+        sql += f""",
+w{it} AS MATERIALIZED (
+  SELECT i AS pos,
+         CAST(SUM(CAST(round(list_dot_product(xv, pv) * xv[i], 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS w
+  FROM x, {prev}, LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) t
+  GROUP BY i
+),
+n{it} AS MATERIALIZED (
+  SELECT sqrt(CAST(SUM(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE))
+    AS nrm
+  FROM w{it}
+),
+v{it} AS MATERIALIZED (
+  SELECT list(round(w / nrm, 9) ORDER BY pos) AS pv, first(nrm) AS lam
+  FROM w{it}, n{it}
+)"""
+        prev = f"v{it}"
+    sql += f"""
+SELECT CAST(i AS INT) AS dim, pv[i] AS component, round(lam, 6) AS eigenvalue
+FROM {prev}, LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) t
+ORDER BY dim
+"""
+    return sql
+
+
+@query("embed_pca_power", _pca_oracle())
+def embed_pca_power(spark, sf_dir):
+    """Top principal component of the embedding table by DISTRIBUTED
+    power iteration — the spectral primitive under embedding whitening,
+    ABTT ("all-but-the-top") post-processing, spectral outlier scoring,
+    and PCA-compressed ANN.  Two unrolled iterations from the fixed e₁
+    start: w ← Σ_rows (x̃·v)·x̃ computed WITHOUT materializing the d×d
+    covariance (the whole point at scale — Σ(x·v)x touches each row
+    once; the Gram matrix never exists), then normalize.  Emits the
+    64-dim component vector and the Rayleigh-quotient eigenvalue
+    estimate.
+
+    Determinism (the hard part, same discipline as embed_kmeans): the
+    per-row dot x̃·v is one fixed-order fold (identical IEEE doubles both
+    engines); per-term contributions round to 9 dp and accumulate in
+    DECIMAL (associative — partition count can't flip a bit); the norm
+    is a fixed-order 64-term decimal sum; components re-round to 9 dp
+    before entering the next iteration, so the chain replays exactly.
+
+    Plan: centering is one decimal aggregate broadcast back; each
+    iteration is one posexplode → 64-key aggregate (map-side combine
+    collapses every task to ≤64 partial rows — the 64-key shuffle
+    carries partitions×64 rows, not n×64) and two 1-row broadcasts.
+    Rows never pairwise-join: cost is O(n·d) per iteration, the plan a
+    1000-executor run wants."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim, iters = _PCA_DIM, _PCA_ITERS
+    dec6, dec9 = "decimal(28,6)", "decimal(28,9)"
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    mean_c = (
+        e.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.round(
+                F.sum(F.round("val", 6).cast(dec6)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+    )
+    mean_v = mean_c.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("mv")
+    )
+    x = e.crossJoin(F.broadcast(mean_v)).select(
+        "vec_id",
+        F.zip_with("v", "mv", lambda a, b: a - b).alias("xv"),
+    )
+    v_df = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.when(i == 1, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("pv")
+    )
+    for _ in range(iters):
+        d = F.aggregate(
+            F.zip_with("xv", "pv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        w = (
+            x.crossJoin(F.broadcast(v_df))
+            .select(d.alias("d"), F.posexplode("xv").alias("pos", "xj"))
+            .groupBy("pos")
+            .agg(
+                F.sum(F.round(F.col("d") * F.col("xj"), 9).cast(dec9))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("w") * F.col("w"), 9).cast(dec9)).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        v_df = (
+            w.crossJoin(F.broadcast(nrm))
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("pos", F.round(F.col("w") / F.col("nrm"), 9).alias("c"))
+                        )
+                    ),
+                    lambda s: s["c"],
+                ).alias("pv"),
+                F.first("nrm").alias("lam"),
+            )
+        )
+    return v_df.select(
+        F.posexplode("pv").alias("pos", "component"), F.col("lam")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        "component",
+        F.round("lam", 6).alias("eigenvalue"),
+    ).orderBy("dim")
