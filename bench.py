@@ -125,6 +125,7 @@ EXTENDED = [
     "resample_ffill",
     "quantile_normalize",
     "rendezvous_shards",
+    "embed_pca_power",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED
