@@ -1038,13 +1038,14 @@ _PCA_DIM = 64
 _PCA_ITERS = 2
 
 
-def _pca_oracle(dim: int = _PCA_DIM, iters: int = _PCA_ITERS) -> str:
-    """Unrolled power-iteration twin: center (6 dp exact-decimal means),
-    then per iteration w = Σ_rows round((x̃·v), no-op) · x̃ with 9 dp
-    per-term rounding into DECIMAL sums, normalize by the fixed-order
-    Σw² norm, re-round components to 9 dp.  Every float op is either an
-    exactly-rounded scalar IEEE op or an exact decimal sum, so the chain
-    is bit-identical across engines."""
+def _pca_cte(dim: int = _PCA_DIM, iters: int = _PCA_ITERS) -> tuple[str, str]:
+    """Shared unrolled power-iteration CTE chain (used by both the PCA and
+    the ABTT oracle): center (6 dp exact-decimal means), then per iteration
+    w = Σ_rows round((x̃·v)·x̃ᵢ, 9 dp) in DECIMAL sums, normalize by the
+    fixed-order Σw² norm, re-round components to 9 dp.  Every float op is
+    either an exactly-rounded scalar IEEE op or an exact decimal sum, so
+    the chain is bit-identical across engines.  Returns (with_chain,
+    final_cte_name); the final CTE has columns (pv, lam)."""
     sql = f"""
 WITH e AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1089,12 +1090,19 @@ v{it} AS MATERIALIZED (
   FROM w{it}, n{it}
 )"""
         prev = f"v{it}"
-    sql += f"""
+    return sql, prev
+
+
+def _pca_oracle(dim: int = _PCA_DIM, iters: int = _PCA_ITERS) -> str:
+    chain, prev = _pca_cte(dim, iters)
+    return (
+        chain
+        + f"""
 SELECT CAST(i AS INT) AS dim, pv[i] AS component, round(lam, 6) AS eigenvalue
 FROM {prev}, LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) t
 ORDER BY dim
 """
-    return sql
+    )
 
 
 @query("embed_pca_power", _pca_oracle())
@@ -1122,8 +1130,21 @@ def embed_pca_power(spark, sf_dir):
     carries partitions×64 rows, not n×64) and two 1-row broadcasts.
     Rows never pairwise-join: cost is O(n·d) per iteration, the plan a
     1000-executor run wants."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim, iters = _PCA_DIM, _PCA_ITERS
+    x, v_df = _pca_center_component(spark, load_table(spark, sf_dir, "embeddings"))
+    return v_df.select(
+        F.posexplode("pv").alias("pos", "component"), F.col("lam")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        "component",
+        F.round("lam", 6).alias("eigenvalue"),
+    ).orderBy("dim")
+
+
+def _pca_center_component(spark, emb, dim: int = _PCA_DIM, iters: int = _PCA_ITERS):
+    """Spark half of the shared PCA kernel: returns (x, v_df) where ``x``
+    holds the centered vectors (vec_id, xv) and ``v_df`` is the 1-row
+    (pv, lam) top-component frame after ``iters`` unrolled power
+    iterations — the exact twin of :func:`_pca_cte`."""
     dec6, dec9 = "decimal(28,6)", "decimal(28,9)"
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     mean_c = (
@@ -1189,10 +1210,87 @@ def embed_pca_power(spark, sf_dir):
                 F.first("nrm").alias("lam"),
             )
         )
-    return v_df.select(
-        F.posexplode("pv").alias("pos", "component"), F.col("lam")
-    ).select(
-        (F.col("pos") + 1).cast("int").alias("dim"),
-        "component",
-        F.round("lam", 6).alias("eigenvalue"),
-    ).orderBy("dim")
+    return x, v_df
+
+
+def _abtt_oracle(dim: int = _PCA_DIM, iters: int = _PCA_ITERS) -> str:
+    chain, prev = _pca_cte(dim, iters)
+    return (
+        chain
+        + f""",
+abtt AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, {dim} + 1),
+                        i -> xv[i] - list_dot_product(xv, pv) * pv[i]) AS cv
+  FROM x, {prev}
+),
+q AS (
+  SELECT vec_id AS query_id, cv AS qv FROM abtt WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS s
+  FROM q, abtt WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+    )
+
+
+@query("embed_abtt_topk", _abtt_oracle())
+def embed_abtt_topk(spark, sf_dir):
+    """All-but-the-top (Mu & Viswanath, ICLR 2018) embedding
+    post-processing, composed end-to-end with retrieval: center the
+    embedding table, estimate the top principal component with the shared
+    distributed power-iteration kernel (:func:`_pca_center_component`),
+    remove each vector's projection onto it (x' = x̃ − (x̃·v)v), and run
+    exact cosine top-5 for every 50th vector over the CORRECTED space.
+    Removing the dominant common direction is the standard isotropy fix
+    that measurably improves embedding retrieval — this query is the
+    whole pipeline (estimate → correct → search) as ONE Catalyst plan.
+
+    Determinism: the component is the 9 dp-rounded kernel output; the
+    per-row projection scalar is the same fixed-order fold both engines
+    run; x'ᵢ = x̃ᵢ − d·vᵢ is two exactly-rounded IEEE ops — so corrected
+    vectors are bit-identical and the cosine ranking carries no engine
+    noise (ties broken by neighbor id as everywhere).
+
+    Scale: the correction is a broadcast of one 64-float row + a per-row
+    map, and the corrected corpus is MATERIALIZED once
+    (localCheckpoint — in production you persist the corrected table;
+    it is a corpus transformation searched many times, never recomputed
+    per query).  Without the cut, Catalyst would inline the whole
+    estimate+correct chain into BOTH sides of the search join (measured:
+    27 shuffles → 1); with it, search is the brute-force kernel's one
+    window over the stored vectors (the honest baseline; the LSH/IVF/PQ
+    tiers compose with corrected vectors unchanged)."""
+    from tamar_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x, v_df = _pca_center_component(spark, emb)
+    d = F.aggregate(
+        F.zip_with("xv", "pv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    corrected = (
+        x.crossJoin(F.broadcast(v_df))
+        .withColumn("_d", d)
+        .select(
+            "vec_id",
+            F.zip_with(
+                "xv", "pv", lambda a, b: a - F.col("_d") * b
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    probes = corrected.filter(F.col("vec_id") % 50 == 0)
+    return S.cosine_topk(corrected, probes, k=5)

@@ -2125,3 +2125,129 @@ def rendezvous_shards(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: regex detection + masking at corpus scale
+# ---------------------------------------------------------------------------
+
+# Patterns are deliberately restricted to syntax with IDENTICAL semantics in
+# Java regex and RE2 (character classes, bounded repetition, \b word
+# boundary) — no lookaround, no backreferences — so Spark's JVM-side
+# regexp_replace and the DuckDB oracle tokenize the same spans byte-for-byte.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{3}-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_PII_ORACLE = rf"""
+WITH raw AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 != 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 6 = 1
+                 THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org' ELSE '' END
+         || CASE WHEN doc_id % 5 < 2
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 7 < 3
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
+                      || CAST(1 + doc_id % 254 AS VARCHAR) ELSE '' END AS s
+  FROM documents
+),
+red AS (
+  SELECT doc_id, s,
+         regexp_replace(s, '{_PII_EMAIL}', '[EMAIL]', 'g') AS r1
+  FROM raw
+),
+red2 AS (
+  SELECT doc_id, s, r1,
+         regexp_replace(
+           regexp_replace(r1, '{_PII_PHONE}', '[PHONE]', 'g'),
+           '{_PII_IP}', '[IP]', 'g') AS r
+  FROM red
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{_PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(s, '{_PII_PHONE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(r1, '{_PII_IP}')) AS INT) AS n_ip,
+       CAST(length(s) - length(r) AS INT) AS chars_removed,
+       md5(r) AS redacted_md5
+FROM red2
+ORDER BY doc_id
+"""
+
+
+@query("pii_redact", _PII_ORACLE)
+def pii_redact(spark, sf_dir):
+    """PII scrubbing — the release gate every pretraining corpus runs
+    before anything ships: detect and mask emails, phone numbers, and
+    IPv4 addresses, emitting per-document redaction counts for the
+    compliance audit trail.  The fixture corpus is synthetic word soup,
+    so the PII is INJECTED deterministically from doc_id first (emails
+    on 2/3 of docs, a second cc-address on 1/6, phones on 2/5, IPs on
+    3/7 — byte-identical construction in both engines, the same
+    synthesize-then-process pattern as audio_wav_meta/image_bmp_pixels),
+    then scrubbed by the real kernel.
+
+    The kernel is three chained ``regexp_replace`` calls plus
+    ``regexp_count`` probes — pure JVM whole-stage codegen, zero
+    shuffles, zero UDFs: at 100 TB this runs at parquet scan speed and
+    is embarrassingly parallel per file split.  Patterns stick to the
+    Java∩RE2 common subset (classes, bounded reps, \\b) so the DuckDB
+    twin matches spans exactly; counts are probed pre-masking (n_ip on
+    the email-masked text, mirroring the sequential pipeline), and the
+    masked text is hash-checked via md5 — a byte-level proof the two
+    engines redacted identical spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 != 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 1,
+            F.concat(F.lit(" cc admin"), did.cast("string"), F.lit("@corp.example.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 < 2,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 < 3,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did / 256).cast("long") % 256).cast("string"),
+                F.lit("."),
+                (did % 254 + 1).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", s.alias("s"))
+    r1 = F.regexp_replace("s", _PII_EMAIL, "[EMAIL]")
+    step = base.select("doc_id", "s", r1.alias("r1"))
+    r = F.regexp_replace(
+        F.regexp_replace("r1", _PII_PHONE, "[PHONE]"), _PII_IP, "[IP]"
+    )
+    return (
+        step.select("doc_id", "s", "r1", r.alias("r"))
+        .select(
+            "doc_id",
+            F.regexp_count("s", F.lit(_PII_EMAIL)).cast("int").alias("n_email"),
+            F.regexp_count("s", F.lit(_PII_PHONE)).cast("int").alias("n_phone"),
+            F.regexp_count("r1", F.lit(_PII_IP)).cast("int").alias("n_ip"),
+            (F.length("s") - F.length("r")).cast("int").alias("chars_removed"),
+            F.md5(F.col("r")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )

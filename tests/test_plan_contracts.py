@@ -120,6 +120,17 @@ CONTRACTS = [
     ("quantile_normalize", 1, 0),
     # two argmax assigns (explode + max-struct agg) + occupancy rollups
     ("rendezvous_shards", 8, 0),
+    # round-7 wave 3
+    # pure codegen regex kernel: one scan + the presentation sort only
+    ("pii_redact", 1, 0),
+    # (type,week) sketch agg + two union rollups + exact-verify joins
+    ("hll_sketch_rollup", 8, 1),
+    # centering agg + per-iteration 64-key aggregate and 1-row norm/
+    # normalize aggregates (all tiny; corpus is scanned once per pass)
+    ("embed_pca_power", 12, 0),
+    # estimate+correct chain cut by the corrected-corpus materialization;
+    # the visible plan is the search window only
+    ("embed_abtt_topk", 1, 0),
 ]
 
 
