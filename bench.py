@@ -126,6 +126,11 @@ EXTENDED = [
     "quantile_normalize",
     "rendezvous_shards",
     "embed_pca_power",
+    "pii_redact",
+    "hll_sketch_rollup",
+    "embed_abtt_topk",
+    "bloom_join_prune",
+    "weighted_sample",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -2830,3 +2830,156 @@ def streaming_ewma_anomaly(spark, sf_dir):
         keyed, walk, schema, init_state=lambda k: {"ewma": None}
     )
     return _run_to_memory(out.df)
+
+
+def _bloom_probe_expr(col_sql: str) -> str:
+    """JVM-side membership probe against the broadcast 252-bit Bloom words
+    (w0..w3 in scope): all 3 md5-slice hash positions must be set.  Pure
+    bit arithmetic — whole-stage codegen, no UDF."""
+    checks = []
+    for k in range(3):
+        start = 1 + 8 * k
+        pos = (
+            f"(CAST(conv(substring(md5(CAST({col_sql} AS STRING)), {start}, 8), 16, 10)"
+            f" AS BIGINT) % 252)"
+        )
+        word = f"(CASE {pos} div 63 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END)"
+        checks.append(f"((shiftright({word}, CAST({pos} % 63 AS INT)) & 1) = 1)")
+    return " AND ".join(checks)
+
+
+@query(
+    "bloom_join_prune",
+    """
+WITH sel AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+)
+SELECT date_trunc('month', l_shipdate) AS month,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN sel ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def bloom_join_prune(spark, sf_dir):
+    """Runtime-filtered fact-fact join — the join-site Bloom pruning an
+    engine applies when the selective side is too big to broadcast as a
+    hash table but its KEY SET fits in a sketch: monthly shipped revenue
+    of urgent finished orders.  The selective orders subset is folded
+    into the repo's 252-bit / 3-hash md5-slice Bloom (ONE 32-byte row —
+    the bit_or aggregate is mergeable map-side state), broadcast to the
+    lineitem scan, and probed with pure bit arithmetic, so non-matching
+    lineitems die at the scan BEFORE the join shuffle; the exact join
+    then removes Bloom false positives, making the output provably equal
+    to the plain join (the oracle runs the plain join).
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling ~selectivity·fact: the Bloom costs one aggregate
+    over the dim keys + a broadcast measured in BYTES, where a broadcast
+    hash join of the same side would ship the full key set to every
+    executor.  (Spark's own InjectRuntimeFilter does this only for
+    broadcast-able sides and is not exposed to SQL; this query IS the
+    pattern, explicit.)  In production the filter bits scale with the
+    key cardinality — the 252-bit fixture sketch keeps the oracle
+    bit-identical; the plan shape is identical at any width.
+
+    Plan contract (test_bloom_join_prune_probe_is_prejoin): the bitwise
+    probe filter sits between the lineitem scan and the join."""
+    o = load_table(spark, sf_dir, "orders")
+    sel = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey")
+    bloom = sel.select(F.col("o_orderkey").cast("string").alias("u")).agg(
+        *[_bloom_word_expr(w) for w in range(4)]
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    pruned = (
+        li.join(F.broadcast(bloom))
+        .filter(F.expr(_bloom_probe_expr("l_orderkey")))
+        .drop("w0", "w1", "w2", "w3")
+    )
+    return (
+        pruned.join(sel, pruned.l_orderkey == sel.o_orderkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_r(F.round(_revenue(), 6)).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "weighted_sample",
+    """
+WITH w AS (
+  SELECT doc_id, CAST(1 + least(7, n_chars // 500) AS INT) AS weight
+  FROM documents
+),
+pri AS (
+  SELECT doc_id, weight,
+         max(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))
+                  AS BIGINT)) AS priority
+  FROM w, LATERAL (SELECT unnest(generate_series(1, weight)) AS j) t
+  GROUP BY doc_id, weight
+),
+ranked AS (
+  SELECT doc_id, weight, priority,
+         row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+  FROM pri
+)
+SELECT doc_id, weight, priority, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 200 ORDER BY rk
+""",
+)
+def weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (top-200 docs, weight = doc
+    length bucket 1..8) — the quality-weighted corpus subsampling step,
+    as one distributed top-k.  Classic A-ES (Efraimidis–Spirakis) keys
+    items by u^(1/w), which is not engine-portable (pow differs in the
+    last ulp); for INTEGER weights this query uses the exact equivalent:
+    the max of w iid uniforms has CDF u^w, so ranking by
+    max_{j≤w} hash(id, j) draws the same distribution with pure md5
+    arithmetic — bit-identical in both engines, seedable, and
+    replayable (add a seed to the hash input to re-draw).
+
+    Plan: weights are a projection; the priority is a ≤8-way generated
+    explode folded by max() with map-side combine (the shuffle carries
+    one row per doc, not per replica — and at 100 TB the explode can be
+    replaced by a closed-form 8-hash greatest() projection, zero
+    blow-up); the global top-200 compiles to TakeOrderedAndProject, so
+    no full sort ever happens.  Expected sample composition follows
+    weights (longer docs ~8× the inclusion rate of shortest)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (1 + F.least(F.lit(7), (F.col("n_chars") / 500).cast("long")))
+        .cast("int")
+        .alias("weight"),
+    )
+    pri = (
+        docs.select(
+            "doc_id",
+            "weight",
+            F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "weight",
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+                "CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "weight")
+        .agg(F.max("h").alias("priority"))
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id"))
+    return (
+        pri.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 200)
+        .orderBy("rk")
+    )

@@ -131,6 +131,11 @@ CONTRACTS = [
     # estimate+correct chain cut by the corrected-corpus materialization;
     # the visible plan is the search window only
     ("embed_abtt_topk", 1, 0),
+    # 1-row bloom agg + month rollup; exact join broadcasts at fixture SF
+    ("bloom_join_prune", 2, 1),
+    # ≤8-way explode folded by max with map-side combine: one doc_id
+    # shuffle; global top-200 is TakeOrdered (pinned below), not a sort
+    ("weighted_sample", 1, 0),
 ]
 
 
@@ -341,3 +346,24 @@ def test_tokenize_pack_encode_stage_is_projection_only(spark, sf_dir):
     assert got == 2, f"expected 2 data shuffles, got {got}"
     plan = executed_plan(df)
     assert "FlatMapGroupsInPandas" in plan  # the pack walk kernel
+
+
+def test_bloom_join_prune_probe_is_prejoin(spark, sf_dir):
+    """The Bloom membership probe (shiftright bit test against the four
+    broadcast words) must survive into the physical plan as a filter on
+    the fact side — the runtime-filter pattern's entire point is that
+    non-member lineitems die before the exact join; and the top-level
+    ordering must not smuggle in a second fact-side sort."""
+    df = QUERIES["bloom_join_prune"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "shiftright" in plan, "bloom probe filter compiled away"
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row bloom attach
+
+
+def test_weighted_sample_topk_is_take_ordered(spark, sf_dir):
+    """The global top-200 by priority must compile to
+    TakeOrderedAndProject (per-partition heads + merge), never a full
+    rangepartitioning sort of the corpus."""
+    df = QUERIES["weighted_sample"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrdered" in plan
