@@ -1086,7 +1086,9 @@ n{it} AS MATERIALIZED (
   FROM w{it}
 ),
 v{it} AS MATERIALIZED (
-  SELECT list(round(w / nrm, 9) ORDER BY pos) AS pv, first(nrm) AS lam
+  SELECT list(CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE round(w / nrm, 9) END ORDER BY pos) AS pv,
+         first(nrm) AS lam
   FROM w{it}, n{it}
 )"""
         prev = f"v{it}"
@@ -1196,15 +1198,17 @@ def _pca_center_component(spark, emb, dim: int = _PCA_DIM, iters: int = _PCA_ITE
                 )
             ).alias("nrm")
         )
+        # rank-0 guard (all-constant input centers to the zero matrix):
+        # the component is undefined, so emit the zero vector and lam=0
+        # instead of dividing by zero — keeps the kernel total on any input
+        comp = F.when(
+            F.col("nrm") == 0.0, F.lit(0.0)
+        ).otherwise(F.round(F.col("w") / F.col("nrm"), 9))
         v_df = (
             w.crossJoin(F.broadcast(nrm))
             .agg(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("pos", F.round(F.col("w") / F.col("nrm"), 9).alias("c"))
-                        )
-                    ),
+                    F.array_sort(F.collect_list(F.struct("pos", comp.alias("c")))),
                     lambda s: s["c"],
                 ).alias("pv"),
                 F.first("nrm").alias("lam"),

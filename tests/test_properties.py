@@ -864,3 +864,145 @@ def test_quantile_normalize_calibrates_each_language(spark, sf_dir):
         expect = n - (-(-(n + 1) // 2)) + 1 if n > 1 else 1
         assert kept == expect, (lang, n, kept, expect)
     assert any_flipped  # raw-vs-calibrated must actually disagree somewhere
+
+
+# ---------------------------------------------------------------------------
+# PCA power-iteration kernel vs a direct numpy model
+# ---------------------------------------------------------------------------
+
+vec_table_strategy = st.lists(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=4, max_size=4
+    ),
+    min_size=3,
+    max_size=12,
+)
+
+
+def _np_power_component(rows, iters=2):
+    """Direct numpy replay of the kernel's exact arithmetic contract:
+    6 dp-rounded means, per-term 9 dp rounding before (exact) summation,
+    9 dp-rounded normalized components each iteration."""
+    import numpy as np
+
+    X = np.array(rows, dtype=float)
+    m = np.round(np.round(X, 6).sum(axis=0) / len(rows), 6)
+    Xc = X - m
+    v = np.zeros(X.shape[1])
+    v[0] = 1.0
+    lam = 0.0
+    for _ in range(iters):
+        d = Xc @ v  # per-row fold; exact in float for these integer inputs
+        w = np.round(d[:, None] * Xc, 9).sum(axis=0)
+        lam = float(np.sqrt(np.round(w * w, 9).sum()))
+        v = np.round(w / lam, 9) if lam > 0 else np.zeros_like(w)
+    return m, v, lam
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vec_table_strategy)
+def test_pca_power_matches_numpy_model(spark, rows):
+    """The distributed Σ(x·v)x kernel must agree with a direct numpy
+    power iteration that replays the same rounding contract — on random
+    small integer matrices the decimal accumulators are exact, so
+    agreement is to the last printed digit (we assert 1e-9).  Also pins
+    the ABTT identity: corrected vectors are orthogonal to the component
+    (|x'·v| ≤ d·1e-9 — the rounding slack of the 9 dp component)."""
+    import numpy as np
+
+    from tamar_spark.queries_ml import _pca_center_component
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    x, v_df = _pca_center_component(spark, emb, dim=4, iters=2)
+    got = v_df.collect()[0]
+    m_np, v_np, lam_np = _np_power_component(rows)
+    assert abs(got["lam"] - lam_np) <= 1e-9 * max(1.0, lam_np)
+    assert np.allclose(got["pv"], v_np, atol=1e-9)
+
+    d = F.aggregate(
+        F.zip_with("xv", "pv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    corrected = (
+        x.crossJoin(F.broadcast(v_df))
+        .withColumn("_d", d)
+        .select(
+            F.zip_with("xv", "pv", lambda a, b: a - F.col("_d") * b).alias("cv"),
+            "pv",
+        )
+        .select(
+            F.abs(
+                F.aggregate(
+                    F.zip_with("cv", "pv", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+            ).alias("resid")
+        )
+    )
+    max_resid = corrected.agg(F.max("resid")).collect()[0][0]
+    scale = max(abs(x) for r in rows for x in r) or 1
+    assert max_resid <= 4 * scale * 1e-8
+
+
+# ---------------------------------------------------------------------------
+# PII redaction regexes vs Python's re on adversarial soup
+# ---------------------------------------------------------------------------
+
+pii_soup_strategy = st.lists(
+    st.sampled_from(
+        [
+            "plain", "words", "a.b", "x@y", "user7@example.com",
+            "admin@corp.example.org", "555-123-4567", "555-12-345",
+            "10.1.2.3", "999.999.999.999", "1.2.3", "10.0.0.256",
+            "@nouser", "trailing@", "a@b.co", "5551234567",
+            "eat 10.20.30.40 now", "Mixed@Case.COM",
+        ]
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pii_soup_strategy)
+def test_pii_regexes_match_python_re(spark, parts):
+    """The three PII patterns restrict themselves to the Java∩RE2∩Python
+    common regex subset; this pins it — counts and the fully masked
+    string from Spark's JVM regexp engine must equal Python re on
+    adversarial soup (near-miss IPs, bare @, uppercase, boundary
+    abutments)."""
+    import re
+
+    from tamar_spark.queries_pipeline import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+    s = " ".join(parts)
+    df = spark.createDataFrame([(s,)], "s string")
+    r1 = F.regexp_replace("s", _PII_EMAIL, "[EMAIL]")
+    got = df.select(
+        F.regexp_count("s", F.lit(_PII_EMAIL)).alias("ne"),
+        F.regexp_count("s", F.lit(_PII_PHONE)).alias("np"),
+        F.regexp_count(r1, F.lit(_PII_IP)).alias("ni"),
+        F.regexp_replace(
+            F.regexp_replace(r1, _PII_PHONE, "[PHONE]"), _PII_IP, "[IP]"
+        ).alias("masked"),
+    ).collect()[0]
+    e1 = re.sub(_PII_EMAIL, "[EMAIL]", s)
+    assert got["ne"] == len(re.findall(_PII_EMAIL, s))
+    assert got["np"] == len(re.findall(_PII_PHONE, s))
+    assert got["ni"] == len(re.findall(_PII_IP, e1))
+    assert got["masked"] == re.sub(
+        _PII_IP, "[IP]", re.sub(_PII_PHONE, "[PHONE]", e1)
+    )
