@@ -929,6 +929,88 @@ def main() -> None:
         results["session_ivm_incremental"].append(inc_s)
         spark.catalog.clearCache()
 
+    # Bloom runtime-filter join (r7): the selective side is ~0.6% of orders
+    # (urgent + finished + March); with broadcast joins DISABLED (the
+    # 100 TB fact-fact regime the pattern exists for), the exact SMJ must
+    # shuffle either the whole lineitem table (off) or only bloom
+    # survivors (on).  Same answer both ways.  HONEST READING of the wall
+    # clocks: on local[32] the "network" is memory/NVMe, so the saved
+    # shuffle is nearly free and the probe's 3 hashes/row can make ON
+    # slower in seconds — the scale-relevant metric is bloom_join_prune_frac
+    # (fraction of fact rows surviving to the shuffle, ~0.9% = 112× less
+    # shuffle volume, constant across k), which is what a real network pays.
+    def bloom_join(k, use_bloom):
+        from tamar_spark.queries_tpch import bloom_prune, sized_bloom, sized_bloom_bits
+
+        li = replicate(
+            lineitem.select("l_orderkey", "l_extendedprice"), k, ["l_orderkey"]
+        )
+        o = replicate(
+            orders.select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate"),
+            k,
+            ["o_orderkey"],
+        )
+        sel = o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+            & (F.month("o_orderdate") == 3)
+        ).select("o_orderkey")
+        fact = li
+        if use_bloom:
+            n_bits = sized_bloom_bits(sel.count())
+            fact = bloom_prune(li, "l_orderkey", sized_bloom(sel, "o_orderkey", n_bits), n_bits)
+        return fact.join(sel, fact.l_orderkey == sel.o_orderkey).agg(
+            F.count(F.lit(1)), F.sum("l_extendedprice")
+        )
+
+    results["bloom_join_off"] = []
+    results["bloom_join_on"] = []
+    results["bloom_join_prune_frac"] = []
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe_thresh = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", ""
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for k in [1, 4, 16]:
+            for name, use in (("bloom_join_off", False), ("bloom_join_on", True)):
+                t0 = time.perf_counter()
+                bloom_join(k, use).collect()
+                results[name].append(round(time.perf_counter() - t0, 2))
+                spark.catalog.clearCache()
+            from tamar_spark.queries_tpch import bloom_prune, sized_bloom, sized_bloom_bits
+
+            li = replicate(
+                lineitem.select("l_orderkey", "l_extendedprice"), k, ["l_orderkey"]
+            )
+            o = replicate(
+                orders.select(
+                    "o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate"
+                ),
+                k,
+                ["o_orderkey"],
+            )
+            sel = o.filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderstatus") == "F")
+                & (F.month("o_orderdate") == 3)
+            ).select("o_orderkey")
+            n_bits = sized_bloom_bits(sel.count())
+            surv = bloom_prune(
+                li, "l_orderkey", sized_bloom(sel, "o_orderkey", n_bits), n_bits
+            ).count()
+            results["bloom_join_prune_frac"].append(round(surv / li.count(), 5))
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        if old_aqe_thresh:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_thresh
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
     print(json.dumps({"sf_base": 0.1, "scales": SCALES, "queries": results}))
 
 

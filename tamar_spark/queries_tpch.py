@@ -2832,20 +2832,92 @@ def streaming_ewma_anomaly(spark, sf_dir):
     return _run_to_memory(out.df)
 
 
-def _bloom_probe_expr(col_sql: str) -> str:
-    """JVM-side membership probe against the broadcast 252-bit Bloom words
-    (w0..w3 in scope): all 3 md5-slice hash positions must be set.  Pure
-    bit arithmetic — whole-stage codegen, no UDF."""
-    checks = []
-    for k in range(3):
-        start = 1 + 8 * k
-        pos = (
-            f"(CAST(conv(substring(md5(CAST({col_sql} AS STRING)), {start}, 8), 16, 10)"
-            f" AS BIGINT) % 252)"
+_BLOOM_HASHES = 3
+
+
+def sized_bloom_bits(n_keys: int) -> int:
+    """Filter width for a runtime Bloom: ≥16 bits/key rounded up to a
+    power of two (floor 4096).  At 16 bits/key with 3 hashes the false-
+    positive rate is (1 - e^(-3/16))^3 ≈ 0.5% — survivors of the probe
+    are essentially the true matches, so the post-filter shuffle carries
+    ~selectivity·fact rows.  An UNDER-sized filter saturates silently
+    (every bit set → FP→1 → prunes nothing while still paying the probe);
+    the r7 scaling probe measured exactly that failure with the fixed
+    252-bit fixture sketch, which is why width is derived from the key
+    count here."""
+    return 1 << max(12, (max(1, n_keys) * 16 - 1).bit_length())
+
+
+def sized_bloom(keys, key_col: str, n_bits: int):
+    """ONE-row DataFrame {bw: array<bigint>} — a dense n_bits-wide Bloom
+    filter of ``keys[key_col]`` with 3 xxhash64 hash functions (seed
+    column varies the hash; all JVM-native, no strings).  Built as a
+    pure aggregate: explode each key's 3 bit positions, bit_or per
+    64-bit word (map-side combinable — at most n_bits/64 rows reach the
+    shuffle per map task), densify by left-joining the word range onto
+    the set words (linear; a map_from_entries + transform(sequence)
+    densify was measured 3× slower end-to-end at 8k words because
+    element_at on a MAP is a per-element linear scan), and fold to one
+    array<bigint> row of n_bits/8 bytes (element_at on the ARRAY is
+    O(1) at probe time), broadcastable at any dim cardinality that fits
+    a sketch."""
+    spark = keys.sparkSession
+    n_words = n_bits // 64
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(s)), F.lit(n_bits))
+            for s in range(_BLOOM_HASHES)
+        ]
+    )
+    words = (
+        keys.select(F.explode(positions).alias("p"))
+        .groupBy((F.col("p") / 64).cast("int").alias("widx"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+            ).alias("word")
         )
-        word = f"(CASE {pos} div 63 WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END)"
-        checks.append(f"((shiftright({word}, CAST({pos} % 63 AS INT)) & 1) = 1)")
-    return " AND ".join(checks)
+    )
+    return (
+        spark.range(n_words)
+        .join(F.broadcast(words), F.col("id") == F.col("widx"), "left")
+        .select(
+            F.col("id").cast("int").alias("id"),
+            F.coalesce("word", F.lit(0).cast("long")).alias("word"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("id", "word"))),
+                lambda s: s.word,
+            ).alias("bw")
+        )
+    )
+
+
+def sized_bloom_probe_sql(pos_cols: list) -> str:
+    """Membership test against the broadcast dense words (column ``bw``
+    in scope) for precomputed position columns — pure element_at + bit
+    arithmetic, whole-stage codegen."""
+    return " AND ".join(
+        f"((shiftright(element_at(bw, CAST({p} div 64 AS INT) + 1),"
+        f" CAST({p} % 64 AS INT)) & 1) = 1)"
+        for p in pos_cols
+    )
+
+
+def bloom_prune(fact, key_col: str, bloom, n_bits: int):
+    """Attach the one-row bloom to ``fact`` and keep only rows whose key
+    probes as a member.  Output columns = fact's (the bw/position
+    scratch columns are dropped)."""
+    out = fact.join(F.broadcast(bloom))
+    pos_cols = []
+    for s in range(_BLOOM_HASHES):
+        c = f"_bp{s}"
+        out = out.withColumn(
+            c, F.pmod(F.xxhash64(F.col(key_col), F.lit(s)), F.lit(n_bits))
+        )
+        pos_cols.append(c)
+    return out.filter(F.expr(sized_bloom_probe_sql(pos_cols))).drop("bw", *pos_cols)
 
 
 @query(
@@ -2868,22 +2940,25 @@ def bloom_join_prune(spark, sf_dir):
     engine applies when the selective side is too big to broadcast as a
     hash table but its KEY SET fits in a sketch: monthly shipped revenue
     of urgent finished orders.  The selective orders subset is folded
-    into the repo's 252-bit / 3-hash md5-slice Bloom (ONE 32-byte row —
-    the bit_or aggregate is mergeable map-side state), broadcast to the
-    lineitem scan, and probed with pure bit arithmetic, so non-matching
-    lineitems die at the scan BEFORE the join shuffle; the exact join
-    then removes Bloom false positives, making the output provably equal
-    to the plain join (the oracle runs the plain join).
+    into a dense xxhash64 Bloom sized to its cardinality (one tiny
+    count() of the already-filtered dim side, the same stats an
+    optimizer's runtime filter uses; 16 bits/key → FP ≈ 0.5%), broadcast
+    to the lineitem scan as ONE array<bigint> row, and probed with pure
+    bit arithmetic, so non-matching lineitems die at the scan BEFORE the
+    join shuffle; the exact join then removes Bloom false positives,
+    making the output provably equal to the plain join (the oracle runs
+    the plain join — the filter is performance-only, so it needs no
+    cross-engine hash identity and uses the native JVM hash).
 
     At 100 TB this is the difference between shuffling the whole fact
     table and shuffling ~selectivity·fact: the Bloom costs one aggregate
-    over the dim keys + a broadcast measured in BYTES, where a broadcast
-    hash join of the same side would ship the full key set to every
-    executor.  (Spark's own InjectRuntimeFilter does this only for
-    broadcast-able sides and is not exposed to SQL; this query IS the
-    pattern, explicit.)  In production the filter bits scale with the
-    key cardinality — the 252-bit fixture sketch keeps the oracle
-    bit-identical; the plan shape is identical at any width.
+    over the dim keys + a broadcast of n_bits/8 bytes (8 KB at the
+    fixture's ~2k keys; 20 MB at 10M keys), where a broadcast hash join
+    of the same side would ship the full key set to every executor.
+    (Spark's own InjectRuntimeFilter does this only under size
+    thresholds and is not exposed to SQL; this query IS the pattern,
+    explicit.)  The r7 scaling probe (BASELINE.md bloom_join rows)
+    measures the on/off contrast under forced shuffle joins.
 
     Plan contract (test_bloom_join_prune_probe_is_prejoin): the bitwise
     probe filter sits between the lineitem scan and the join."""
@@ -2891,17 +2966,12 @@ def bloom_join_prune(spark, sf_dir):
     sel = o.filter(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
     ).select("o_orderkey")
-    bloom = sel.select(F.col("o_orderkey").cast("string").alias("u")).agg(
-        *[_bloom_word_expr(w) for w in range(4)]
-    )
+    n_bits = sized_bloom_bits(sel.count())
+    bloom = sized_bloom(sel, "o_orderkey", n_bits)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
-    pruned = (
-        li.join(F.broadcast(bloom))
-        .filter(F.expr(_bloom_probe_expr("l_orderkey")))
-        .drop("w0", "w1", "w2", "w3")
-    )
+    pruned = bloom_prune(li, "l_orderkey", bloom, n_bits)
     return (
         pruned.join(sel, pruned.l_orderkey == sel.o_orderkey)
         .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))

@@ -131,8 +131,9 @@ CONTRACTS = [
     # estimate+correct chain cut by the corrected-corpus materialization;
     # the visible plan is the search window only
     ("embed_abtt_topk", 1, 0),
-    # 1-row bloom agg + month rollup; exact join broadcasts at fixture SF
-    ("bloom_join_prune", 2, 1),
+    # sized-bloom word agg (≤3·|sel| rows, ≤n_bits/64 per map task) +
+    # month rollup + output sort; exact join broadcasts at fixture SF
+    ("bloom_join_prune", 3, 1),
     # ≤8-way explode folded by max with map-side combine: one doc_id
     # shuffle; global top-200 is TakeOrdered (pinned below), not a sort
     ("weighted_sample", 1, 0),
