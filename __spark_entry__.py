@@ -55,6 +55,10 @@ _CHANGED_IN_ROUND = {
     # r7: view0-delta join widened to full_outer so change-batch-only
     # groups route through the rescan (r6 ADVICE).
     "cdc_incremental_minmax": 7,
+    # r7: bloom rebuilt as a sized dense xxhash64 filter (results provably
+    # unchanged — exact join removes FPs — but a mis-built filter would
+    # DROP rows, so the attested row should postdate the rewrite).
+    "bloom_join_prune": 7,
 }
 
 
