@@ -29,6 +29,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tamar_spark.env import prep_session
 from tamar_spark.queries import (
@@ -37,6 +38,7 @@ from tamar_spark.queries import (
     epoch_us,
     floor_div,
     dsum_r,
+    round_ieee,
     _events_stream,
     _run_to_memory,
 )
@@ -2193,3 +2195,259 @@ def hll_sketch_rollup(spark, sf_dir):
         )
     )
     return typed.unionByName(total).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Privacy: l-diversity audit (companion to k_anonymity)
+# --------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+_LDIV_SQL = f"""
+SELECT c_nationkey AS nat,
+       CAST(floor(c_acctbal / 2000) AS INT) AS bal,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       count(DISTINCT c_mktsegment) >= {_LDIV_L} AS diverse
+FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("l_diversity", _LDIV_SQL)
+def l_diversity(spark, sf_dir):
+    """l-diversity audit (l=3), the check k-anonymity alone misses: a
+    k-anonymous equivalence class whose SENSITIVE attribute is constant
+    still leaks it (homogeneity attack — Machanavajjhala et al. 2007).
+    Quasi-identifiers are (nation, acctbal-bucket) and the sensitive
+    column is the market segment; each class reports its size, its
+    distinct-sensitive count, and whether it meets l — the release gate
+    runs ``filter(~diverse)`` to find classes needing further
+    generalization before shipping.
+
+    Plan: one hash aggregate with an exact COUNT DISTINCT (Expand + two
+    partial aggregates, map-side combinable) — one fact scan, one
+    QI-cardinality-bounded shuffle, no joins.  All-integer outputs.
+    Bucket boundary floor(x/2000) is engine-identical (see k_anonymity).
+    Reference parity: privacy gates are an extension family (SURVEY §2
+    'beyond-reference pipeline operators'), same release-pipeline slot as
+    k_anonymity/pii_redact."""
+    q = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal"),
+        "c_mktsegment",
+    )
+    return (
+        q.groupBy("nat", "bal")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .select(
+            "nat",
+            "bal",
+            "class_size",
+            "n_segments",
+            (F.col("n_segments") >= _LDIV_L).alias("diverse"),
+        )
+        .orderBy("nat", "bal")
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint suite (Deequ-style verification pass)
+# --------------------------------------------------------------------------
+
+_DQ_SQL = """
+WITH om AS (
+  SELECT count(*) AS n,
+         count(o_custkey) AS n_cust,
+         count(DISTINCT o_orderkey) AS n_key,
+         sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS n_dom
+  FROM orders
+),
+ri AS (
+  SELECT count(*) AS n_li,
+         sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM orders)
+             THEN 1 ELSE 0 END) AS n_match
+  FROM lineitem
+)
+SELECT constraint_name,
+       floor(CAST(num AS DOUBLE) / den * 1000000 + 0.5) / 1000000.0 AS metric,
+       num = den AS passed
+FROM (
+  SELECT 'completeness_o_custkey' AS constraint_name, n_cust AS num, n AS den FROM om
+  UNION ALL SELECT 'unique_o_orderkey', n_key, n FROM om
+  UNION ALL SELECT 'positive_o_totalprice', n_pos, n FROM om
+  UNION ALL SELECT 'domain_o_orderstatus', n_dom, n FROM om
+  UNION ALL SELECT 'ri_lineitem_orderkey', n_match, n_li FROM ri
+)
+ORDER BY constraint_name
+"""
+
+
+@query("dq_constraints", _DQ_SQL)
+def dq_constraints(spark, sf_dir):
+    """Deequ-style data-quality verification suite in two scans: per
+    constraint, the satisfaction METRIC (fraction of rows passing) and a
+    hard pass/fail — completeness(o_custkey), uniqueness(o_orderkey),
+    positivity(o_totalprice), domain(o_orderstatus ∈ {O,F,P}), and
+    referential integrity (every l_orderkey resolves in orders).  This is
+    the CI gate an ingest pipeline runs before promoting a 100 TB batch:
+    metrics make violations quantifiable (0.999997 ≠ 1), the boolean
+    makes them actionable.
+
+    Plan: all orders-side constraints fold into ONE aggregate over one
+    scan (count/distinct/conditional sums share the pass); RI is a
+    left-semi-shaped conditional count — expressed as a sum over an IN
+    join so the lineitem table is scanned once and never widened.  The
+    three 1-row legs cross-join (broadcast, zero cost) and unpivot via
+    ``stack``, so output size is constants-only.  Metrics are exact
+    integer ratios pushed through the cross-engine round_ieee form;
+    passed compares INTEGERS (num = den), never the rounded double.
+    Reference parity: extension family (data-quality gates), sharing the
+    profiling slot with table_profile (Deequ 'analyzers' vs 'checks')."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    om = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderkey").alias("n_key"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("n_dom"),
+    )
+    matched = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    ri = li.agg(F.count(F.lit(1)).alias("n_li")).crossJoin(F.broadcast(matched))
+    one = om.crossJoin(F.broadcast(ri))
+    pairs = [
+        ("completeness_o_custkey", "n_cust", "n"),
+        ("unique_o_orderkey", "n_key", "n"),
+        ("positive_o_totalprice", "n_pos", "n"),
+        ("domain_o_orderstatus", "n_dom", "n"),
+        ("ri_lineitem_orderkey", "n_match", "n_li"),
+    ]
+    stack = ", ".join(f"'{name}', {num}, {den}" for name, num, den in pairs)
+    rows = one.select(
+        F.expr(f"stack({len(pairs)}, {stack}) AS (constraint_name, num, den)")
+    )
+    return rows.select(
+        "constraint_name",
+        round_ieee(F.col("num").cast("double") / F.col("den"), 6).alias("metric"),
+        (F.col("num") == F.col("den")).alias("passed"),
+    ).orderBy("constraint_name")
+
+
+# --------------------------------------------------------------------------
+# Time-series: additive seasonal decomposition (trend + weekday + residual)
+# --------------------------------------------------------------------------
+
+_SEAS_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         sum(CAST(value AS DECIMAL(28,6))) AS y
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT day, y,
+         sum(y) OVER w AS s7,
+         count(*) OVER w AS n7,
+         (epoch_us(day) // 86400000000) % 7 AS wd
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+trended AS (
+  SELECT day, y, wd,
+         CASE WHEN n7 = 7 THEN s7 END AS s7f
+  FROM win
+),
+seas AS (
+  SELECT wd,
+         CAST(sum(7 * y - s7f) AS DOUBLE) / (7.0 * count(s7f)) AS seasonal
+  FROM trended WHERE s7f IS NOT NULL GROUP BY wd
+)
+SELECT t.day AS day,
+       CAST(round(t.y, 2) AS DOUBLE) AS total_value,
+       floor(CAST(t.s7f AS DOUBLE) / 7 * 10000 + 0.5) / 10000.0 AS trend,
+       floor(s.seasonal * 10000 + 0.5) / 10000.0 AS seasonal,
+       CASE WHEN t.s7f IS NOT NULL THEN
+         floor((CAST(t.y AS DOUBLE) - CAST(t.s7f AS DOUBLE) / 7 - s.seasonal)
+               * 10000 + 0.5) / 10000.0 END AS residual
+FROM trended t JOIN seas s ON s.wd = t.wd
+ORDER BY day
+"""
+
+
+@query("seasonal_decompose", _SEAS_SQL)
+def seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of the daily event-value series —
+    classical-decomposition (moving-average) form: trend = centered
+    7-day mean (full windows only), weekday seasonal = mean detrended
+    value per day-of-week, residual = y − trend − seasonal.  The
+    monitoring primitive behind 'is Tuesday's dip seasonal or an
+    incident': alerting on ``residual`` instead of the raw series
+    removes both drift and weekly shape.
+
+    Plan: the fact table collapses to one row per DAY in the first
+    aggregate (the only fact-scale shuffle); every later stage — the
+    7-row centered window, the ≤7-row weekday aggregate, the broadcast
+    join back — runs on the #days-row series, so the unpartitioned
+    window sort is a deliberate single-partition operation on a tiny
+    intermediate, not a scale hazard (same rationale as trend_ols's
+    1-row broadcast).
+
+    Determinism: daily sums accumulate in DECIMAL (exact, order-free);
+    the window SUM of decimals stays exact, so trend = s7/7 and the
+    seasonal numerator Σ(7·y − s7) are computed from identical inputs on
+    both engines; weekday is pure epoch-day arithmetic ((epoch//86400)%7
+    — Spark's dayofweek() is 1-based Sunday while DuckDB's is 0-based,
+    exactly the convention trap the arithmetic form avoids); the only
+    double ops are final scalar divisions and the round_ieee fold.
+    Edge days (first/last 3) report trend/residual NULL rather than a
+    silently-biased partial mean."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "y",
+        F.sum("y").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+        F.pmod(floor_div(epoch_us("day"), 86_400_000_000), F.lit(7)).alias("wd"),
+    )
+    trended = win.select(
+        "day", "y", "wd", F.when(F.col("n7") == 7, F.col("s7")).alias("s7f")
+    )
+    seas = (
+        trended.where(F.col("s7f").isNotNull())
+        .groupBy("wd")
+        .agg(
+            (
+                F.sum(7 * F.col("y") - F.col("s7f")).cast("double")
+                / (7.0 * F.count("s7f"))
+            ).alias("seasonal")
+        )
+    )
+    t = trended.join(F.broadcast(seas), "wd")
+    return t.select(
+        "day",
+        F.round(F.col("y"), 2).cast("double").alias("total_value"),
+        round_ieee(F.col("s7f").cast("double") / 7, 4).alias("trend"),
+        round_ieee(F.col("seasonal"), 4).alias("seasonal"),
+        F.when(
+            F.col("s7f").isNotNull(),
+            round_ieee(
+                F.col("y").cast("double")
+                - F.col("s7f").cast("double") / 7
+                - F.col("seasonal"),
+                4,
+            ),
+        ).alias("residual"),
+    ).orderBy("day")
