@@ -1843,3 +1843,59 @@ def test_dsir_select_prefers_target_like_docs(spark, tmp_path):
     assert out.loc[out["sel_rank"] == 1, "doc_id"].iloc[0] == 100
     top = out.set_index("doc_id")["importance"]
     assert top[100] > top.drop(100).max()
+
+
+def test_dq_constraints_clean_fixture_passes(spark, sf_dir):
+    """The TPC-H-shaped fixture satisfies every registered constraint
+    (complete custkeys, unique orderkeys, positive totals, O/F/P
+    statuses, lineitem keys all resolving in orders) — so each metric is
+    exactly 1.0 and each gate passes.  Also pins the metric range and
+    the constraint roster so a silently-dropped check can't pass CI."""
+    from tamar_spark.queries import QUERIES
+
+    rows = {
+        r.constraint_name: r
+        for r in QUERIES["dq_constraints"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "completeness_o_custkey",
+        "unique_o_orderkey",
+        "positive_o_totalprice",
+        "domain_o_orderstatus",
+        "ri_lineitem_orderkey",
+    }
+    for r in rows.values():
+        assert 0.0 <= r.metric <= 1.0
+        assert r.passed and r.metric == 1.0, r
+
+
+def test_l_diversity_invariants(spark, sf_dir):
+    """Structural invariants of the l-diversity audit: the sensitive
+    cardinality is bounded by both the class size and the 5-segment
+    domain, and the gate boolean is exactly n_segments >= l."""
+    from tamar_spark.queries import QUERIES
+    from tamar_spark.queries_layout import _LDIV_L
+
+    rows = QUERIES["l_diversity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_segments <= min(r.class_size, 5)
+        assert r.diverse == (r.n_segments >= _LDIV_L)
+
+
+def test_seasonal_decompose_additivity(spark, sf_dir):
+    """The decomposition reconstructs: on every full-window day,
+    total = trend + seasonal + residual within the 4-dp rounding of the
+    three components; edge days (first/last 3) carry NULL trend AND
+    NULL residual (never a silently-biased partial mean), while their
+    weekday seasonal is still reported."""
+    from tamar_spark.queries import QUERIES
+
+    rows = QUERIES["seasonal_decompose"](spark, sf_dir).collect()
+    full = [r for r in rows if r.trend is not None]
+    assert len(full) == len(rows) - 6
+    for r in full:
+        assert abs(r.total_value - (r.trend + r.seasonal + r.residual)) < 5e-4, r
+    for r in rows:
+        assert (r.trend is None) == (r.residual is None)
+        assert r.seasonal is not None

@@ -137,6 +137,16 @@ CONTRACTS = [
     # ≤8-way explode folded by max with map-side combine: one doc_id
     # shuffle; global top-200 is TakeOrdered (pinned below), not a sort
     ("weighted_sample", 1, 0),
+    # exact countDistinct = partial-by-(QI,sensitive) + final-by-QI
+    # (2 data shuffles) + output sort
+    ("l_diversity", 3, 0),
+    # orders-side checks fold into one aggregate; RI semi-join broadcasts
+    # the (deduped) key side at fixture SF
+    ("dq_constraints", 1, 1),
+    # fact collapses to per-day rows in shuffle 1; weekday agg is
+    # shuffle 2; the centered window is a deliberate single-partition
+    # sort on the #days-row series (SinglePartition, uncounted)
+    ("seasonal_decompose", 2, 1),
 ]
 
 
