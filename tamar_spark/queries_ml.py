@@ -1031,6 +1031,174 @@ def hybrid_rrf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Retrieval evaluation: nDCG@10 of the lexical leg vs semantic ground truth
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+# 1/log2(rank+1) discounts, pre-rounded to 12 dp and embedded as DECIMAL
+# literals on BOTH engines: log2() itself can differ by 1 ulp between
+# libm implementations, but identical decimal constants × integer gains
+# accumulate exactly, so no float ever enters the hash un-pinned.
+_NDCG_DISC = [
+    "1.0", "0.630929753571", "0.5", "0.430676558073", "0.386852807235",
+    "0.356207187108", "0.333333333333", "0.315464876786",
+    "0.301029995664", "0.289064826318",
+]
+# IDCG@10 for the graded scale rel = 11 - ideal_rank (10..1): an exact
+# decimal because it is an integer combination of the 12-dp discounts.
+_NDCG_IDCG = "29.966109248936"
+
+_NDCG_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(w) AS word FROM words
+),
+sizes AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+),
+lexinter AS (
+  SELECT q.doc_id AS qid, c.doc_id AS did, count(*) AS ni
+  FROM tok q JOIN tok c ON q.word = c.word
+  WHERE q.doc_id % 100 = 0 AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+lex10 AS (
+  SELECT qid, did, r FROM (
+    SELECT qid, did,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY CAST(ni AS DOUBLE) / (sq.n + sc.n - ni) DESC, did
+           ) AS r
+    FROM lexinter
+    JOIN sizes sq ON sq.doc_id = qid
+    JOIN sizes sc ON sc.doc_id = did
+  ) WHERE r <= {_NDCG_K}
+),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+cv AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+sem10 AS (
+  SELECT query_id, neighbor_id, r FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+             DESC, neighbor_id) AS r
+    FROM qv, cv WHERE neighbor_id <> query_id
+  ) WHERE r <= {_NDCG_K}
+),
+graded AS (
+  SELECT l.qid AS query_id,
+         CAST(COALESCE(11 - s.r, 0) AS DECIMAL(4,0)) AS rel,
+         CASE l.r {' '.join(f"WHEN {i + 1} THEN CAST('{d}' AS DECIMAL(18,12))" for i, d in enumerate(_NDCG_DISC))} END AS disc
+  FROM lex10 l
+  LEFT JOIN sem10 s ON s.query_id = l.qid AND s.neighbor_id = l.did
+)
+SELECT query_id,
+       CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+       CAST(sum(rel * disc) AS DOUBLE) AS dcg,
+       floor(CAST(sum(rel * disc) AS DOUBLE)
+             / CAST(CAST('{_NDCG_IDCG}' AS DECIMAL(18,12)) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS ndcg
+FROM graded GROUP BY query_id ORDER BY query_id
+"""
+
+
+@query("retrieval_ndcg", _NDCG_SQL)
+def retrieval_ndcg(spark, sf_dir):
+    """Retrieval-quality evaluation: graded nDCG@10 of the LEXICAL leg
+    (word-set Jaccard ranking, the BM25-class signal) measured against
+    semantic ground truth (exact-cosine top-10, graded rel = 11 − rank)
+    per anchor query — the offline eval loop a retrieval stack runs to
+    decide whether the cheap leg alone is good enough or hybrid fusion
+    (hybrid_rrf_topk) is worth the second index.  Per query: number of
+    relevant docs retrieved, DCG, and nDCG against the constant ideal
+    (all ten relevance grades in order).
+
+    Determinism: DCG accumulates as Σ rel·disc in DECIMAL — the
+    discounts are 12-dp decimal literals shared by both engines (libm
+    log2 is NOT guaranteed bit-identical across implementations, so the
+    discount table is pinned, not computed), rel is integer, so every
+    per-query sum is exact; nDCG is one double division by the exact
+    decimal IDCG pushed through the round_ieee floor form.  Both leg
+    rankings tie-break on doc id.
+
+    Scale: both legs are anchor-bounded scans (broadcast anchor
+    token-sets / query vectors against the corpus — candidate
+    generation is embarrassingly parallel, same shape as
+    hybrid_rrf_topk); the grading join touches ≤10 rows per anchor, so
+    evaluation cost is independent of corpus size once the legs have
+    run.  Reference parity: extension family (retrieval eval), the
+    measurement side of the ANN/hybrid operators."""
+    from tamar_spark.operators import similarity as S
+    from tamar_spark.queries import round_ieee
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("w")
+    )
+    anchors = toks.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("w").alias("qw")
+    )
+    inter = F.size(F.array_intersect("w", "qw"))
+    union = F.size("w") + F.size("qw") - inter
+    lex_scored = (
+        toks.join(F.broadcast(anchors), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            inter.alias("ni"),
+            (inter.cast("double") / union).alias("jacc"),
+        )
+        .filter(F.col("ni") > 0)
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("jacc"), "doc_id")
+    lex10 = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= _NDCG_K)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem10 = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=_NDCG_K
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    disc_arr = F.array(
+        *[F.lit(d).cast("decimal(18,12)") for d in _NDCG_DISC]
+    )
+    graded = (
+        lex10.join(sem10, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce(11 - F.col("sem_rank"), F.lit(0))
+            .cast("decimal(4,0)")
+            .alias("rel"),
+            F.element_at(disc_arr, F.col("lex_rank")).alias("disc"),
+        )
+    )
+    idcg = F.lit(_NDCG_IDCG).cast("decimal(18,12)").cast("double")
+    agg = graded.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).alias("n_rel"),
+        F.sum(F.col("rel") * F.col("disc")).alias("dcg_dec"),
+    )
+    return agg.select(
+        "query_id",
+        "n_rel",
+        F.col("dcg_dec").cast("double").alias("dcg"),
+        round_ieee(F.col("dcg_dec").cast("double") / idcg, 6).alias("ndcg"),
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
 # Distributed PCA: top principal component by unrolled power iteration
 # ---------------------------------------------------------------------------
 
