@@ -2132,6 +2132,85 @@ def asof_join_next_order(spark, sf_dir):
 
 
 @query(
+    "attribution_last_touch",
+    """
+WITH conv AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts, event_type, event_id FROM events
+  WHERE event_type <> 'purchase'
+), m AS (
+  SELECT c.event_id AS conv_id, c.value, t.event_type,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM conv c
+  LEFT JOIN touch t ON t.user_id = c.user_id AND t.ts <= c.ts
+)
+SELECT COALESCE(event_type, '(none)') AS channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+         AS attributed_revenue
+FROM m WHERE rn = 1 GROUP BY 1 ORDER BY 1
+""",
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: each ``purchase`` event (the
+    conversion) is credited to the type of the same user's LATEST
+    non-purchase event at-or-before the purchase — the standard
+    single-touch marketing-attribution model, as one backward as-of join
+    (``operators.asof``, the same union + last(ignoreNulls) window plan
+    as asof_join_latest_order — one shuffle on the user key, one sort,
+    no range-join blowup) followed by a channel rollup.  Conversions
+    with no prior touch land in an explicit '(none)' bucket rather than
+    silently dropping — attribution reports that lose unattributed
+    conversions overstate every channel.
+
+    Tie on equal ts goes to the greatest event_id (the operator's
+    documented tie convention, mirrored by the oracle's ORDER BY).
+    Revenue accumulates in decimal (house rule).  First/multi-touch and
+    time-decay variants are the same plan with a different window/weight
+    choice.  Scale: both sides are one pass over events; the as-of is a
+    single user-key shuffle regardless of touches-per-user, so it
+    survives the 100 TB event log where the naive range join explodes.
+    Reference parity: extension family (funnel/attribution analytics,
+    alongside funnel_conversion and weekly_retention)."""
+    from tamar_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        "value",
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    touched = asof_join(
+        conv,
+        touch,
+        left_on="conv_ts",
+        right_on="ts",
+        left_by="user_id",
+        right_by="user_id",
+        right_cols=["event_type", "event_id"],
+        tiebreak="event_id",
+        strategy="union",
+        direction="backward",
+    )
+    return (
+        touched.groupBy(
+            F.coalesce("event_type", F.lit("(none)")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            dsum_r("value").alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
     "train_test_split",
     """
 WITH tagged AS (
