@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tamar_spark.queries import query, dsum_r, round_ieee, _DEC
+from tamar_spark.queries import query, dsum_r, round_ieee, _DEC, epoch_us, floor_div
 from tamar_spark.sources import load_table
 from tamar_spark.operators import dedup as D
 
@@ -2208,6 +2208,160 @@ def attribution_last_touch(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "attribution_time_decay",
+    """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts, value
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
+), pairs AS (
+  SELECT c.conv_id, c.value, t.event_type,
+         (epoch_us(c.conv_ts) - epoch_us(t.ts)) // 21600000000 AS k
+  FROM conv c
+  JOIN touch t ON t.user_id = c.user_id
+   AND epoch_us(t.ts) <= epoch_us(c.conv_ts)
+   AND epoch_us(t.ts) > epoch_us(c.conv_ts) - 259200000000
+)
+SELECT event_type AS channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(round(sum(CAST(value / CAST(1 << k AS DOUBLE) AS DECIMAL(28,6))),
+                  2) AS DOUBLE) AS decayed_revenue
+FROM pairs GROUP BY 1 ORDER BY 1
+""",
+)
+def attribution_time_decay(spark, sf_dir):
+    """Time-decay multi-touch attribution with a bounded lookback window:
+    every non-purchase touch in the 3 days before a purchase earns credit
+    ``value · 2^-k`` where ``k = floor(Δt / 6h)`` — the standard
+    exponential-half-life model, halving every 6 hours.
+
+    Cross-engine exactness: Δt is an integer µs difference, k an integer
+    floor-division of non-negatives, and the weight ``1 / 2^k`` a
+    power-of-two division — so ``value · weight`` is an EXACT mantissa
+    shift, bit-identical in Spark and DuckDB, and the channel sum stages
+    through decimal per the house rule (same risk profile as every
+    ``dsum_r("value")`` query).  No transcendental ``pow`` anywhere.
+
+    Scale: the conversion×touch range join is banded — the conversion
+    side explodes its ≤4 covering day-buckets and the join is EQUI on
+    (user, day_bucket), so candidate fan-out is bounded by touches per
+    user-day × 4 regardless of history length; the residual µs predicate
+    runs post-join.  At 100 TB this is one shuffle on a composite
+    bounded key, never the unbounded per-user cross product of the naive
+    ``ON user AND range`` plan.  Companion single-touch model:
+    attribution_last_touch."""
+    ev = load_table(spark, sf_dir, "events")
+    DAY_US = 86_400_000_000
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        epoch_us("ts").alias("conv_us"),
+        "value",
+    )
+    # lookback 3 days spans at most 4 day-buckets -> bounded explode
+    conv_b = conv.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    floor_div(F.col("conv_us"), DAY_US) - F.lit(i)
+                    for i in range(4)
+                ]
+            )
+        ),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id"),
+        epoch_us("ts").alias("t_us"),
+        "event_type",
+        floor_div(epoch_us("ts"), DAY_US).alias("bucket"),
+    )
+    pairs = conv_b.join(
+        touch,
+        (F.col("c_user") == F.col("user_id"))
+        & (conv_b["bucket"] == touch["bucket"])
+        & (F.col("t_us") <= F.col("conv_us"))
+        & (F.col("t_us") > F.col("conv_us") - F.lit(3 * DAY_US)),
+    )
+    pairs = pairs.withColumn(
+        "k", floor_div(F.col("conv_us") - F.col("t_us"), 21_600_000_000)
+    )
+    # 1 << k via the SQL builtin (the Python wrapper only takes literal
+    # bit counts); power-of-two division keeps value's mantissa exact
+    credit = F.col("value") / F.expr(
+        "cast(shiftleft(1L, cast(k as int)) as double)"
+    )
+    return (
+        pairs.select(F.col("event_type").alias("channel"), "conv_id", credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("conv_id").alias("n_conversions"),
+            dsum_r("credit").alias("decayed_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+WITH t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), p AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+       CAST(floor(CAST(n AS DOUBLE)
+                  / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                  * 10000 + 0.5) / 10000 AS DOUBLE) AS p_transition
+FROM p ORDER BY from_type, to_type
+""",
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream: for each
+    ordered pair of event types, how often does a user's next event move
+    from→to, and with what conditional probability — the standard
+    path-analysis / sankey input.
+
+    One user-key shuffle for the ``lead`` window (ordered by ts with
+    event_id as the deterministic tiebreak), then a 25-row pair rollup
+    with map-side combine; the per-from normalization window runs over
+    ≤|event types| rows, so everything after the first shuffle is
+    driver-trivial at any scale.  The probability is an exact integer
+    ratio pushed through round_ieee (floor(x·10⁴+0.5)/10⁴) so Spark and
+    DuckDB round the same double the same way."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = t.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        round_ieee(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot).cast("double"),
+            4,
+        ).alias("p_transition"),
+    ).orderBy("from_type", "to_type")
 
 
 @query(
