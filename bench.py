@@ -131,6 +131,14 @@ EXTENDED = [
     "embed_abtt_topk",
     "bloom_join_prune",
     "weighted_sample",
+    "dq_constraints",
+    "l_diversity",
+    "seasonal_decompose",
+    "retrieval_ndcg",
+    "attribution_last_touch",
+    "attribution_time_decay",
+    "event_transition_matrix",
+    "streaming_attribution",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

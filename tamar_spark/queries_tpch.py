@@ -3065,6 +3065,87 @@ def streaming_ewma_anomaly(spark, sf_dir):
     return _run_to_memory(out.df)
 
 
+@query(
+    "streaming_attribution",
+    """
+WITH conv AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts, event_type, event_id FROM events
+  WHERE event_type <> 'purchase'
+), m AS (
+  SELECT c.event_id AS conv_id, c.user_id, c.value, t.event_type,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM conv c
+  LEFT JOIN touch t ON t.user_id = c.user_id
+   AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))
+)
+SELECT conv_id, user_id, COALESCE(event_type, '(none)') AS channel, value
+FROM m WHERE rn = 1
+""",
+)
+def streaming_attribution(spark, sf_dir):
+    """LIVE last-touch attribution: as the event stream flows, each
+    ``purchase`` is attributed to the same user's most recent prior
+    non-purchase event — emitted per conversion the moment it happens,
+    not in a nightly batch.  State is ONE tuple per user (the latest
+    touch's type), updated as touches pass and read (never written) by
+    purchases, so memory is O(users) regardless of history length — the
+    streaming twin of attribution_last_touch's as-of join.
+
+    "Prior" is stream order: (ts, event_id) strictly less than the
+    conversion's, which the oracle mirrors with a lexicographic
+    predicate — at-or-before-with-tiebreak would be unobservable live
+    (the later-id same-ts touch hasn't been seen when the purchase is
+    processed).  Consecutive purchases both credit the same touch
+    (purchases are conversions, not touches).  Keys parallelize across
+    state partitions; within a key the walk is the per-batch sorted scan
+    shared with streaming_ewma_anomaly."""
+    import pandas as pd
+
+    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.stream import DataStream
+    from tamar_spark.streaming.stateful import process_state_streaming
+
+    prep_session(spark)
+    sdf = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    keyed = DataStream(sdf, event_time="ts").key_by("user_id")
+    schema = "conv_id long, user_id long, channel string, value double"
+
+    def walk(key, pdf: pd.DataFrame, state) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ch = state["channel"]
+        conv_ids, channels, values = [], [], []
+        for et, eid, val in zip(
+            pdf["event_type"], pdf["event_id"], pdf["value"]
+        ):
+            if et == "purchase":
+                conv_ids.append(int(eid))
+                channels.append(ch if ch is not None else "(none)")
+                values.append(float(val))
+            else:
+                ch = et
+        state["channel"] = ch
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(conv_ids, dtype="int64"),
+                "user_id": pd.Series(
+                    [int(key[0])] * len(conv_ids), dtype="int64"
+                ),
+                "channel": pd.Series(channels, dtype="object"),
+                "value": pd.Series(values, dtype="float64"),
+            }
+        )
+
+    out = process_state_streaming(
+        keyed, walk, schema, init_state=lambda k: {"channel": None}
+    )
+    return _run_to_memory(out.df)
+
+
 _BLOOM_HASHES = 3
 
 
