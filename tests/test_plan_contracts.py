@@ -121,6 +121,14 @@ CONTRACTS = [
     # two argmax assigns (explode + max-struct agg) + occupancy rollups
     ("rendezvous_shards", 8, 0),
     # round-7 wave 3
+    # attribution family: as-of union plan = one user shuffle + channel
+    # agg + presentation sort
+    ("attribution_last_touch", 3, 0),
+    # banded (user, day-bucket) equi-join + channel distinct-agg + sort;
+    # the range predicate is residual, never a nested-loop driver
+    ("attribution_time_decay", 3, 0),
+    # one user shuffle for lead(), pair agg, ≤|types| window, final sort
+    ("event_transition_matrix", 4, 0),
     # pure codegen regex kernel: one scan + the presentation sort only
     ("pii_redact", 1, 0),
     # (type,week) sketch agg + two union rollups + exact-verify joins
