@@ -2309,6 +2309,158 @@ def attribution_time_decay(spark, sf_dir):
 
 
 @query(
+    "session_paths",
+    """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+), paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10
+""",
+)
+def session_paths(spark, sf_dir):
+    """Top session paths: sessionize each user's stream (30-minute gap,
+    the flagship session_agg convention), render each session as its
+    ordered event-type path ('view>click>purchase'), and report the 10
+    most common paths — the classic path-analysis / sankey summary that
+    complements event_transition_matrix's one-step view with whole
+    journeys.
+
+    One user-key shuffle carries BOTH the gap-break lag and the
+    session-id cumsum (same window partitioning), then the path is
+    assembled per session with sort_array over (ts, event_id, type)
+    structs — deterministic ordering without trusting collect_list
+    order, array-bounded by session length.  The path rollup is
+    map-side-combinable and the top-10 compiles to
+    TakeOrderedAndProject (never a global sort); ties break on the path
+    string so the cut is total-ordered in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    brk = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (epoch_us("ts") - epoch_us(F.lag("ts").over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    sess = ev.withColumn("brk", brk).withColumn(
+        "session_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform("evs", lambda s: s["event_type"])
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "conversion_lag_stats",
+    """
+WITH conv AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts, event_type, event_id FROM events
+  WHERE event_type <> 'purchase'
+), m AS (
+  SELECT c.event_id AS conv_id, c.ts AS conv_ts, t.ts AS touch_ts,
+         t.event_type,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM conv c
+  JOIN touch t ON t.user_id = c.user_id AND t.ts <= c.ts
+)
+SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_conversions,
+       round(quantile_cont((epoch_us(conv_ts) - epoch_us(touch_ts))
+                           / 1000000.0, 0.5), 4) AS p50_lag_sec,
+       round(quantile_cont((epoch_us(conv_ts) - epoch_us(touch_ts))
+                           / 1000000.0, 0.9), 4) AS p90_lag_sec
+FROM m WHERE rn = 1 GROUP BY 1 ORDER BY 1
+""",
+)
+def conversion_lag_stats(spark, sf_dir):
+    """Conversion-latency distribution per attributed channel: for every
+    purchase with a prior touch (the attribution_last_touch match), the
+    seconds from that last touch to the conversion — exact interpolated
+    p50/p90 per channel, the report marketers read next to the credit
+    split (how long each channel takes to convert).
+
+    Same backward as-of plan as attribution_last_touch (one user-key
+    shuffle, tie to greatest event_id), inner semantics — unattributed
+    conversions have no lag.  The lag is an exact µs integer pushed
+    through one double division, so percentile interpolation sees
+    identical inputs in both engines (percentile ↔ quantile_cont share
+    the linear-interpolation definition; see percentile_agg)."""
+    from tamar_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    matched = asof_join(
+        conv,
+        touch,
+        left_on="conv_ts",
+        right_on="ts",
+        left_by="user_id",
+        right_by="user_id",
+        right_cols=["event_type", "event_id", "ts"],
+        tiebreak="event_id",
+        strategy="union",
+        direction="backward",
+    ).filter(F.col("event_type").isNotNull())
+    lag = (epoch_us("conv_ts") - epoch_us("ts")) / F.lit(1e6)
+    return (
+        matched.select(F.col("event_type").alias("channel"), lag.alias("lag_sec"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.expr("percentile(lag_sec, 0.5)"), 4).alias("p50_lag_sec"),
+            F.round(F.expr("percentile(lag_sec, 0.9)"), 4).alias("p90_lag_sec"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
     "event_transition_matrix",
     """
 WITH t AS (
