@@ -139,6 +139,8 @@ EXTENDED = [
     "attribution_time_decay",
     "event_transition_matrix",
     "streaming_attribution",
+    "conversion_lag_stats",
+    "session_paths",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED
