@@ -2043,6 +2043,86 @@ def weekly_retention(spark, sf_dir):
     )
 
 
+@query(
+    "user_ltv_cohort",
+    """
+WITH wk AS (
+  SELECT user_id, date_trunc('week', ts) AS week, event_type, value
+  FROM events
+), first_wk AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1
+), cells AS (
+  SELECT f.cohort_week,
+         CAST((epoch_us(w.week) - epoch_us(f.cohort_week))
+              // 604800000000 AS BIGINT) AS week_offset,
+         count(DISTINCT w.user_id) AS active_users,
+         sum(CAST(CASE WHEN w.event_type = 'purchase' THEN w.value
+                       ELSE 0 END AS DECIMAL(28,6))) AS rev_dec
+  FROM wk w JOIN first_wk f ON f.user_id = w.user_id
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset,
+       CAST(active_users AS BIGINT) AS active_users,
+       CAST(round(rev_dec, 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(rev_dec) OVER (PARTITION BY cohort_week
+                                     ORDER BY week_offset
+                                     ROWS UNBOUNDED PRECEDING), 2)
+            AS DOUBLE) AS cum_revenue
+FROM cells ORDER BY cohort_week, week_offset
+""",
+)
+def user_ltv_cohort(spark, sf_dir):
+    """Cohort lifetime-value triangle: users grouped by their FIRST active
+    week, then for each week offset since joining, how many of the
+    cohort were active and how much purchase revenue they produced —
+    plus the running (cumulative) LTV per cohort.  The standard
+    growth-analytics report next to weekly_retention's counts.
+
+    The cumulative sum runs over the DECIMAL revenue, not the rounded
+    double — decimal window sums are exact and order-independent in both
+    engines (a double running sum would expose DuckDB's segment-tree
+    association order), and both columns round once at the edge.  Plan:
+    one (user) agg for cohort assignment (tiny — one row per user —
+    broadcast back), one (cohort, offset) rollup, then a per-cohort
+    window over ≤|weeks| rows.  At 100 TB the cohort map is the only
+    join and it's user-grain, so it broadcasts or buckets cleanly."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("week"),
+        "event_type",
+        "value",
+    )
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        wk.join(F.broadcast(first_wk), "user_id")
+        .groupBy(
+            "cohort_week",
+            floor_div(
+                epoch_us("week") - epoch_us("cohort_week"), 604_800_000_000
+            ).alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(F.lit(0))
+                .cast(_DEC)
+            ).alias("rev_dec"),
+        )
+    )
+    cum = Window.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        F.round("rev_dec", 2).cast("double").alias("revenue"),
+        F.round(F.sum("rev_dec").over(cum), 2).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort_week", "week_offset")
+
+
 def _bloom_word_expr(w: int) -> "F.Column":
     """One 63-bit word of a 252-bit / 3-hash Bloom filter over
     CAST(user_id AS STRING), built only from md5 hex slices so DuckDB can
