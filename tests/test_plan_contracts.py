@@ -129,6 +129,13 @@ CONTRACTS = [
     ("attribution_time_decay", 3, 0),
     # one user shuffle for lead(), pair agg, ≤|types| window, final sort
     ("event_transition_matrix", 4, 0),
+    # shared user shuffle drives gap-lag + cumsum; path agg + top-10
+    ("session_paths", 2, 0),
+    # as-of union plan + channel percentile agg + presentation sort
+    ("conversion_lag_stats", 3, 0),
+    # user-grain cohort agg broadcast back; cell rollup + distinct
+    # expand + per-cohort window + final sort
+    ("user_ltv_cohort", 5, 1),
     # pure codegen regex kernel: one scan + the presentation sort only
     ("pii_redact", 1, 0),
     # (type,week) sketch agg + two union rollups + exact-verify joins
