@@ -141,6 +141,7 @@ EXTENDED = [
     "streaming_attribution",
     "conversion_lag_stats",
     "session_paths",
+    "user_ltv_cohort",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED
