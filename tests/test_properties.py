@@ -1006,3 +1006,100 @@ def test_pii_regexes_match_python_re(spark, parts):
     assert got["masked"] == re.sub(
         _PII_IP, "[IP]", re.sub(_PII_PHONE, "[PHONE]", e1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay attribution: banded-bucket join vs direct model
+# ---------------------------------------------------------------------------
+
+decay_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),    # user
+        st.integers(min_value=0, max_value=120),  # hour offset (5 days)
+        st.integers(min_value=0, max_value=4),    # type idx (0 = purchase)
+        st.integers(min_value=1, max_value=99),   # whole-unit value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=decay_events_strategy)
+def test_attribution_time_decay_matches_model(spark, events, tmp_path_factory):
+    """The banded (user, day-bucket) equi-join must find EXACTLY the pairs
+    of the plain range predicate — the ≤4-bucket explode is the part a
+    fixture can't stress (hour-granular offsets here straddle the strict
+    3-day boundary and bucket edges), and the power-of-two credits make
+    the comparison exact (whole-unit values ⇒ no 6dp decimal ties, see
+    the query docstring)."""
+    import datetime as dt
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from tamar_spark.queries import QUERIES
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    types = ["purchase", "view", "click", "signup", "error"]
+    # write with pyarrow at µs precision: Spark's own writer emits INT96,
+    # which pyarrow reads back as ns and would misroute load_table's
+    # nanos-normalization branch
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(events)), pa.int64()),
+            "ts": pa.array(
+                [BASE + dt.timedelta(hours=h) for _, h, _, _ in events],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _, _ in events], pa.int64()),
+            "event_type": pa.array([types[t] for _, _, t, _ in events]),
+            "value": pa.array([float(v) for _, _, _, v in events], pa.float64()),
+            "props": pa.array(["{}"] * len(events)),
+        }
+    )
+    d = tmp_path_factory.mktemp("decay")
+    pq.write_table(table, str(d / "events.parquet"))
+
+    got = {
+        r["channel"]: (
+            r["n_touches"],
+            r["n_conversions"],
+            r["decayed_revenue"],
+        )
+        for r in QUERIES["attribution_time_decay"](spark, str(d)).collect()
+    }
+
+    DAY_US = 86_400_000_000
+    us = {i: (BASE + dt.timedelta(hours=h)) for i, (u, h, t, v) in enumerate(events)}
+    stamp = {i: int(ts.timestamp() * 1_000_000) for i, ts in us.items()}
+    agg = {}
+    for ci, (cu, ch_, ct, cv) in enumerate(events):
+        if types[ct] != "purchase":
+            continue
+        for ti, (tu, th, tt, tv) in enumerate(events):
+            if types[tt] == "purchase" or tu != cu:
+                continue
+            if not (stamp[ti] <= stamp[ci] and stamp[ti] > stamp[ci] - 3 * DAY_US):
+                continue
+            k = (stamp[ci] - stamp[ti]) // 21_600_000_000
+            credit = Decimal(cv / float(1 << k)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            ch = types[tt]
+            n, convs, rev = agg.get(ch, (0, set(), Decimal(0)))
+            convs = set(convs) | {ci}
+            agg[ch] = (n + 1, convs, rev + credit)
+    expect = {
+        ch: (
+            n,
+            len(convs),
+            float(rev.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)),
+        )
+        for ch, (n, convs, rev) in agg.items()
+    }
+    assert got == expect
