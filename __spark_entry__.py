@@ -59,6 +59,14 @@ _CHANGED_IN_ROUND = {
     # unchanged — exact join removes FPs — but a mis-built filter would
     # DROP rows, so the attested row should postdate the rewrite).
     "bloom_join_prune": 7,
+    # r8: kcore peel rewritten (one-sided semi-join with the dominance
+    # proof, pre-partitioned sym, fused checkpoint+count, round budget
+    # aligned to the oracle per r7 ADVICE) — fixpoint provably unchanged,
+    # but an engine rewrite should not ride an old attestation.
+    "graph_kcore": 8,
+    # r8: oracle tiebreak aligned to max(struct)'s highest-shard rule and
+    # shard cast to bigint on the Spark side (r7 ADVICE).
+    "rendezvous_shards": 8,
 }
 
 

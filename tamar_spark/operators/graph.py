@@ -198,6 +198,7 @@ def kcore(
     dst: str = "b",
     max_rounds: int = 12,
     stats: dict | None = None,
+    broadcast_below: int = 4_000_000,
 ) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph in which
     every node has degree ≥ k, computed by iterative peeling (Matula &
@@ -207,41 +208,80 @@ def kcore(
     cluster graph or a citation/link graph, where raw degree is fooled by
     stars and connected components are fooled by chains.
 
-    Input: distinct undirected edges (one row per pair, any orientation).
+    Input: undirected edges, ONE row per unordered pair (either
+    orientation) — the contract every caller here satisfies, and what
+    lets symmetrization skip a distinct (the two oriented copies of a
+    pair can never collide when each pair appears once).
     Output: ``(node, core_degree)`` for surviving nodes — ``core_degree``
     is the node's degree inside the core, ≥ k by the fixpoint property.
 
-    Each round is ONE shuffle: degrees of the surviving subgraph via a
-    self-semi-join of the symmetrized edge list against the alive set
-    (keys only — no payload), then a count aggregate with the ≥ k filter.
+    Each round is ONE job, one semi-join, and one shuffle (the bounded
+    degree aggregate).  Three round-constant trims (r7 VERDICT task 6):
+
+    - The convergence count IS the materializing action — each round's
+      survivor frame is ``localCheckpoint(eager=False)`` and the
+      ``count()`` that drives the early exit materializes it, so the
+      round runs one job instead of an eager-checkpoint job plus a
+      cached-scan job.
+    - ONE semi-join per round, on the neighbor side only.  The textbook
+      peel filters both endpoints into the alive set; the u-side filter
+      is redundant: a node u dropped at an earlier round had
+      |N(u) ∩ alive| < k then, the alive sets are decreasing
+      (a_i ⊆ a_{i-1}, by induction from the same fact), so u's
+      alive-neighbor count can only have shrunk further and the
+      ``HAVING count ≥ k`` filter excludes every dead u automatically.
+      The round states are therefore IDENTICAL to the two-sided peel
+      (and to the oracle's two-sided unroll) at every round, for half
+      the joins — verified empirically: the per-round survivor counts
+      match the two-sided variant exactly on the sf0.1 fixture.
+    - The alive side of the semi-join is broadcast whenever the
+      PREVIOUS round's count (already in hand — free) is below
+      ``broadcast_below`` keys (~32 MB of bigints at the 4M default):
+      the semi-join then runs map-side over the cached edge list and
+      the only shuffle left is the bounded-key degree aggregate.  Above
+      the threshold it falls back to a shuffle semi-join — alive is
+      O(V), so unconditional broadcast would be a 100 TB lie; this is
+      the measured-count-driven adaptive choice (the same
+      statistic-driven pattern as the skew profiler).
+
     The alive set only shrinks, so round cost is monotonically
     non-increasing; rounds = the graph's peel depth at k (bounded by the
     cascade length, typically ≤ 10 on near-regular graphs — each round's
     survivors are checkpointed so plan depth stays flat, the CC lesson).
     Early exit compares one count per round: alive is monotone
     decreasing, so an unchanged count IS the fixpoint.  ``max_rounds``
-    bounds the walk; callers that need the exact core must check
-    ``stats["converged"]`` (the registered query's oracle unrolls the
-    same fixed round count, so the comparison is exact either way)."""
+    counts degree-filter STATES including the initial full-graph filter
+    (a0), so the loop runs at most ``max_rounds - 1`` recomputes — the
+    exact budget the registered query's oracle unrolls as a1..a{n-1}
+    (r7 ADVICE: the budgets must be equal or a no-early-exit graph would
+    compare round-N engine state against round-N-1 oracle state).
+    Callers that need the exact core must check ``stats["converged"]``."""
+    # One upfront hash-repartition on u before the checkpoint: the loop
+    # scans this frame every round, so it should be balanced and
+    # key-clustered — co-partitioning makes each round's partial
+    # aggregate emit exactly one row per alive node (the post-agg
+    # exchange then carries O(V_alive) pre-aggregated rows, not edges),
+    # and AQE right-sizes the partition count for the 2×|E| row volume.
     sym = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+        .repartition(F.col("u"))
         .localCheckpoint()
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
-    alive = deg.filter(F.col("core_degree") >= k).localCheckpoint()
+    alive = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=False)
     n_alive = alive.count()
     rounds, converged = 0, False
-    for _ in range(max_rounds):
-        surv = sym.join(alive.select("u"), "u", "left_semi").join(
-            alive.select(F.col("u").alias("v")), "v", "left_semi"
-        )
+    for _ in range(max_rounds - 1):
+        av = alive.select(F.col("u").alias("v"))
+        if n_alive <= broadcast_below:
+            av = F.broadcast(av)
         nxt = (
-            surv.groupBy("u")
+            sym.join(av, "v", "left_semi")
+            .groupBy("u")
             .agg(F.count(F.lit(1)).alias("core_degree"))
             .filter(F.col("core_degree") >= k)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_next = nxt.count()
         rounds += 1

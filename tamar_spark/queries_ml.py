@@ -781,9 +781,12 @@ _KCORE_ROUNDS = 12
 def _kcore_oracle(rounds: int = _KCORE_ROUNDS) -> str:
     """Unrolled peel twin: a0 filters on full-graph degree; every later
     round recomputes degrees within the previous survivor set and
-    re-filters.  Fixed ``rounds`` unrolls — extra rounds past the fixpoint
-    are no-ops, so the comparison is exact whether or not the Spark side's
-    early exit fired (it runs the same recompute ≤ ``rounds`` times)."""
+    re-filters.  ``rounds`` counts degree-filter STATES — a0 plus
+    ``rounds - 1`` recomputes (a1..a{rounds-1}) — exactly the engine's
+    budget (kcore() loops at most ``max_rounds - 1`` recomputes after
+    its initial filter; r7 ADVICE aligned the two).  Extra rounds past
+    the fixpoint are no-ops, so the comparison is exact whether or not
+    the Spark side's early exit fired."""
     sql = """
 WITH li AS (
   SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem
@@ -843,13 +846,18 @@ def graph_kcore(spark, sf_dir):
     data-derived.
 
     Scale: edge building is the per-order bounded self-join (≤7 items
-    per order); each peel round is one keys-only double semi-join + one
-    count aggregate, checkpointed so plan depth stays flat (the CC
+    per order); each peel round is ONE job — keys-only double semi-join
+    (broadcast while the previous round's count, already in hand, stays
+    under the adaptive threshold; shuffle semi-join above it) + one
+    count aggregate, lazily checkpointed so the convergence count is
+    also the materializing action and plan depth stays flat (the CC
     lesson); the alive set only shrinks, so per-round cost is monotone
     non-increasing and the early exit (count unchanged ⇒ fixpoint, by
-    monotonicity) costs one count per round.  The oracle unrolls the
-    identical 12 fixed rounds — no-ops past the fixpoint — so the hash
-    check is exact regardless of where the early exit fires."""
+    monotonicity) is free.  The oracle unrolls the identical budget —
+    a0 + 11 recomputes, matching the engine's initial filter + ≤11
+    recomputes (r7 ADVICE alignment) — and extra rounds past the
+    fixpoint are no-ops, so the hash check is exact regardless of where
+    the early exit fires."""
     from tamar_spark.operators.graph import kcore
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -860,15 +868,21 @@ def graph_kcore(spark, sf_dir):
         x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")))
         .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n_edges = edges.count()
-    n_nodes = (
-        edges.select(F.col("a").alias("n"))
-        .unionByName(edges.select(F.col("b").alias("n")))
-        .distinct()
-        .count()
+    # one job for both graph statistics: exploding each edge to its two
+    # endpoints gives |V| as the distinct count and 2·|E| as the row
+    # count of the same frame (and the action doubles as the edges
+    # checkpoint materializer)
+    g = (
+        edges.select(F.explode(F.array("a", "b")).alias("n"))
+        .agg(
+            F.count_distinct(F.col("n")).alias("v"),
+            F.count(F.lit(1)).alias("e2"),
+        )
+        .first()
     )
+    n_edges, n_nodes = g["e2"] // 2, g["v"]
     k = (7 * ((2 * n_edges) // n_nodes)) // 10
     return kcore(edges, k=k, max_rounds=_KCORE_ROUNDS).orderBy("node")
 

@@ -2030,7 +2030,13 @@ def _rendezvous_assign(docs, n_shards: int):
     disruptive (adding shard k+1 moves ONLY the docs whose new hash wins,
     ~1/(k+1) of the corpus, each moving INTO the new shard).  The md5 hex
     STRING is the weight — lexicographic max, identical in every engine,
-    no numeric conversion anywhere."""
+    no numeric conversion anywhere.  Tie convention (r7 ADVICE): a weight
+    tie — only reachable via an md5 collision between distinct
+    'doc:shard' strings — breaks toward the HIGHEST shard, the natural
+    order of ``max(struct(w, shard))``; the DuckDB oracle and the hashlib
+    property-test model both state the same rule (``shard DESC`` /
+    highest-shard argmax), so the cross-engine assignment is bit-defined
+    even on a collision."""
     shards = F.explode(
         F.sequence(F.lit(0), F.lit(n_shards - 1))
     ).alias("shard")
@@ -2055,7 +2061,7 @@ a8 AS (
     SELECT doc_id, shard,
            row_number() OVER (PARTITION BY doc_id
                               ORDER BY md5(doc_id || ':' || shard) DESC,
-                                       shard) AS rn
+                                       shard DESC) AS rn
     FROM docs, (SELECT unnest(generate_series(0, 7)) AS shard)
   ) WHERE rn = 1
 ),
@@ -2064,7 +2070,7 @@ a9 AS (
     SELECT doc_id, shard,
            row_number() OVER (PARTITION BY doc_id
                               ORDER BY md5(doc_id || ':' || shard) DESC,
-                                       shard) AS rn
+                                       shard DESC) AS rn
     FROM docs, (SELECT unnest(generate_series(0, 8)) AS shard)
   ) WHERE rn = 1
 ),
@@ -2118,7 +2124,7 @@ def rendezvous_shards(spark, sf_dir):
         c9.join(c8, "shard", "left")
         .join(mv, "shard", "left")
         .select(
-            "shard",
+            F.col("shard").cast("bigint").alias("shard"),
             F.coalesce("n_k8", F.lit(0)).cast("bigint").alias("n_k8"),
             F.coalesce("n_k9", F.lit(0)).cast("bigint").alias("n_k9"),
             F.coalesce("moved_in", F.lit(0)).cast("bigint").alias("moved_in"),
