@@ -142,6 +142,8 @@ EXTENDED = [
     "conversion_lag_stats",
     "session_paths",
     "user_ltv_cohort",
+    # round-8 additions (near-freeze round: ledger catch-up)
+    "image_png_pixels",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

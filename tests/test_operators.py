@@ -1606,6 +1606,117 @@ def test_bmp_roundtrip_and_ppm_parse():
             M.parse_bmp(bad) if bad[:2] == b"BM" else M.parse_ppm(bad)
 
 
+def test_png_roundtrip_all_filters_and_rejections():
+    """The stdlib PNG codec must round-trip exactly through all five
+    scanline filters (the writer cycles type = row % 5, so any height
+    ≥ 5 exercises None/Sub/Up/Average/Paeth), reassemble split IDAT
+    streams, honor the Paeth tie-break order on known vectors, decode
+    hand-built grayscale files, and REJECT — not silently misdecode —
+    interlaced layouts, CRC corruption, truncated rasters, unknown
+    filter types, and corrupt DEFLATE streams."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from tamar_spark.functions import multimodal as M
+
+    # round trip: ≥5 rows so every filter type runs; widths incl. 1 px
+    payload = bytes((i * 31 + 7) % 256 for i in range(1024))
+    for width in (11, 16, 3, 1):
+        row = width * 3
+        h = len(payload) // row
+        w2, h2, nch, px = M.parse_png(M.make_png(payload, width=width))
+        assert (w2, h2, nch) == (width, h, 3)
+        assert px == payload[: h * row]
+    # the filtered bytes must actually differ from the pixels (DEFLATE
+    # of filtered data — a header-peek + offset copy cannot pass)
+    png = M.make_png(payload, width=11)
+    assert payload[:33] not in png
+    # Paeth known vectors incl. both tie-breaks (spec: left, then up)
+    assert M._paeth(3, 3, 0) == 3  # pa == pb == 3 → left wins
+    assert M._paeth(0, 6, 2) == 6  # pb == pc == 2 < pa → up beats UL
+    assert M._paeth(1, 3, 2) == 2  # pc == 0 strictly smallest → UL
+    assert M._paeth(10, 20, 30) == 10
+    # split IDAT: decoder must concatenate chunks before inflating
+    sig = png[:8]
+    ln = struct.unpack_from(">I", png, 33)[0]
+    idat_body = png[41 : 41 + ln]
+    ihdr_chunk = png[8:33]
+    half = len(idat_body) // 2
+    split = (
+        sig
+        + ihdr_chunk
+        + M._png_chunk(b"IDAT", idat_body[:half])
+        + M._png_chunk(b"IDAT", idat_body[half:])
+        + M._png_chunk(b"IEND", b"")
+    )
+    assert M.parse_png(split)[3] == M.parse_png(png)[3]
+    # grayscale (color type 0), filters 0 and 2
+    rows = bytes([0]) + bytes(range(5)) + bytes([2]) + bytes([1] * 5)
+    gray = (
+        sig
+        + M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 2, 8, 0, 0, 0, 0))
+        + M._png_chunk(b"IDAT", zlib.compress(rows))
+        + M._png_chunk(b"IEND", b"")
+    )
+    assert M.parse_png(gray) == (5, 2, 1, bytes(range(5)) + bytes([1, 2, 3, 4, 5]))
+
+    def _variant(ihdr_tail=(8, 2, 0, 0, 0), raster=None, w=11, h=2):
+        body = struct.pack(">IIBBBBB", w, h, *ihdr_tail)
+        rast = raster if raster is not None else zlib.compress(
+            bytes((w * 3 + 1) * h)
+        )
+        return (
+            sig
+            + M._png_chunk(b"IHDR", body)
+            + M._png_chunk(b"IDAT", rast)
+            + M._png_chunk(b"IEND", b"")
+        )
+
+    with _pytest.raises(ValueError, match="interlaced"):
+        M.parse_png(_variant(ihdr_tail=(8, 2, 0, 0, 1)))
+    with _pytest.raises(ValueError, match="unsupported"):
+        M.parse_png(_variant(ihdr_tail=(16, 2, 0, 0, 0)))  # 16-bit
+    with _pytest.raises(ValueError, match="CRC"):
+        bad = bytearray(png)
+        bad[-5] ^= 0xFF  # inside IEND CRC
+        M.parse_png(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated PNG raster"):
+        M.parse_png(_variant(raster=zlib.compress(bytes(10))))
+    with _pytest.raises(ValueError, match="unknown PNG filter"):
+        M.parse_png(
+            _variant(raster=zlib.compress(bytes([9]) + bytes(33)), h=1)
+        )
+    with _pytest.raises(ValueError, match="inflate failed"):
+        M.parse_png(_variant(raster=b"\x00not-deflate"))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        M.parse_png(b"\x89PNG\r\n\x1a\x00junk")
+
+
+def test_decode_image_pixels_png_on_spark(spark):
+    """decode_image_pixels must dispatch PNG payloads to the real
+    inflate+unfilter path inside the Arrow-batched stage, alongside BMP
+    in the same frame."""
+    import hashlib as _h
+
+    from tamar_spark.functions import multimodal as M
+
+    raw = bytes((i * 7 + 3) % 256 for i in range(330))
+    df = spark.createDataFrame(
+        [
+            Row(id=1, payload=bytearray(M.make_png(raw, width=11))),
+            Row(id=2, payload=bytearray(M.make_bmp(raw, width=15))),
+        ]
+    )
+    got = {
+        r.id: (r.width, r.height, r.n_channels, r.pixel_sha)
+        for r in M.decode_image_pixels(df).collect()
+    }
+    assert got[1] == (11, 10, 3, _h.sha256(raw).hexdigest())
+    assert got[2] == (15, 7, 3, _h.sha256(raw[: 7 * 45]).hexdigest())
+
+
 def test_decode_image_real_path_without_pil_on_bmp(spark):
     """Without PIL, decode_image's non-fake path must decode BMP/PPM for
     REAL (header fields from the actual container) and still fail loudly
