@@ -7,25 +7,55 @@ Prints ONE JSON line:
    "cold_total": N, "baseline_set": [...], "baseline_median_total": N,
    "baseline_cold_total": N, "extended_runs": R2}
 
-Variance protocol (r4 VERDICT task 3; two-tier split r5 task 8): the
-RECORDED_BASELINE set — the 21 queries whose per-query numbers BASELINE.md
-pins as the regression anchor — ALWAYS runs ``$SPARK_GRAFT_BENCH_RUNS``
-times (default 3), regardless of budget, so its medians never silently
-degrade to fewer passes as the inventory grows.  The EXTENDED set (newer
-headline queries) runs one guaranteed cold pass, then repeats only while
-the soft wall budget ($SPARK_GRAFT_BENCH_BUDGET, default 420 s) holds.
-``value``/``queries`` are per-query MEDIANS over however many passes a
-query got; ``bands`` carries min/median/max so a regression can be told
-from machine noise; ``cold`` is each query's first pass (absorbing its
-one-time whole-stage-codegen cost).  Runs on local[$SPARK_GRAFT_CPUS]
-with the engine's tuned session (AQE, broadcast joins, pruned scans).
+Variance protocol (r4 VERDICT task 3; two-tier split r5 task 8; rotating
+focus tier r7 task 3): the RECORDED_BASELINE set — the 21 queries whose
+per-query numbers BASELINE.md pins as the regression anchor — ALWAYS runs
+``$SPARK_GRAFT_BENCH_RUNS`` times (default 3), regardless of budget, so
+its medians never silently degrade to fewer passes as the inventory
+grows.  The EXTENDED set (newer headline queries) runs one guaranteed
+cold pass for EVERY query, and on top of that a rotating FOCUS THIRD —
+slice ``round % 3`` of the extended list, with the round inferred from
+the BENCH_r*.json ledger (override: $SPARK_GRAFT_BENCH_ROUND) — always
+gets its full ``runs`` passes, so every extended query earns a true
+multi-pass median at least once every three rounds no matter how large
+the inventory grows.  Whatever remains of the soft wall budget
+($SPARK_GRAFT_BENCH_BUDGET, default 420 s) then buys extra full extended
+passes as before.  ``value``/``queries`` are per-query MEDIANS over
+however many passes a query got; ``bands`` carries min/median/max so a
+regression can be told from machine noise; ``cold`` is each query's
+first pass (absorbing its one-time whole-stage-codegen cost).  The
+``protocol`` block (run counts + this round's focus slice) is emitted at
+the END of the JSON line because the driver archives only the tail of
+stdout.  Runs on local[$SPARK_GRAFT_CPUS] with the engine's tuned
+session (AQE, broadcast joins, pruned scans).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import time
+
+
+def bench_round() -> int:
+    """This bench invocation's round number: one past the newest
+    BENCH_r*.json the driver has recorded next to this file (round 1 on a
+    fresh checkout), overridable with $SPARK_GRAFT_BENCH_ROUND.  Drives
+    the deterministic focus-third rotation — same mechanism as the
+    correctness ledger's stalest-first ordering: computed from artifacts,
+    never hand-maintained."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env:
+        return int(env)
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [0]
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
 
 
 # The per-query regression anchor (BASELINE.md "Recorded per-query
@@ -250,12 +280,21 @@ def main() -> None:
     # tier 1: the regression anchor always gets its full pass count
     for _ in range(runs):
         one_pass(RECORDED_BASELINE)
-    # tier 2: extended set — one guaranteed pass, more while budget holds
-    ext_runs = 0
-    for i in range(runs):
-        if i > 0 and time.perf_counter() - started > budget_s:
+    # tier 2: extended set — one guaranteed cold pass for everyone
+    rnd = bench_round()
+    focus = [q for i, q in enumerate(EXTENDED) if i % 3 == rnd % 3]
+    one_pass(EXTENDED)
+    ext_runs = 1
+    # tier 3: the rotating focus third always earns its full pass count,
+    # budget or not — every extended query gets a true multi-pass median
+    # at least once every three rounds
+    for _ in range(runs - 1):
+        one_pass(focus)
+    # tier 4: leftover budget buys extra full extended passes as before
+    for _ in range(runs - 1):
+        if time.perf_counter() - started > budget_s:
             break
-        one_pass(EXTENDED)
+        one_pass([q for q in EXTENDED if q not in focus])
         ext_runs += 1
 
     def median(xs: list[float]) -> float:
@@ -268,6 +307,9 @@ def main() -> None:
         name: [min(xs), timings[name], max(xs)] for name, xs in samples.items()
     }
     cold = {name: xs[0] for name, xs in samples.items()}
+    # the driver archives only the TAIL of stdout: keep the per-run
+    # diagnostics (baseline totals, contention verdict, protocol) LAST so
+    # truncation can never eat them
     print(
         json.dumps(
             {
@@ -280,8 +322,8 @@ def main() -> None:
                 "extended_runs": ext_runs,
                 "bands": bands,
                 "cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
                 "baseline_set": RECORDED_BASELINE,
+                "cold_total": round(sum(cold.values()), 3),
                 "baseline_median_total": round(
                     sum(timings[n] for n in RECORDED_BASELINE), 3
                 ),
@@ -289,6 +331,16 @@ def main() -> None:
                     sum(cold[n] for n in RECORDED_BASELINE), 3
                 ),
                 "contention": contention_report(timings),
+                # focus membership is derivable: EXTENDED[i] with
+                # i % 3 == focus_slice — no name list, the tail is scarce
+                "protocol": {
+                    "anchor_runs": runs,
+                    "extended_full_passes": ext_runs,
+                    "bench_round": rnd,
+                    "focus_slice": rnd % 3,
+                    "focus_runs": runs,
+                    "focus_size": len(focus),
+                },
             }
         )
     )

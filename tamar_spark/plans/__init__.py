@@ -18,6 +18,8 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "auto_salt",
+    "auto_salted_join",
     "executed_plan",
     "pushed_filters",
     "has_python_stage",
@@ -116,3 +118,102 @@ def salted_join(
     )
     out = l.join(r, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def auto_salt(
+    df: DataFrame,
+    key: str,
+    partitions: Optional[int] = None,
+    hot_task_ratio: float = 2.0,
+    max_salt: int = 64,
+) -> dict:
+    """Measure one key's skew and PICK the salt factor — or decline
+    (r7 VERDICT task 8: the profiler and the manual salting tools
+    existed; this wires the measurement into the decision).
+
+    Runs the same per-value count aggregate ``key_skew_profile`` records
+    (one scan, map-side combined to one row per distinct value, then a
+    1-row rollup — the documented pre-flight cost, paid once per
+    pipeline, not per query) and applies the straggler rule:
+
+    - A shuffle over ``partitions`` tasks puts ``n_rows / partitions``
+      rows in an average task; the hottest key forces ``max_rows`` into
+      ONE task however the hash falls.
+    - If ``max_rows ≤ hot_task_ratio × avg`` the key cannot produce a
+      straggler worth the replication cost → **decline** (salt 1): AQE's
+      skew-split covers residual imbalance, and salting uniform keys
+      just multiplies the build side.
+    - Otherwise salt so the hot key's shards land near the average task:
+      ``ceil(max_rows / avg)``, capped at ``max_salt`` (the build-side
+      replication factor — past ~64× replication beats the straggler it
+      removes) and at ``partitions`` (finer than one shard per task buys
+      nothing).
+
+    Returns the decision with its evidence: ``{salt, n_rows, n_distinct,
+    max_rows, top_share, avg_task_rows}`` — callers log it or feed it to
+    :func:`auto_salted_join`.  Deciding from MEASUREMENT rather than a
+    fixed factor is the point: the same pipeline code then neither
+    under-salts the power-law corpus nor taxes the uniform one."""
+    import math
+
+    if partitions is None:
+        partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("max_rows"),
+        )
+        .first()
+    )
+    n_rows = int(row["n_rows"] or 0)
+    n_distinct = int(row["n_distinct"] or 0)
+    max_rows = int(row["max_rows"] or 0)
+    avg_task = n_rows / max(1, partitions)
+    if n_rows == 0 or max_rows <= hot_task_ratio * avg_task:
+        salt = 1
+    else:
+        salt = min(max_salt, partitions, math.ceil(max_rows / avg_task))
+    return {
+        "salt": salt,
+        "n_rows": n_rows,
+        "n_distinct": n_distinct,
+        "max_rows": max_rows,
+        "top_share": (max_rows / n_rows) if n_rows else 0.0,
+        "avg_task_rows": avg_task,
+    }
+
+
+def auto_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    partitions: Optional[int] = None,
+    hot_task_ratio: float = 2.0,
+    max_salt: int = 64,
+    decision: Optional[dict] = None,
+) -> DataFrame:
+    """Equi-join that salts ITSELF from measured skew: profile the left
+    (fact) side's key with :func:`auto_salt`, then run either the plain
+    join (measured-uniform keys — no replication tax) or
+    :func:`salted_join` at the measured factor.  Output rows are
+    IDENTICAL either way (property-tested on skewed and uniform probe
+    corpora); only the physical distribution changes.  Pass ``decision``
+    (a dict) to capture the measurement for logging/telemetry."""
+    d = auto_salt(
+        left,
+        on,
+        partitions=partitions,
+        hot_task_ratio=hot_task_ratio,
+        max_salt=max_salt,
+    )
+    if decision is not None:
+        decision.update(d)
+    if d["salt"] <= 1:
+        return left.join(right, on, how)
+    return salted_join(left, right, on=on, salt=d["salt"], how=how)

@@ -783,6 +783,14 @@ def corpus_curate(spark, sf_dir):
     dedup) and the broadcast eval-gram probe, each on its own
     well-distributed key, joined back on text/doc_id."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return curate_verdicts(docs)
+
+
+def curate_verdicts(docs: "DataFrame") -> "DataFrame":
+    """The curation-verdict kernel over a ``(doc_id, text, lang)`` frame —
+    shared by :func:`corpus_curate` (verdict columns are the output) and
+    :func:`corpus_e2e` (the ``keep`` filter feeds the mixture stage) so
+    the two registrations evaluate identical filter expressions."""
     is_eval = F.col("doc_id") % 97 == 0
     base = docs.filter(~is_eval)
 
@@ -1298,16 +1306,19 @@ def data_mixture_temperature(spark, sf_dir):
 _BPE_STEPS = 6
 
 
-def _bpe_oracle(steps: int = _BPE_STEPS) -> str:
+def _bpe_oracle(steps: int = _BPE_STEPS, corpus: str = "documents") -> str:
     """DuckDB twin of :func:`bpe_merges`: the identical word-frequency
     table, bracketed-token representation, argmax pair selection, and
     two-sided string-replace application, unrolled ``steps`` times (the
     same unrolled-CTE technique as the k-means twin).  Every CTE is
     MATERIALIZED: each w-step is referenced by four scalar subqueries and
     the next step, so inlining re-expands the chain combinatorially (the
-    plain form did not finish at 6 steps; materialized it runs in 0.1 s)."""
+    plain form did not finish at 6 steps; materialized it runs in 0.1 s).
+    ``corpus`` names the (doc_id, text, …) relation to learn from —
+    ``documents`` for the standalone queries, a selection CTE when the
+    chain is embedded in a larger pipeline twin (corpus_e2e)."""
     blocks = [
-        """
+        f"""
 w0 AS MATERIALIZED (
   SELECT '<' || array_to_string(
            list_transform(range(1, length(word) + 1), i -> word[i]), '><')
@@ -1318,7 +1329,7 @@ w0 AS MATERIALIZED (
       SELECT unnest(string_split_regex(
                lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')),
                '\\s+')) AS word
-      FROM documents
+      FROM {corpus}
     ) WHERE word != '' GROUP BY word
   )
 )"""
@@ -1598,14 +1609,18 @@ def bpe_encode(spark, sf_dir):
 
 
 def _tokenize_pack_oracle(
-    steps: int = _BPE_STEPS, capacity: int = _PACK_CAPACITY
+    steps: int = _BPE_STEPS,
+    capacity: int = _PACK_CAPACITY,
+    corpus: str = "documents",
 ) -> str:
     """DuckDB twin of :func:`corpus_tokenize_pack`: the BPE learn chain of
     :func:`_bpe_oracle` (same materialized CTEs), the per-doc encode pass
     of :func:`_bpe_encode_oracle` carrying (lang, source), then the exact
     first-fit recursion of ``_PACK_SQL`` over BPE token counts — the full
-    learn → encode → pack DAG replayed in one SQL statement."""
-    learn = _bpe_oracle(steps)
+    learn → encode → pack DAG replayed in one SQL statement.  ``corpus``
+    names the (lang, source, doc_id, text) relation, as in
+    :func:`_bpe_oracle`."""
+    learn = _bpe_oracle(steps, corpus=corpus)
     with_block = learn.split("\nSELECT * FROM (")[0].replace(
         "WITH ", "WITH RECURSIVE ", 1
     )
@@ -1626,7 +1641,7 @@ docw AS MATERIALIZED (
     SELECT lang, source, doc_id, unnest(string_split_regex(
              lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')),
              '\\s+')) AS word
-    FROM documents
+    FROM {corpus}
   ) WHERE word != ''
 ),
 enc AS MATERIALIZED (
@@ -1681,6 +1696,14 @@ def corpus_tokenize_pack(spark, sf_dir):
     (``n_buckets``) so the sequential walk is bucket-bounded, per
     first_fit_pack's scale note."""
     docs = load_table(spark, sf_dir, "documents")
+    return tokenize_pack_frame(docs)
+
+
+def tokenize_pack_frame(docs: "DataFrame") -> "DataFrame":
+    """The learn → encode → pack DAG over any ``(lang, source, doc_id,
+    text)`` frame — shared by :func:`corpus_tokenize_pack` (full corpus)
+    and :func:`corpus_e2e` (curated + mixture-selected corpus) so the two
+    registrations run the identical kernel and cannot drift."""
     words = (
         docs.select(
             F.explode(
@@ -1724,6 +1747,88 @@ def corpus_tokenize_pack(spark, sf_dir):
         .agg(F.sum("n").cast("bigint").alias("n_tok"))
     )
     return first_fit_pack(per_doc)
+
+
+def _e2e_oracle(
+    steps: int = _BPE_STEPS, capacity: int = _PACK_CAPACITY
+) -> str:
+    """DuckDB twin of :func:`corpus_e2e`, built by CHAINING the existing
+    stage twins (r7 VERDICT task 5): the full ``_CURATE_SQL`` runs as a
+    subquery whose ``keep`` verdicts define the curated pool, the
+    ``data_mixture`` quota arithmetic replays over that pool, and the
+    selected corpus feeds the parameterized learn→encode→pack twin
+    (:func:`_tokenize_pack_oracle` with ``corpus='sel_docs'``) — one SQL
+    statement replaying the one-lineage Spark DAG stage for stage."""
+    wts_values = ", ".join(
+        f"('{l}', {w})" for l, w in _MIXTURE_WEIGHTS
+    )
+    pre = f"""ewts AS (SELECT * FROM (VALUES {wts_values}) AS t(lang, w)),
+ekept AS MATERIALIZED (
+  SELECT doc_id, lang FROM ({_CURATE_SQL}) c WHERE c.keep
+),
+ecounts AS (SELECT lang, count(*) AS n FROM ekept GROUP BY 1),
+et AS (SELECT min(n * 100 // w) AS t_total FROM ecounts JOIN ewts USING (lang)),
+equotas AS (SELECT lang, (w * t_total) // 100 AS quota FROM ewts, et),
+eranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS srank
+  FROM ekept
+),
+epicked AS (
+  SELECT r.doc_id FROM eranked r JOIN equotas q USING (lang)
+  WHERE r.srank <= q.quota
+),
+sel_docs AS MATERIALIZED (
+  SELECT d.lang, d.source, d.doc_id, d.text
+  FROM documents d JOIN epicked USING (doc_id)
+)"""
+    tp = _tokenize_pack_oracle(steps, capacity, corpus="sel_docs")
+    return tp.replace("WITH RECURSIVE ", "WITH RECURSIVE " + pre + ",\n", 1)
+
+
+@query("corpus_e2e", _e2e_oracle())
+def corpus_e2e(spark, sf_dir):
+    """The pretraining-data build END TO END in one lineage (r7 VERDICT
+    task 5): curate (Gopher repetition quality + exact dedup + benchmark
+    decontamination, :func:`curate_verdicts`) → mixture (exact language
+    quotas by deterministic md5 rank, :func:`mixture_sample`) → tokenize
+    (BPE learned ON THE SELECTED CORPUS — the tokenizer sees exactly what
+    training will see, which is why the composition order matters and a
+    bolted-together pipeline of independent jobs gets it wrong) → pack
+    (exact first-fit into 128-token contexts, :func:`first_fit_pack`).
+    Every stage is the registered kernel the standalone queries run, so
+    the composition cannot drift from the parts; the oracle chains the
+    same stage twins into one SQL statement.
+
+    Materialization points, stated honestly: the selected corpus is
+    lazily localCheckpointed because two legs consume it (the BPE word-
+    frequency aggregate and the per-doc encode) — without it the whole
+    curate+mixture subtree executes twice; and :func:`bpe_learn`
+    checkpoints its vocabulary-bounded step state as always.  Everything
+    else — verdict folds, quota broadcast, rank filter, merge
+    application, token aggregate, pack walk — is one Catalyst lineage,
+    pinned by the plan contract (shuffle budget + the single
+    FlatMapGroupsInPandas pack kernel as the only Python stage).
+
+    Scale: each stage keeps its own scale story (per-doc folds; bounded
+    quota broadcast; vocabulary-bounded learn state; embarrassingly
+    parallel encode; bucket-bounded pack walk) — composing them adds no
+    new wide operator, only the one corpus materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        curate_verdicts(docs.select("doc_id", "text", "lang"))
+        .filter(F.col("keep"))
+        .select("doc_id", "lang")
+    )
+    sel = mixture_sample(kept, _MIXTURE_WEIGHTS).select("doc_id")
+    corpus = (
+        docs.select("lang", "source", "doc_id", "text")
+        .join(sel, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    return tokenize_pack_frame(corpus)
 
 
 @query(

@@ -508,6 +508,47 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_auto_salt_decides_from_measured_skew(spark):
+    """auto_salt (r7 VERDICT task 8) must SALT the power-law corpus and
+    DECLINE the uniform one — decided from the measured per-key counts,
+    not a fixed factor — and auto_salted_join's output must be row-
+    identical to the plain join on BOTH probe corpora (the salted-twin
+    checksum-identity pattern)."""
+    from tamar_spark.plans import auto_salt, auto_salted_join
+
+    # skewed probe: one hot key holds ~80% of rows
+    hot = spark.range(0, 8000).select(F.lit(0).cast("long").alias("k"), "id")
+    cold = spark.range(0, 2000).select(
+        (F.col("id") % 100 + 1).cast("long").alias("k"), "id"
+    )
+    skewed = hot.unionByName(cold)
+    uniform = spark.range(0, 10000).select(
+        (F.col("id") % 100).cast("long").alias("k"), "id"
+    )
+    dim = spark.range(0, 101).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("payload")
+    )
+
+    d_skew = auto_salt(skewed, "k", partitions=32)
+    d_unif = auto_salt(uniform, "k", partitions=32)
+    # hot key: 8000 rows vs avg task 10000/32 = 312.5 → salt ceil(25.6)=26
+    assert d_skew["salt"] > 1 and d_skew["max_rows"] == 8000
+    assert d_skew["salt"] == min(64, 32, 26)
+    # uniform: max 100 ≤ 2 × 312.5 → decline
+    assert d_unif["salt"] == 1 and d_unif["max_rows"] == 100
+
+    for probe in (skewed, uniform):
+        plain = probe.join(dim, "k").select("id", "payload")
+        decision: dict = {}
+        auto = auto_salted_join(
+            probe, dim, on="k", partitions=32, decision=decision
+        ).select("id", "payload")
+        assert decision["n_rows"] == 10000
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+
 def test_plan_helpers_detect_python_stage(spark):
     from tamar_spark.plans import has_python_stage
 

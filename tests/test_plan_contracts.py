@@ -374,6 +374,23 @@ def test_tokenize_pack_encode_stage_is_projection_only(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan  # the pack walk kernel
 
 
+def test_corpus_e2e_composition_plan(spark, sf_dir):
+    """corpus_e2e (r7 VERDICT task 5): the curate → mixture → tokenize →
+    pack composition must add NO wide operator beyond its parts — after
+    the selected-corpus materialization (one lazy localCheckpoint, shared
+    by the learn and encode legs) the visible DAG shuffles exactly twice
+    (per-doc token aggregate + pack walk), identical to standalone
+    corpus_tokenize_pack, and the single FlatMapGroupsInPandas pack
+    kernel is the ONLY Python stage in the whole pipeline."""
+    df = QUERIES["corpus_e2e"](spark, sf_dir)
+    got = shuffle_count(df)
+    assert got == 2, f"expected 2 data shuffles, got {got}"
+    plan = executed_plan(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1  # the pack walk
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
 def test_bloom_join_prune_probe_is_prejoin(spark, sf_dir):
     """The Bloom membership probe (shiftright bit test against the four
     broadcast words) must survive into the physical plan as a filter on
