@@ -174,6 +174,7 @@ EXTENDED = [
     "user_ltv_cohort",
     # round-8 additions (near-freeze round: ledger catch-up)
     "image_png_pixels",
+    "corpus_e2e",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -1256,8 +1256,18 @@ def lang_segments(spark, sf_dir):
     ``top_token_count``'s run-length fold), not the window-function
     rewrite — which would shuffle every sentence of every document on
     doc_id twice.  The DuckDB twin uses the window formulation (SQL has
-    no per-row fold ergonomics), proving both give identical segments."""
-    docs = load_table(spark, sf_dir, "documents")
+    no per-row fold ergonomics), proving both give identical segments.
+
+    Local-parallelism note: the fold is CPU-bound, so the input goes
+    through ``sources.spread`` — a measured-condition repartition that
+    only fires when the input has fewer partitions than cores (the
+    fixture parquet is one row group; measured 5.3 s single-task vs
+    sub-second spread).  At 100 TB the input arrives pre-split, the
+    condition is false, and the plan stays the advertised zero-shuffle
+    projection."""
+    from tamar_spark.sources import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sent_arr = F.split(F.col("text"), r"\.")
     langs = F.transform(sent_arr, lambda s: T.lang_id(F.trim(s)))
     seg_t = "array<struct<lang:string,start_idx:int,n:int>>"

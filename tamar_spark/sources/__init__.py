@@ -23,7 +23,14 @@ from typing import Dict, Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["load_table", "load_tables", "register_views", "ts_ns_columns", "TABLES"]
+__all__ = [
+    "load_table",
+    "load_tables",
+    "register_views",
+    "spread",
+    "ts_ns_columns",
+    "TABLES",
+]
 
 TABLES = (
     "region",
@@ -52,6 +59,26 @@ def ts_ns_columns(path: str) -> tuple:
     return tuple(
         f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
     )
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Measured-condition repartition for CPU-bound projection stages
+    (per-row token folds, n-gram transforms, raster decode): when the
+    input arrives in fewer partitions than the cluster has cores —
+    locally the fixture parquet is ONE row group, so Spark hands the
+    whole table to one task and a fold-heavy projection serializes
+    (measured: lang_segments 5.3 s single-task vs sub-second spread) —
+    shuffle once up to ``defaultParallelism``.  On a real cluster a
+    100 TB input arrives in thousands of splits, the condition is false,
+    and NO shuffle is added: the zero-shuffle plan shapes the fold
+    queries advertise are preserved exactly where they matter.  The same
+    measured-condition pattern as ``plans.auto_salt`` and the k-core
+    adaptive broadcast — decide from what the data actually looks like,
+    never a fixed rule."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
