@@ -67,6 +67,10 @@ _CHANGED_IN_ROUND = {
     # r8: oracle tiebreak aligned to max(struct)'s highest-shard rule and
     # shard cast to bigint on the Spark side (r7 ADVICE).
     "rendezvous_shards": 8,
+    # r8: adjacency joins hint-pinned SHUFFLE_HASH (AQE was flip-flopping
+    # a ~threshold-sized broadcast, bimodal 7 s / 35-48 s) — rows provably
+    # unchanged, but the plan rewrite should carry a fresh attestation.
+    "graph_triangles": 8,
 }
 
 

@@ -869,6 +869,67 @@ def main() -> None:
         results["kcore_rounds"].append(stats["rounds"])
         spark.catalog.clearCache()
 
+    # corpus_e2e: the full curate → mixture → BPE → pack composition on a
+    # k×-replicated document corpus.  Replicas get a per-copy text suffix
+    # (doc-id shift alone would make every replica an exact duplicate,
+    # and the curation stage's canonical-dedup would correctly collapse
+    # the corpus back to 1× — which tests dedup, not composition scaling).
+    # The composition must track corpus volume ~linearly: verdict folds
+    # and encode are per-row, canon/eval-gram/token aggregates are keyed,
+    # the learn state is vocabulary-bounded (near-constant: replicas
+    # share the word distribution), and the pack walk grows with shard
+    # size.  Super-linear growth would mean a stage leaked a pairwise or
+    # driver-side dependence.
+    def e2e_scale(k):
+        from tamar_spark.queries_pipeline import (
+            _MIXTURE_WEIGHTS,
+            curate_verdicts,
+            mixture_sample,
+            tokenize_pack_frame,
+        )
+
+        base = load_table(spark, SF_DIR, "documents").select(
+            "lang", "source", "doc_id", "text"
+        )
+        parts = []
+        for i in range(k):
+            parts.append(
+                base.select(
+                    "lang",
+                    "source",
+                    (F.col("doc_id") + i * 10_000_000_000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(f" replica{i}")).alias(
+                        "text"
+                    ),
+                )
+            )
+        from tamar_spark.sources import spread
+
+        docs = parts[0]
+        for p in parts[1:]:
+            docs = docs.unionByName(p)
+        # spread at every k so the CPU-bound folds use the same
+        # parallelism at 1× and 16× — otherwise the 1× point serializes
+        # on the fixture's single row group and the probe reads
+        # artificially sublinear
+        docs = spread(docs)
+        kept = (
+            curate_verdicts(docs.select("doc_id", "text", "lang"))
+            .filter(F.col("keep"))
+            .select("doc_id", "lang")
+            .localCheckpoint(eager=False)
+        )
+        sel = mixture_sample(kept, _MIXTURE_WEIGHTS).select("doc_id")
+        corpus = docs.join(sel, "doc_id").localCheckpoint(eager=False)
+        return tokenize_pack_frame(corpus)
+
+    results["corpus_e2e"] = []
+    for k in [1, 4, 16]:
+        t0 = time.perf_counter()
+        e2e_scale(k).count()
+        results["corpus_e2e"].append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+
     # Session IVM: the maintained STORED table grows k× (synthetic users,
     # one 3-event pre-cut session each) while the delta stays FIXED at
     # the sf0.1 last-day events — incremental maintenance cost must stay

@@ -350,16 +350,28 @@ def triangles_per_node(edges: DataFrame, a: str = "a", b: str = "b") -> DataFram
     # Out-lists are bounded by the orientation's O(√E) degree cap, so the
     # per-row arrays stay bounded on hub nodes; at extreme E where √E
     # arrays outgrow a row, fall back to the wedge-join formulation.
+    # The adjacency side is hint-pinned to SHUFFLE_HASH: its row count is
+    # small (one row per non-sink node) but each row carries an O(√E)
+    # neighbor array, so its BYTE size sits near the broadcast threshold
+    # and AQE's run-to-run size estimates flip the plan between a
+    # single-threaded ~100 MB HashedRelation broadcast build (measured
+    # 35-48 s per pass at sf0.1) and a parallel shuffle join (6-8 s) —
+    # a bimodal plan is worse than either mode.  Shuffle-hash is also the
+    # only strategy that survives scale (adjacency is O(V·√E) bytes,
+    # never broadcastable at 100 TB) and it beats sort-merge here because
+    # sorting rows with fat arrays pays serialization for no gain.
     adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
     empty = F.array().cast("array<bigint>")
     closed = (
         oriented.select("u", "v")
         .join(
-            adj.select(F.col("u").alias("_u1"), F.col("nbrs").alias("n_u")),
+            adj.select(F.col("u").alias("_u1"), F.col("nbrs").alias("n_u"))
+            .hint("shuffle_hash"),
             F.col("u") == F.col("_u1"),
         )
         .join(
-            adj.select(F.col("u").alias("_u2"), F.col("nbrs").alias("n_v")),
+            adj.select(F.col("u").alias("_u2"), F.col("nbrs").alias("n_v"))
+            .hint("shuffle_hash"),
             F.col("v") == F.col("_u2"),
             "left",
         )

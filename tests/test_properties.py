@@ -179,6 +179,38 @@ def test_mjpeg_splitter_roundtrip(frames):
     assert list(_iter_jpeg_frames(stream)) == expected
 
 
+png_strategy = st.tuples(
+    st.integers(min_value=1, max_value=19),    # width (px)
+    st.binary(min_size=3, max_size=1200),      # payload bytes
+)
+
+
+@given(params=png_strategy)
+@settings(max_examples=200, deadline=None)
+def test_png_roundtrip_property(params):
+    """For ANY payload and width, make_png → parse_png must recover the
+    exact full-row prefix of the payload: the writer cycles filter types
+    0-4 per scanline, so any payload tall enough exercises every
+    unfilter branch (Sub/Up/Average/Paeth modular arithmetic) against
+    arbitrary byte content — including the adversarial cases a fixed
+    vector can miss (0x00/0xFF runs straddling row boundaries, payloads
+    shorter than one row, widths where bpp > row)."""
+    from tamar_spark.functions.multimodal import make_png, parse_png
+
+    width, payload = params
+    row = width * 3
+    h = len(payload) // row
+    if h == 0:
+        try:
+            make_png(payload, width=width)
+            assert False, "zero-row PNG must raise"
+        except ValueError:
+            return
+    w2, h2, nch, pixels = parse_png(make_png(payload, width=width))
+    assert (w2, h2, nch) == (width, h, 3)
+    assert pixels == payload[: h * row]
+
+
 wav_strategy = st.tuples(
     st.sampled_from([8000, 16000, 44100, 48000]),
     st.integers(min_value=1, max_value=8),     # channels
