@@ -271,12 +271,24 @@ def main() -> None:
     started = time.perf_counter()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
 
+    # Block hygiene between queries: checkpoint/persist blocks are freed
+    # by the JVM ContextCleaner only after the Python-side DataFrame
+    # proxies are garbage-collected, and CPython's cycle collector lags
+    # behind a 90-query session — measured: without the collect, the
+    # checkpoint-heavy queries degrade monotonically across passes
+    # (retrieval_ndcg 2.8 → 8.2 → 13.6 s) as dead blocks crowd the heap.
+    # An explicit gc.collect() after each query releases the proxies so
+    # the cleaner can drop the blocks; SQL-cache clears stay out — they
+    # would also evict caches live queries legitimately reuse.
+    import gc
+
     def one_pass(names: list[str]) -> None:
         for name in names:
             fn = QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples[name].append(round(time.perf_counter() - t0, 3))
+            gc.collect()
 
     # tier 1: the regression anchor always gets its full pass count
     for _ in range(runs):

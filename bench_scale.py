@@ -39,6 +39,7 @@ line: {"scales": [1,2,4,8], "queries": {name: [sec, ...]}}.
 
 from __future__ import annotations
 
+import gc
 import json
 import time
 
@@ -469,6 +470,7 @@ def main() -> None:
             # them between timed runs keeps each measurement independent
             # (accumulated cache eviction thrash inflated later runs ~4x)
             spark.catalog.clearCache()
+            gc.collect()
         results[name] = times
 
     # 64x = 32k docs -> ~5e8 raw hot-shingle pairs: the scale where the
@@ -491,10 +493,12 @@ def main() -> None:
             hot_jaccard(corpus, capped=capped).count()
             results[label].append(round(time.perf_counter() - t0, 2))
             spark.catalog.clearCache()
+            gc.collect()
         t0 = time.perf_counter()
         hot_bigram(corpus).count()
         results["hot_bigram"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
+        gc.collect()
     import shutil
 
     for k in [1, 4, 16, 64]:
@@ -529,7 +533,7 @@ def main() -> None:
         bpe_scale(k).count()
         results["bpe_learn"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
-
+        gc.collect()
     # Edit-distance dedup: the candidate tier is the SimHash pigeonhole
     # chunk equi-join, whose 7-bit keys are weakly selective — raw join
     # volume is ~n²/2^width per chunk, a quadratic term with a 1/1024
@@ -564,6 +568,7 @@ def main() -> None:
         n_pairs = edit_corpus(k).count()
         results["edit_distance"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
+        gc.collect()
     results["edit_distance_pairs_at_16x"] = [n_pairs]
 
     # Wide-tier probe (r6 VERDICT task 4): the production two-tier config
@@ -615,6 +620,7 @@ def main() -> None:
         ).count()
         results["edit_distance_wide"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
+        gc.collect()
     results["edit_distance_wide_pairs_at_64x"] = [n_wide]
     long_docs_16 = edit_docs(16).where(F.length("text") >= 350)
     results["edit_distance_candidates_16x_60v120"] = [
@@ -622,7 +628,7 @@ def main() -> None:
         candidate_volume(long_docs_16, 120, 7),
     ]
     spark.catalog.clearCache()
-
+    gc.collect()
     # Triangle counting: k disjoint key-shifted copies of the sf0.01
     # supplier co-occurrence graph (node ids shifted per copy, so copies
     # share no edges) — triangles scale exactly k-linear, and the
@@ -663,6 +669,7 @@ def main() -> None:
         triangles_scale(k).count()
         results["triangles"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
+        gc.collect()
     base_edges.unpersist()
 
     # Connected components (dedup cluster resolution): k×100k-node corpora
@@ -691,7 +698,7 @@ def main() -> None:
         cc_scale(k).count()
         results["cc_clusters"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
-
+        gc.collect()
     # Long-chain components (r6 VERDICT task 8): a k×100k-node CHAIN is
     # the diameter-growing adversary — min-label propagation would need
     # n-1 rounds, the large-star/small-star path must stay ~log₂(n)
@@ -717,7 +724,7 @@ def main() -> None:
         results["cc_chain"].append(round(time.perf_counter() - t0, 2))
         results["cc_chain_rounds"].append(stats["rounds"])
         spark.catalog.clearCache()
-
+        gc.collect()
     # SemDeDup k-scaling: corpus and cluster count grow together (constant
     # expected cluster size), so the pair join must be linear; the skew
     # contrast times the 10%-hot cluster with and without the sub-cluster
@@ -728,6 +735,7 @@ def main() -> None:
         semdedup_pairs(k).count()
         results["semdedup_pairjoin"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
+        gc.collect()
     results["semdedup_skewed_unsalted"] = []
     results["semdedup_skewed_salted"] = []
     for k in [1, 4, 16]:
@@ -739,7 +747,7 @@ def main() -> None:
             semdedup_pairs(k, skewed=True, salt=salt).count()
             results[label].append(round(time.perf_counter() - t0, 2))
             spark.catalog.clearCache()
-
+            gc.collect()
     def pair_checksum(df):
         # decimal sum: a bigint sum of 64-bit hashes overflows ANSI mode
         return df.agg(
@@ -754,7 +762,7 @@ def main() -> None:
     )
     results["semdedup_salt_identical"] = [plain.n]
     spark.catalog.clearCache()
-
+    gc.collect()
     results["pack_unbucketed"] = []
     results["pack_bucketed_k"] = []
     for k in SCALES:
@@ -766,7 +774,7 @@ def main() -> None:
             pack_bucketed(k, n_buckets).count()
             results[label].append(round(time.perf_counter() - t0, 2))
             spark.catalog.clearCache()
-
+            gc.collect()
     # walk-bound contrast: ONE (lang, source) shard of 10M synthetic docs,
     # where the ~0.6 µs/row sequential walk dominates (the regime the
     # corpus probe above can't reach at sf0.1) — bucketing must win here
@@ -784,7 +792,7 @@ def main() -> None:
         first_fit_pack(toks_1shard, n_buckets=n_buckets).count()
         results["pack_walkbound"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
-
+        gc.collect()
     # MMR diversified top-k: corpus k×-replicated (sign-rotated per copy,
     # same scheme as lsh_dedup so replicas are not trivial duplicates),
     # query set FIXED at 20.  The greedy selection runs on the
@@ -822,7 +830,7 @@ def main() -> None:
         mmr_scale(k).count()
         results["mmr_topk"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
-
+        gc.collect()
     # k-core peel: k×100k-node corpora of 9-node blocks — a 6-clique, a
     # bridge node t (deg 3: clique anchor + two leaves), two leaves.  At
     # k=3 the cascade is CONSTANT and multi-round whatever the corpus
@@ -868,7 +876,7 @@ def main() -> None:
         results["kcore"].append(round(time.perf_counter() - t0, 2))
         results["kcore_rounds"].append(stats["rounds"])
         spark.catalog.clearCache()
-
+        gc.collect()
     # corpus_e2e: the full curate → mixture → BPE → pack composition on a
     # k×-replicated document corpus.  Replicas get a per-copy text suffix
     # (doc-id shift alone would make every replica an exact duplicate,
@@ -929,7 +937,7 @@ def main() -> None:
         e2e_scale(k).count()
         results["corpus_e2e"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
-
+        gc.collect()
     # Session IVM: the maintained STORED table grows k× (synthetic users,
     # one 3-event pre-cut session each) while the delta stays FIXED at
     # the sf0.1 last-day events — incremental maintenance cost must stay
@@ -989,7 +997,7 @@ def main() -> None:
         results["session_ivm_build"].append(build_s)
         results["session_ivm_incremental"].append(inc_s)
         spark.catalog.clearCache()
-
+        gc.collect()
     # Bloom runtime-filter join (r7): the selective side is ~0.6% of orders
     # (urgent + finished + March); with broadcast joins DISABLED (the
     # 100 TB fact-fact regime the pattern exists for), the exact SMJ must
@@ -1040,6 +1048,7 @@ def main() -> None:
                 bloom_join(k, use).collect()
                 results[name].append(round(time.perf_counter() - t0, 2))
                 spark.catalog.clearCache()
+                gc.collect()
             from tamar_spark.queries_tpch import bloom_prune, sized_bloom, sized_bloom_bits
 
             li = replicate(
@@ -1063,6 +1072,7 @@ def main() -> None:
             ).count()
             results["bloom_join_prune_frac"].append(round(surv / li.count(), 5))
             spark.catalog.clearCache()
+            gc.collect()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         if old_aqe_thresh:
