@@ -508,6 +508,22 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_spread_is_condition_gated(spark):
+    """sources.spread must repartition a below-parallelism input up to
+    defaultParallelism and return an already-parallel input UNCHANGED
+    (same plan object — the 100 TB no-op guarantee), preserving rows
+    either way."""
+    from tamar_spark.sources import spread
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    wide = spark.range(0, 1000).repartition(par)
+    s_narrow = spread(narrow)
+    assert s_narrow.rdd.getNumPartitions() == par
+    assert s_narrow.count() == 1000
+    assert spread(wide) is wide  # condition false → identical object
+
+
 def test_auto_salt_decides_from_measured_skew(spark):
     """auto_salt (r7 VERDICT task 8) must SALT the power-law corpus and
     DECLINE the uniform one — decided from the measured per-key counts,
