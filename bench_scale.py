@@ -889,12 +889,7 @@ def main() -> None:
     # size.  Super-linear growth would mean a stage leaked a pairwise or
     # driver-side dependence.
     def e2e_scale(k):
-        from tamar_spark.queries_pipeline import (
-            _MIXTURE_WEIGHTS,
-            curate_verdicts,
-            mixture_sample,
-            tokenize_pack_frame,
-        )
+        from tamar_spark.queries_pipeline import e2e_frame
 
         base = load_table(spark, SF_DIR, "documents").select(
             "lang", "source", "doc_id", "text"
@@ -919,17 +914,9 @@ def main() -> None:
         # spread at every k so the CPU-bound folds use the same
         # parallelism at 1× and 16× — otherwise the 1× point serializes
         # on the fixture's single row group and the probe reads
-        # artificially sublinear
-        docs = spread(docs)
-        kept = (
-            curate_verdicts(docs.select("doc_id", "text", "lang"))
-            .filter(F.col("keep"))
-            .select("doc_id", "lang")
-            .localCheckpoint(eager=False)
-        )
-        sel = mixture_sample(kept, _MIXTURE_WEIGHTS).select("doc_id")
-        corpus = docs.join(sel, "doc_id").localCheckpoint(eager=False)
-        return tokenize_pack_frame(corpus)
+        # artificially sublinear.  The composition itself is the
+        # registered query's shared e2e_frame — never a copy.
+        return e2e_frame(spread(docs))
 
     results["corpus_e2e"] = []
     for k in [1, 4, 16]:

@@ -264,9 +264,11 @@ def make_png(payload: bytes, width: int = 11) -> bytes:
     import struct
     import zlib
 
+    if width <= 0:
+        raise ValueError("PNG width must be positive")
     row_bytes = width * 3
     h = len(payload) // row_bytes
-    if width <= 0 or h <= 0:
+    if h <= 0:
         raise ValueError("payload shorter than one pixel row")
     bpp = 3
     prior = bytes(row_bytes)
@@ -334,6 +336,8 @@ def parse_png(buf: bytes):
         pos += 12 + ln
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if len(ihdr) != 13:  # malformed length would crash struct.unpack below
+        raise ValueError("PNG IHDR must be exactly 13 bytes")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
@@ -419,15 +423,29 @@ def decode_image(df: DataFrame, id_col: str = "id", payload_col: str = "payload"
                 lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()
             )
             if not fake and not real:
-                # codec-free real path: BMP / binary PPM headers
+                # stdlib-decodable path: BMP / binary PPM / PNG.  A
+                # payload whose MAGIC we recognize but whose body fails
+                # to parse is corrupt DATA — re-raise the parser's
+                # ValueError verbatim; converting it to "codec not
+                # available" would misdiagnose a bad file as a missing
+                # dependency.  Only an unrecognized format is a codec
+                # gap.
                 def _dims(b):
+                    buf = bytes(b or b"")
+                    known = (
+                        buf[:2] in (b"BM", b"P5", b"P6")
+                        or buf[: len(_PNG_SIG)] == _PNG_SIG
+                    )
                     try:
-                        w, h, nch, _ = _parse_raster(bytes(b or b""))
+                        w, h, nch, _ = _parse_raster(buf)
                     except ValueError:
+                        if known:
+                            raise
                         raise NotImplementedError(
                             "image codec (Pillow) not available in this "
-                            "environment and payload is not a codec-free "
-                            "BMP/PPM; pass fake=True to exercise the pipeline"
+                            "environment and payload is not a stdlib-"
+                            "decodable BMP/PPM/PNG; pass fake=True to "
+                            "exercise the pipeline"
                         )
                     return w, h, nch
                 parsed = pdf[payload_col].map(_dims)

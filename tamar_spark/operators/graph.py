@@ -199,6 +199,7 @@ def kcore(
     max_rounds: int = 12,
     stats: dict | None = None,
     broadcast_below: int = 4_000_000,
+    assume_one_row_per_pair: bool = True,
 ) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph in which
     every node has degree ≥ k, computed by iterative peeling (Matula &
@@ -211,7 +212,12 @@ def kcore(
     Input: undirected edges, ONE row per unordered pair (either
     orientation) — the contract every caller here satisfies, and what
     lets symmetrization skip a distinct (the two oriented copies of a
-    pair can never collide when each pair appears once).
+    pair can never collide when each pair appears once).  A caller that
+    CANNOT guarantee it (duplicate rows, or both orientations present)
+    must pass ``assume_one_row_per_pair=False``, which restores the
+    normalizing distinct for one extra shuffle — duplicates would
+    otherwise double-count in every degree aggregate and silently
+    inflate the core.
     Output: ``(node, core_degree)`` for surviving nodes — ``core_degree``
     is the node's degree inside the core, ≥ k by the fixpoint property.
 
@@ -262,12 +268,12 @@ def kcore(
     # aggregate emit exactly one row per alive node (the post-agg
     # exchange then carries O(V_alive) pre-aggregated rows, not edges),
     # and AQE right-sizes the partition count for the 2×|E| row volume.
-    sym = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .repartition(F.col("u"))
-        .localCheckpoint()
+    sym = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not assume_one_row_per_pair:
+        sym = sym.distinct()
+    sym = sym.repartition(F.col("u")).localCheckpoint()
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
     alive = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=False)
     n_alive = alive.count()

@@ -94,6 +94,18 @@ def shuffle_count(df: DataFrame) -> int:
     return count
 
 
+# Join types where replicating the right side cannot change the result
+# set: the left side keeps one salt per row, so every LEFT row still
+# matches at most its own replicas' keys, and unmatched RIGHT replicas
+# produce nothing (inner/semi/anti) or nothing extra (left outer).  For
+# right/full outer the unmatched right replicas each emit a null-padded
+# row — salt× duplicates — so those joins are rejected loudly.
+_SALT_SAFE_HOWS = frozenset(
+    {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi",
+     "semi", "left_anti", "leftanti", "anti", "cross"}
+)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -111,7 +123,20 @@ def salted_join(
     (enabled in our session factory) covers most cases; this is the explicit
     tool for when it can't (e.g. aggregation-feeding joins that AQE won't
     split).
-    """
+
+    ``how`` must be a left-preserving join (inner / left outer / semi /
+    anti): a right or full outer join would emit one null-padded row PER
+    REPLICA for every right key absent from the left — salt× duplicates —
+    so those are rejected with a ValueError instead of silently
+    multiplying rows (salt the other side, or de-salt and let AQE's
+    skew-join handle it)."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALT_SAFE_HOWS
+    }:
+        raise ValueError(
+            f"salted_join(how={how!r}) would duplicate unmatched right "
+            "rows salt x; only left-preserving joins are supported"
+        )
     l = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -203,8 +228,20 @@ def auto_salted_join(
     join (measured-uniform keys — no replication tax) or
     :func:`salted_join` at the measured factor.  Output rows are
     IDENTICAL either way (property-tested on skewed and uniform probe
-    corpora); only the physical distribution changes.  Pass ``decision``
-    (a dict) to capture the measurement for logging/telemetry."""
+    corpora); only the physical distribution changes.  ``how`` is
+    restricted to left-preserving joins, same rule and same loud
+    ValueError as :func:`salted_join` — and the check fires here even
+    when the measurement declines to salt, so a right/full outer caller
+    fails deterministically rather than only on skewed data.  Pass
+    ``decision`` (a dict) to capture the measurement for telemetry."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALT_SAFE_HOWS
+    }:
+        raise ValueError(
+            f"auto_salted_join(how={how!r}) would duplicate unmatched "
+            "right rows when salting engages; only left-preserving joins "
+            "are supported"
+        )
     d = auto_salt(
         left,
         on,

@@ -1835,7 +1835,15 @@ def corpus_e2e(spark, sf_dir):
     as auto_salt / the kcore broadcast)."""
     from tamar_spark.sources import spread
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    return e2e_frame(spread(load_table(spark, sf_dir, "documents")))
+
+
+def e2e_frame(docs: "DataFrame") -> "DataFrame":
+    """The curate → mixture → tokenize → pack composition over any
+    ``(lang, source, doc_id, text)`` frame — shared by the registered
+    :func:`corpus_e2e` and the bench_scale linearity probe so the probe
+    can never drift from the query it claims to measure (the same
+    shared-kernel rule as ``tokenize_pack_frame``/``curate_verdicts``)."""
     kept = (
         curate_verdicts(docs.select("doc_id", "text", "lang"))
         .filter(F.col("keep"))

@@ -564,6 +564,28 @@ def test_auto_salt_decides_from_measured_skew(spark):
             map(tuple, plain.collect())
         )
 
+    # right/full outer would emit salt x null-padded rows for right keys
+    # absent from the left — both entry points must reject them loudly,
+    # and auto_salted_join must reject even when measurement would
+    # decline (the error should not depend on the data's skew)
+    import pytest as _pytest
+
+    from tamar_spark.plans import salted_join
+
+    for bad in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError, match="left-preserving"):
+            salted_join(skewed, dim, on="k", how=bad)
+        with _pytest.raises(ValueError, match="left-preserving"):
+            auto_salted_join(uniform, dim, on="k", partitions=32, how=bad)
+    # left outer stays supported: unmatched LEFT rows are not replicated
+    lo_plain = skewed.join(dim, "k", "left").select("id", "payload")
+    lo_salt = salted_join(skewed, dim, on="k", how="left").select(
+        "id", "payload"
+    )
+    assert sorted(map(tuple, lo_salt.collect()), key=str) == sorted(
+        map(tuple, lo_plain.collect()), key=str
+    )
+
 
 def test_plan_helpers_detect_python_stage(spark):
     from tamar_spark.plans import has_python_stage
@@ -1073,6 +1095,19 @@ def test_kcore_star_vs_clique(spark):
     got = {r.node: r.core_degree for r in kcore(df, k=2, stats=stats).collect()}
     assert got == {10: 3, 11: 3, 12: 3, 13: 3}
     assert stats["converged"]
+    # the one-row-per-pair contract escape hatch: the same graph fed as
+    # bi-oriented duplicated rows must yield the identical core when the
+    # caller declares the input unnormalized (duplicates would otherwise
+    # double every degree and fake a k=2 star core)
+    messy = spark.createDataFrame(
+        star + [(b, a) for a, b in star] + clique + clique,
+        "a long, b long",
+    )
+    got_messy = {
+        r.node: r.core_degree
+        for r in kcore(messy, k=2, assume_one_row_per_pair=False).collect()
+    }
+    assert got_messy == got
 
 
 def test_kcore_matches_direct_peel_on_random_graph(spark):
@@ -1749,6 +1784,20 @@ def test_png_roundtrip_all_filters_and_rejections():
         M.parse_png(_variant(raster=b"\x00not-deflate"))
     with _pytest.raises(ValueError, match="not a PNG"):
         M.parse_png(b"\x89PNG\r\n\x1a\x00junk")
+    # guard ordering: width=0 must be the documented ValueError, not a
+    # ZeroDivisionError from the row-size arithmetic
+    with _pytest.raises(ValueError, match="width must be positive"):
+        M.make_png(b"xyz", width=0)
+    # a short IHDR (valid CRC over the short body) must be a ValueError,
+    # not a struct.error escaping the parser's contract
+    short_ihdr = (
+        sig
+        + M._png_chunk(b"IHDR", struct.pack(">IIBBBB", 5, 2, 8, 0, 0, 0))
+        + M._png_chunk(b"IDAT", zlib.compress(bytes(12)))
+        + M._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="13 bytes"):
+        M.parse_png(short_ihdr)
 
 
 def test_decode_image_pixels_png_on_spark(spark):
@@ -1772,6 +1821,28 @@ def test_decode_image_pixels_png_on_spark(spark):
     }
     assert got[1] == (11, 10, 3, _h.sha256(raw).hexdigest())
     assert got[2] == (15, 7, 3, _h.sha256(raw[: 7 * 45]).hexdigest())
+
+
+def test_decode_image_corrupt_png_is_data_error_not_codec_gap(spark):
+    """Without PIL, a payload whose PNG magic is recognized but whose
+    body is corrupt must surface the parser's ValueError (bad DATA), not
+    the 'codec not available' NotImplementedError — misdiagnosing
+    corruption as a missing dependency sends the operator hunting for
+    the wrong fix."""
+    import pytest as _pytest
+
+    from tamar_spark.functions import multimodal as M
+
+    if M.HAS_PIL:
+        _pytest.skip("PIL present: the no-PIL dispatch path is inert")
+    corrupt = bytearray(M.make_png(bytes(range(99)), width=11))
+    corrupt[-5] ^= 0xFF  # break the IEND CRC
+    df = spark.createDataFrame([Row(id=1, payload=bytes(corrupt))])
+    with _pytest.raises(Exception) as e:
+        M.decode_image(df, fake=False).collect()
+    msg = str(e.value)
+    assert "CRC mismatch" in msg
+    assert "codec (Pillow) not available" not in msg
 
 
 def test_decode_image_real_path_without_pil_on_bmp(spark):

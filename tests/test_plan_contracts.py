@@ -98,7 +98,11 @@ CONTRACTS = [
     ("trend_ols", 2, 0),  # 1-row t0 broadcast + one exact-moment agg
     ("table_profile", 2, 0),  # one Expand + aggregate; single table scan
     # per-row array fold does sentence-split, lang-ID, and the segment
-    # collapse in one projection — no window functions, no shuffle
+    # collapse in one projection — no window functions, no KEYED shuffle.
+    # sources.spread adds one conditional ROUND-ROBIN redistribution on
+    # the single-row-group fixture (shuffle_count counts hash/range
+    # only, by design); test_spread_roundrobin_is_bounded pins that the
+    # round-robin count stays <= 1
     ("lang_segments", 0, 0),
     # round-7 wave 2
     # one Expand off a single fact scan + per-value agg + 3-row agg + sort
@@ -389,6 +393,17 @@ def test_corpus_e2e_composition_plan(spark, sf_dir):
     assert plan.count("FlatMapGroupsInPandas") == 1  # the pack walk
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_spread_roundrobin_is_bounded(spark, sf_dir):
+    """shuffle_count deliberately ignores round-robin exchanges, so the
+    spread()-using queries need their own pin: the conditional
+    redistribution must appear AT MOST ONCE in the visible plan (a
+    regression that repartitions per-stage would multiply it and hide
+    from the keyed-shuffle contracts above)."""
+    for name in ("lang_segments", "corpus_tokenize_pack", "corpus_e2e"):
+        plan = executed_plan(QUERIES[name](spark, sf_dir)).lower()
+        assert plan.count("roundrobin") <= 1, (name, plan.count("roundrobin"))
 
 
 def test_bloom_join_prune_probe_is_prejoin(spark, sf_dir):
