@@ -571,13 +571,23 @@ def main() -> None:
         gc.collect()
     results["edit_distance_pairs_at_16x"] = [n_pairs]
 
-    # Wide-tier probe (r6 VERDICT task 4): the production two-tier config
-    # (120-bit fingerprint for long docs + length-bucketed short tier)
-    # must hold past where the 60-bit tier's n²/2⁷ candidate term bites —
-    # timed to 64× (the 60-bit row deliberately stops at 16×).  The
-    # candidate CONSTANT is measured analytically: raw chunk-join volume
-    # = Σ c·(c−1)/2 over (chunk, key) buckets, no join executed — at
-    # sf0.1's length mix the 15-bit keys cut it ~2⁶-2⁸× vs 7-bit keys.
+    # Wide-tier probe (r6 VERDICT task 4), RESTRUCTURED in r8: the r7
+    # form timed the full two-tier operator to 64×, but at 64× the
+    # SHORT-doc tier dominates the wall clock — its length-bucket
+    # candidates are Σ bucket² by documented design (exhaustive within a
+    # bucket), so 64 replicas of every short doc grow its verify
+    # quadratically and DROWN the signal the probe exists to measure
+    # (the wide fingerprint's candidate selectivity on long docs; the
+    # combined verify stage ground for 48+ min before the split).  The
+    # two tiers now probe in their own regimes: the 120-bit LONG tier on
+    # the long-doc corpus to 64× (must stay near-linear — that is the
+    # production claim), and the short tier to 16× with its expected
+    # ~k² growth stated up front (the tier is exhaustive ON PURPOSE; the
+    # mitigation for short-heavy corpora is exact dedup first, per the
+    # operator docstring).  The candidate CONSTANT is still measured
+    # analytically: raw chunk-join volume = Σ c·(c−1)/2 over (chunk,
+    # key) buckets, no join executed — at sf0.1's length mix the 15-bit
+    # keys cut it ~2⁶-2⁸× vs 7-bit keys.
     def edit_docs(k):
         parts = []
         for i in range(k):
@@ -611,17 +621,33 @@ def main() -> None:
 
     from tamar_spark.operators.dedup import edit_distance_pairs as _edp
 
-    results["edit_distance_wide"] = []
+    results["edit_distance_wide_long"] = []
     for k in [1, 4, 16, 64]:
         t0 = time.perf_counter()
         n_wide = _edp(
-            edit_docs(k), max_dist=30, max_hamming=7, bits=120,
-            short_max_chars=350,
+            edit_docs(k).where(F.length("text") >= 350 + 30),
+            max_dist=30, max_hamming=7, bits=120,
         ).count()
-        results["edit_distance_wide"].append(round(time.perf_counter() - t0, 2))
+        results["edit_distance_wide_long"].append(
+            round(time.perf_counter() - t0, 2)
+        )
         spark.catalog.clearCache()
         gc.collect()
-    results["edit_distance_wide_pairs_at_64x"] = [n_wide]
+    results["edit_distance_wide_long_pairs_at_64x"] = [n_wide]
+    results["edit_distance_short_tier"] = []
+    for k in [1, 4, 16]:
+        from tamar_spark.operators.dedup import length_bucket_pairs
+
+        t0 = time.perf_counter()
+        n_short = length_bucket_pairs(
+            edit_docs(k).where(F.length("text") < 350 + 30), 30
+        ).count()
+        results["edit_distance_short_tier"].append(
+            round(time.perf_counter() - t0, 2)
+        )
+        spark.catalog.clearCache()
+        gc.collect()
+    results["edit_distance_short_pairs_at_16x"] = [n_short]
     long_docs_16 = edit_docs(16).where(F.length("text") >= 350)
     results["edit_distance_candidates_16x_60v120"] = [
         candidate_volume(long_docs_16, 60, 7),
