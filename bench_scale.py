@@ -1049,9 +1049,15 @@ def main() -> None:
     results["bloom_join_on"] = []
     results["bloom_join_prune_frac"] = []
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    old_aqe_thresh = spark.conf.get(
-        "spark.sql.adaptive.autoBroadcastJoinThreshold", ""
-    )
+    # Spark 4 validates conf.get's DEFAULT against the conf's type, so
+    # get(key, "") throws on this optional bytes conf when it is unset —
+    # probe for the value and fall back to "unset" explicitly
+    try:
+        old_aqe_thresh = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold"
+        )
+    except Exception:
+        old_aqe_thresh = ""
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
