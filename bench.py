@@ -5,7 +5,7 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
    "runs": R, "bands": {q: [min, median, max]}, "cold": {...},
    "cold_total": N, "baseline_set": [...], "baseline_median_total": N,
-   "baseline_cold_total": N, "extended_runs": R2}
+   "baseline_cold_total": N, "nonfocus_passes": R2}
 
 Variance protocol (r4 VERDICT task 3; two-tier split r5 task 8; rotating
 focus tier r7 task 3): the RECORDED_BASELINE set — the 21 queries whose
@@ -303,7 +303,8 @@ def main() -> None:
     # at least once every three rounds
     for _ in range(runs - 1):
         one_pass(focus)
-    # tier 4: leftover budget buys extra full extended passes as before
+    # tier 4: leftover budget buys extra NON-FOCUS passes (the focus third
+    # already has its full run count from tier 3, so these passes skip it)
     for _ in range(runs - 1):
         if time.perf_counter() - started > budget_s:
             break
@@ -332,7 +333,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": runs,
-                "extended_runs": ext_runs,
+                # pass count for NON-FOCUS extended queries (tier 2 cold
+                # pass + tier-4 budget passes, which exclude the focus
+                # third); focus queries get `runs` samples (r8 ADVICE:
+                # the old name "extended_runs"/"extended_full_passes"
+                # claimed full extended passes that tier 4 never runs)
+                "nonfocus_passes": ext_runs,
                 "bands": bands,
                 "cold": cold,
                 "baseline_set": RECORDED_BASELINE,
@@ -348,7 +354,7 @@ def main() -> None:
                 # i % 3 == focus_slice — no name list, the tail is scarce
                 "protocol": {
                     "anchor_runs": runs,
-                    "extended_full_passes": ext_runs,
+                    "nonfocus_passes": ext_runs,
                     "bench_round": rnd,
                     "focus_slice": rnd % 3,
                     "focus_runs": runs,

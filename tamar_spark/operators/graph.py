@@ -198,7 +198,7 @@ def kcore(
     dst: str = "b",
     max_rounds: int = 12,
     stats: dict | None = None,
-    broadcast_below: int = 4_000_000,
+    broadcast_below: int = 1_000_000,
     assume_one_row_per_pair: bool = True,
 ) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph in which
@@ -242,13 +242,19 @@ def kcore(
       match the two-sided variant exactly on the sf0.1 fixture.
     - The alive side of the semi-join is broadcast whenever the
       PREVIOUS round's count (already in hand — free) is below
-      ``broadcast_below`` keys (~32 MB of bigints at the 4M default):
-      the semi-join then runs map-side over the cached edge list and
-      the only shuffle left is the bounded-key degree aggregate.  Above
-      the threshold it falls back to a shuffle semi-join — alive is
-      O(V), so unconditional broadcast would be a 100 TB lie; this is
-      the measured-count-driven adaptive choice (the same
-      statistic-driven pattern as the skew profiler).
+      ``broadcast_below`` keys.  The real broadcast cost is NOT the raw
+      key bytes: a broadcast semi-join side materializes as a
+      driver-built LongHashedRelation at roughly 30-50 bytes per key
+      (hash table slots + row storage), replicated to every executor —
+      the 1M default is ~30-50 MB in-relation, a safe fraction of
+      default driver/executor memory (r8 ADVICE: the old 4M default's
+      docstring counted only 8-byte keys and understated the ceiling
+      ~4-6×).  The semi-join then runs map-side over the cached edge
+      list and the only shuffle left is the bounded-key degree
+      aggregate.  Above the threshold it falls back to a shuffle
+      semi-join — alive is O(V), so unconditional broadcast would be a
+      100 TB lie; this is the measured-count-driven adaptive choice
+      (the same statistic-driven pattern as the skew profiler).
 
     The alive set only shrinks, so round cost is monotonically
     non-increasing; rounds = the graph's peel depth at k (bounded by the

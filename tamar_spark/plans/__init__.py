@@ -99,10 +99,13 @@ def shuffle_count(df: DataFrame) -> int:
 # matches at most its own replicas' keys, and unmatched RIGHT replicas
 # produce nothing (inner/semi/anti) or nothing extra (left outer).  For
 # right/full outer the unmatched right replicas each emit a null-padded
-# row — salt× duplicates — so those joins are rejected loudly.
+# row — salt× duplicates — so those joins are rejected loudly.  "cross"
+# is rejected too (r8 ADVICE): these helpers always join ON [key, salt],
+# so a how="cross" caller would silently get an inner equi-join rather
+# than a cartesian product — better to fail loudly than mislead.
 _SALT_SAFE_HOWS = frozenset(
     {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi",
-     "semi", "left_anti", "leftanti", "anti", "cross"}
+     "semi", "left_anti", "leftanti", "anti"}
 )
 
 

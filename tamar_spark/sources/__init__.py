@@ -61,11 +61,25 @@ def ts_ns_columns(path: str) -> tuple:
     )
 
 
+def _parse_bytes(s: str) -> int:
+    """Spark size-conf string → bytes (handles bare ints, '134217728b',
+    '128m', '4mb', '1g' — the forms Spark's own byte confs round-trip)."""
+    s = str(s).strip().lower()
+    units = {
+        "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+        "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40, "b": 1,
+    }
+    for suffix in sorted(units, key=len, reverse=True):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * units[suffix])
+    return int(s)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Measured-condition repartition for CPU-bound projection stages
     (per-row token folds, n-gram transforms, raster decode): when the
-    input arrives in fewer partitions than the cluster has cores —
-    locally the fixture parquet is ONE row group, so Spark hands the
+    input scan yields fewer partitions than the cluster has cores —
+    locally the fixture parquet is ONE small file, so Spark hands the
     whole table to one task and a fold-heavy projection serializes
     (measured: lang_segments 5.3 s single-task vs sub-second spread) —
     shuffle once up to ``defaultParallelism``.  On a real cluster a
@@ -74,9 +88,48 @@ def spread(df: DataFrame) -> DataFrame:
     queries advertise are preserved exactly where they matter.  The same
     measured-condition pattern as ``plans.auto_salt`` and the k-core
     adaptive broadcast — decide from what the data actually looks like,
-    never a fixed rule."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    never a fixed rule.
+
+    The probe is an input-split ESTIMATE from the scan's files (r8
+    VERDICT task 6: the previous ``df.rdd.getNumPartitions()`` forced a
+    second physical-planning pass, read the pre-AQE count, and would not
+    exist under Spark Connect).  It mirrors Spark's own
+    FilePartition packing: every file is padded by ``openCostInBytes``,
+    the split size is ``min(maxPartitionBytes, max(openCost,
+    total/parallelism))``, and the partition count is at most
+    ``ceil(total / split)`` — so ``est < cores`` certainly means an
+    under-parallel scan.  Scan-backed frames only (every call site
+    applies it right after ``load_table``): a frame with no resolvable
+    local input files — non-file source, remote object store, or a
+    derived frame — is returned unchanged, which is exactly the
+    production posture (pre-split input → no-op)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    sizes = []
+    for uri in files:
+        if not uri.startswith("file:"):
+            return df  # remote storage arrives pre-split → no-op
+        from urllib.parse import unquote, urlparse
+
+        try:
+            sizes.append(os.path.getsize(unquote(urlparse(uri).path)))
+        except OSError:
+            return df
+    conf = df.sparkSession.conf
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext handle
+        par = int(conf.get("spark.sql.shuffle.partitions", "200"))
+    max_pb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    total = sum(sz + open_cost for sz in sizes)
+    split = min(max_pb, max(open_cost, total // max(1, par)))
+    est_partitions = -(-total // max(1, split))
+    if est_partitions < par:
         return df.repartition(par)
     return df
 

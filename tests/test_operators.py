@@ -508,20 +508,30 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
-def test_spread_is_condition_gated(spark):
-    """sources.spread must repartition a below-parallelism input up to
-    defaultParallelism and return an already-parallel input UNCHANGED
+def test_spread_is_condition_gated(spark, tmp_path):
+    """sources.spread must repartition a below-parallelism scan up to
+    defaultParallelism and return an already-parallel scan UNCHANGED
     (same plan object — the 100 TB no-op guarantee), preserving rows
-    either way."""
+    either way.  Probes are the r8-task-6 Connect-safe input-split
+    estimate (file sizes + openCostInBytes packing), so both branches
+    use parquet-backed frames: one file → under-parallel; 2×cores tiny
+    files pack (with open-cost padding) into ≥cores splits → no-op.
+    Non-scan frames (no input files) must also pass through unchanged."""
     from tamar_spark.sources import spread
 
     par = spark.sparkContext.defaultParallelism
-    narrow = spark.range(0, 1000).coalesce(1)
-    wide = spark.range(0, 1000).repartition(par)
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    spark.range(0, 1000).coalesce(1).write.parquet(one)
+    spark.range(0, 1000).repartition(2 * par).write.parquet(many)
+    narrow = spark.read.parquet(one)
+    wide = spark.read.parquet(many)
     s_narrow = spread(narrow)
     assert s_narrow.rdd.getNumPartitions() == par
     assert s_narrow.count() == 1000
     assert spread(wide) is wide  # condition false → identical object
+    derived = spark.range(0, 10)  # no input files → conservative no-op
+    assert spread(derived) is derived
 
 
 def test_auto_salt_decides_from_measured_skew(spark):
