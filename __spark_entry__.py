@@ -71,6 +71,14 @@ _CHANGED_IN_ROUND = {
     # a ~threshold-sized broadcast, bimodal 7 s / 35-48 s) — rows provably
     # unchanged, but the plan rewrite should carry a fresh attestation.
     "graph_triangles": 8,
+    # r9: bpe_learn grew the measured-vocab driver-local tier (r8 VERDICT
+    # task 2) — merges provably identical (two-tier property test), but
+    # every kernel-sharing query should carry a fresh attestation.
+    "bpe_merges": 9,
+    "bpe_encode": 9,
+    "bpe_fertility": 9,
+    "corpus_tokenize_pack": 9,
+    "corpus_e2e": 9,
 }
 
 

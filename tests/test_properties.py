@@ -691,6 +691,11 @@ def _py_bpe(word_freqs, steps):
 )
 @given(pairs=bpe_words_strategy)
 def test_bpe_learn_matches_reference_model(spark, pairs):
+    """Both kernel tiers (r8 VERDICT task 2) must replay the reference
+    model exactly: the driver-local merge loop (vocab under the measured
+    cap — the default path here) and the distributed step loop (forced
+    with local_below=0), so the tier split can never make the two
+    regimes drift."""
     from tamar_spark.queries_pipeline import bpe_learn
 
     word_freqs = {}
@@ -699,11 +704,13 @@ def test_bpe_learn_matches_reference_model(spark, pairs):
     df = spark.createDataFrame(
         list(word_freqs.items()), "word string, freq long"
     )
-    got = [
-        (r.step, r.pair_left, r.pair_right, r.merged, r.cnt)
-        for r in bpe_learn(df, steps=3).collect()
-    ]
-    assert got == _py_bpe(word_freqs, 3)
+    expected = _py_bpe(word_freqs, 3)
+    for local_below in (200_000, 0):
+        got = [
+            (r.step, r.pair_left, r.pair_right, r.merged, r.cnt)
+            for r in bpe_learn(df, steps=3, local_below=local_below).collect()
+        ]
+        assert got == expected, f"local_below={local_below}"
 
 
 token_list_strategy = st.lists(
