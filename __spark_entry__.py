@@ -67,10 +67,10 @@ _CHANGED_IN_ROUND = {
     # r8: oracle tiebreak aligned to max(struct)'s highest-shard rule and
     # shard cast to bigint on the Spark side (r7 ADVICE).
     "rendezvous_shards": 8,
-    # r8: adjacency joins hint-pinned SHUFFLE_HASH (AQE was flip-flopping
-    # a ~threshold-sized broadcast, bimodal 7 s / 35-48 s) — rows provably
-    # unchanged, but the plan rewrite should carry a fresh attestation.
-    "graph_triangles": 8,
+    # r9: adjacency joins now pick broadcast vs shuffle-hash from the
+    # MEASURED entry count (r8 task 3) — rows provably unchanged, plan
+    # rewrite carries a fresh attestation (supersedes the r8 entry).
+    "graph_triangles": 9,
     # r9: bpe_learn grew the measured-vocab driver-local tier (r8 VERDICT
     # task 2) — merges provably identical (two-tier property test), but
     # every kernel-sharing query should carry a fresh attestation.

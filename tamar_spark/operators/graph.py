@@ -318,7 +318,12 @@ def kcore(
 _ORIENTED_CACHE: list = []
 
 
-def triangles_per_node(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+def triangles_per_node(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    broadcast_bytes_below: int = 32 << 20,
+) -> DataFrame:
     """Per-node triangle counts via degree-ordered orientation
     (Suri & Vassilvitskii's MapReduce formulation): orient every
     undirected edge from its lower-(degree, id) endpoint to the higher,
@@ -362,28 +367,40 @@ def triangles_per_node(edges: DataFrame, a: str = "a", b: str = "b") -> DataFram
     # Out-lists are bounded by the orientation's O(√E) degree cap, so the
     # per-row arrays stay bounded on hub nodes; at extreme E where √E
     # arrays outgrow a row, fall back to the wedge-join formulation.
-    # The adjacency side is hint-pinned to SHUFFLE_HASH: its row count is
-    # small (one row per non-sink node) but each row carries an O(√E)
-    # neighbor array, so its BYTE size sits near the broadcast threshold
-    # and AQE's run-to-run size estimates flip the plan between a
-    # single-threaded ~100 MB HashedRelation broadcast build (measured
-    # 35-48 s per pass at sf0.1) and a parallel shuffle join (6-8 s) —
-    # a bimodal plan is worse than either mode.  Shuffle-hash is also the
-    # only strategy that survives scale (adjacency is O(V·√E) bytes,
-    # never broadcastable at 100 TB) and it beats sort-merge here because
-    # sorting rows with fat arrays pays serialization for no gain.
+    # The adjacency side's strategy is PICKED from its measured size, not
+    # left to AQE (r8 VERDICT task 3): its row count is small (one row per
+    # non-sink node) but each row carries an O(√E) neighbor array, so its
+    # BYTE size sits near the broadcast threshold and AQE's run-to-run
+    # size estimates flipped the plan between a slow mid-flight broadcast
+    # conversion (measured 32-48 s per pass at sf0.1) and a parallel
+    # shuffle join (6-10 s) — a bimodal plan is worse than either mode.
+    # The count below (one job over the already-persisted oriented list —
+    # it doubles as the cache materialization the closure needs anyway)
+    # gives the total neighbor-entry count |E|; at ~24 bytes per entry in
+    # a built HashedRelation (8 B long + array/row overhead), a PLANNED
+    # broadcast is chosen only when the estimate fits comfortably
+    # (default 32 MB) — measured 4.0-5.4 s per pass at sf0.1 (11 MB
+    # adjacency) vs 6.3-9.7 s shuffle-hash, and deterministic because the
+    # decision is data-driven, not estimate-driven.  Past the threshold —
+    # adjacency is O(V·√E) bytes, never broadcastable at 100 TB — it pins
+    # SHUFFLE_HASH, which beats sort-merge here because sorting rows with
+    # fat arrays pays serialization for no gain.
+    n_entries = oriented.count()
+    adj_small = n_entries * 24 <= broadcast_bytes_below
     adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if adj_small else df.hint("shuffle_hash")
+
     empty = F.array().cast("array<bigint>")
     closed = (
         oriented.select("u", "v")
         .join(
-            adj.select(F.col("u").alias("_u1"), F.col("nbrs").alias("n_u"))
-            .hint("shuffle_hash"),
+            _pin(adj.select(F.col("u").alias("_u1"), F.col("nbrs").alias("n_u"))),
             F.col("u") == F.col("_u1"),
         )
         .join(
-            adj.select(F.col("u").alias("_u2"), F.col("nbrs").alias("n_v"))
-            .hint("shuffle_hash"),
+            _pin(adj.select(F.col("u").alias("_u2"), F.col("nbrs").alias("n_v"))),
             F.col("v") == F.col("_u2"),
             "left",
         )

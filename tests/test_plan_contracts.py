@@ -418,6 +418,39 @@ def test_bloom_join_prune_probe_is_prejoin(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row bloom attach
 
 
+def test_triangles_adaptive_join_pins_both_regimes(spark, sf_dir):
+    """triangles_per_node (r8 VERDICT task 3) picks the adjacency join
+    strategy from the MEASURED entry count: a planned broadcast when the
+    ~24 B/entry HashedRelation estimate fits the byte budget (the
+    deterministic fast mode at fixture scale), SHUFFLE_HASH when it does
+    not (the only strategy that survives an O(V·√E)-byte adjacency at
+    100 TB).  Forcing the budget to 0 must pin shuffle-hash with no
+    broadcast on the adjacency joins — the scale regime stays reachable
+    and deterministic, never an AQE coin flip."""
+    from pyspark.sql import functions as F
+
+    from tamar_spark.operators.graph import triangles_per_node
+    from tamar_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.s") < F.col("y.s")))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+    )
+    # (broadcast_join_count spans the whole plan text incl. the edge
+    # build's own broadcasts, so the pin counts ShuffledHashJoin — the
+    # adjacency joins are the only candidates for it in this DAG)
+    small = triangles_per_node(edges)  # fixture adjacency fits → broadcast
+    assert executed_plan(small).count("ShuffledHashJoin") == 0
+    assert broadcast_join_count(small) >= 2
+    big = triangles_per_node(edges, broadcast_bytes_below=0)
+    assert executed_plan(big).count("ShuffledHashJoin") >= 2
+
+
 def test_weighted_sample_topk_is_take_ordered(spark, sf_dir):
     """The global top-200 by priority must compile to
     TakeOrderedAndProject (per-partition heads + merge), never a full
