@@ -79,6 +79,9 @@ _CHANGED_IN_ROUND = {
     "bpe_fertility": 9,
     "corpus_tokenize_pack": 9,
     "corpus_e2e": 9,
+    # r9: star-CC rounds rewritten window+canonical-pair (r8 task 5) —
+    # per-round edge sets provably identical, plan rewrite re-attested.
+    "dedup_clusters_star": 9,
 }
 
 
