@@ -175,6 +175,8 @@ EXTENDED = [
     # round-8 additions (near-freeze round: ledger catch-up)
     "image_png_pixels",
     "corpus_e2e",
+    # round-9 additions
+    "embed_abtt_ivf_topk",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

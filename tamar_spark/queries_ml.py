@@ -1457,17 +1457,32 @@ def embed_abtt_topk(spark, sf_dir):
     estimate+correct chain into BOTH sides of the search join (measured:
     27 shuffles → 1); with it, search is the brute-force kernel's one
     window over the stored vectors (the honest baseline; the LSH/IVF/PQ
-    tiers compose with corrected vectors unchanged)."""
+    tiers compose with corrected vectors unchanged —
+    :func:`embed_abtt_ivf_topk` is exactly that composition)."""
     from tamar_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
+    corrected = _abtt_corrected(spark, emb)
+    probes = corrected.filter(F.col("vec_id") % 50 == 0)
+    return S.cosine_topk(corrected, probes, k=5)
+
+
+def _abtt_corrected(spark, emb):
+    """The ABTT-corrected corpus (vec_id, embedding), materialized once
+    (localCheckpoint — in production this is the persisted corrected
+    table, searched many times): estimate the top component with the
+    shared power-iteration kernel, remove each vector's projection
+    x' = x̃ − (x̃·v)v.  Shared by the exact-search baseline
+    (:func:`embed_abtt_topk`) and the IVF-composed production shape
+    (:func:`embed_abtt_ivf_topk`) so the correction cannot drift between
+    them."""
     x, v_df = _pca_center_component(spark, emb)
     d = F.aggregate(
         F.zip_with("xv", "pv", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    corrected = (
+    return (
         x.crossJoin(F.broadcast(v_df))
         .withColumn("_d", d)
         .select(
@@ -1478,5 +1493,60 @@ def embed_abtt_topk(spark, sf_dir):
         )
         .localCheckpoint()
     )
+
+
+def _abtt_ivf_oracle(dim: int = _PCA_DIM, iters: int = _PCA_ITERS) -> str:
+    """Chain of the existing stage twins (r8 VERDICT task 4): the ABTT
+    correction CTE feeds the shared IVF pipeline fragment
+    (queries_tpch._IVF_PIPE_SQL) with the corrected vectors as both
+    corpus and probe set — one SQL statement replaying index-build and
+    search over x' exactly as the registered parts do separately."""
+    from tamar_spark.queries_tpch import _IVF_PIPE_SQL
+
+    chain, prev = _pca_cte(dim, iters)
+    return (
+        chain
+        + f""",
+abtt AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, {dim} + 1),
+                        i -> xv[i] - list_dot_product(xv, pv) * pv[i]) AS cv
+  FROM x, {prev}
+),
+c AS (SELECT vec_id AS neighbor_id, cv FROM abtt),
+q AS (SELECT vec_id AS query_id, cv AS qv FROM abtt WHERE vec_id % 50 = 0),
+"""
+        + _IVF_PIPE_SQL
+    )
+
+
+@query("embed_abtt_ivf_topk", _abtt_ivf_oracle())
+def embed_abtt_ivf_topk(spark, sf_dir):
+    """The ABTT isotropy correction composed WITH the IVF index — the
+    production shape (r8 VERDICT task 4): apply the correction at
+    index-BUILD time, then search the corrected space through the
+    inverted-file index (16 lists, probe 4, exact rerank), all one plan
+    over the materialized corrected table.  ``embed_abtt_topk`` stays
+    registered as the exact-scan ground truth; recall@5 of this query
+    against it is recorded in BASELINE.md.
+
+    Determinism: corrected vectors are bit-identical across engines (the
+    9 dp-rounded component, one fixed-order fold, two exactly-rounded
+    IEEE ops per element — embed_abtt_topk's argument), and everything
+    downstream is the already-hash-checked IVF pipeline over identical
+    inputs (md5 seed pick, rk-1 assignment, probe-4 rerank with the
+    score DESC / neighbor ASC tie-break).
+
+    Scale: the correction is a 1-row broadcast + per-row map paid once
+    at index build; search probes 4/16 of the corrected corpus via the
+    list_id equi-join — the same bucket-bounded candidate generation as
+    embed_ivf_topk, now over the isotropy-fixed space where cosine
+    neighborhoods are better separated (the reason production systems
+    correct BEFORE indexing: the index partitions the geometry that
+    search will actually use)."""
+    from tamar_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corrected = _abtt_corrected(spark, emb)
     probes = corrected.filter(F.col("vec_id") % 50 == 0)
-    return S.cosine_topk(corrected, probes, k=5)
+    return S.ivf_topk(corrected, probes, k=5)

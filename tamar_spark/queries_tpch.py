@@ -820,10 +820,11 @@ def streaming_sliding_agg(spark, sf_dir):
     return _run_to_memory(agg)
 
 
-_IVF_TOPK_SQL = """
-WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
-seed AS (
+# The IVF pipeline over any (c: neighbor_id, cv) corpus and (q: query_id,
+# qv) probe CTEs — shared verbatim by the raw-embedding oracle below and
+# the ABTT-composed oracle in queries_ml (r8 VERDICT task 4), so the two
+# replays cannot drift.
+_IVF_PIPE_SQL = """seed AS (
   SELECT neighbor_id, cv, md5(CAST(neighbor_id AS VARCHAR)) AS h
   FROM c ORDER BY h, neighbor_id LIMIT 16
 ), cents AS (
@@ -861,6 +862,14 @@ seed AS (
 SELECT query_id, neighbor_id, round(s, 6) AS score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+_IVF_TOPK_SQL = (
+    """
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+"""
+    + _IVF_PIPE_SQL
+)
 
 
 @query("embed_ivf_topk", _IVF_TOPK_SQL)
