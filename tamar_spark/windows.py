@@ -38,6 +38,7 @@ __all__ = [
     "tumbling",
     "sliding",
     "salted_sessions",
+    "auto_salted_sessions",
 ]
 
 
@@ -214,6 +215,90 @@ def salted_sessions(
     return merged.select(
         "window_start",
         (F.col("_last") + gap_iv).alias("window_end"),
+        *keys,
+        "n_events",
+        *[name for name, _ in sums],
+    )
+
+
+def auto_salted_sessions(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    gap: str,
+    sums: Sequence[tuple] = (),
+    bucket_seconds: int = 86400,
+    partitions: Optional[int] = None,
+    hot_task_ratio: float = 2.0,
+    decision: Optional[dict] = None,
+) -> DataFrame:
+    """Sessionization that engages the time-bucket salt ONLY when the
+    key distribution measurably needs it (r8 VERDICT task 8 — the same
+    measured-condition pattern as ``plans.auto_salt``): one per-key
+    count aggregate (the documented pre-flight cost, paid once per
+    pipeline) decides between the plain native ``session_window`` plan
+    and :func:`salted_sessions`.
+
+    The straggler rule mirrors ``auto_salt``: the session shuffle over
+    ``partitions`` tasks puts ``n_rows / partitions`` events in an
+    average task; the hottest key forces ``max_rows`` into ONE task
+    however the hash falls (sessions shuffle on the key alone).  Salting
+    engages when ``max_rows > hot_task_ratio × avg_task`` — below that
+    line a hot key cannot produce a straggler worth the extra
+    sub-session merge stage, so the plain plan (one shuffle, native
+    merge) wins; above it the hot key's history is split across
+    ``span / bucket_seconds`` parallel tasks and re-stitched over
+    session rows (orders of magnitude fewer than events).  With default
+    parallelism P the engage line sits at a key holding more than
+    ``hot_task_ratio / P`` of the corpus — ~2 task-shares, i.e. ~6% of
+    events at the local P=32, ~0.2% at a 1000-core cluster.
+
+    Output rows are IDENTICAL on both paths by salted_sessions'
+    construction (property-tested on skewed and uniform probe corpora):
+    ``window_start``, ``window_end`` (last event + gap), ``*keys``,
+    ``n_events``, one DECIMAL column per ``sums`` entry.  Pass
+    ``decision`` (a dict) to capture the measurement for telemetry."""
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    row = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_rows"),
+        )
+        .first()
+    )
+    n_rows = int(row["n_rows"] or 0)
+    max_rows = int(row["max_rows"] or 0)
+    avg_task = n_rows / max(1, partitions)
+    engaged = n_rows > 0 and max_rows > hot_task_ratio * avg_task
+    if decision is not None:
+        decision.update(
+            {
+                "engaged": engaged,
+                "n_rows": n_rows,
+                "max_rows": max_rows,
+                "avg_task_rows": avg_task,
+                "top_share": (max_rows / n_rows) if n_rows else 0.0,
+            }
+        )
+    if engaged:
+        return salted_sessions(
+            df, keys, ts, gap, sums=sums, bucket_seconds=bucket_seconds
+        )
+    agg = df.groupBy(
+        F.session_window(F.col(ts), gap).alias("_w"), *[F.col(k) for k in keys]
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(F.col(c).cast("decimal(28,6)")).alias(name)
+            for name, c in sums
+        ],
+    )
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
         *keys,
         "n_events",
         *[name for name, _ in sums],

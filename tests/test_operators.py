@@ -1461,6 +1461,66 @@ def test_salted_sessions_match_plain_session_agg(spark, sf_dir):
     )
 
 
+def test_auto_salted_sessions_engages_from_measured_skew(spark):
+    """auto_salted_sessions (r8 VERDICT task 8) must ENGAGE the time-
+    bucket salt on the hot-key probe corpus and DECLINE on the uniform
+    one — decided from the measured per-key counts — and its output must
+    be row-identical to the plain native session plan on BOTH corpora
+    (the salted-twin identity that makes the decision purely physical)."""
+    from datetime import datetime, timedelta
+
+    from tamar_spark import windows
+
+    base = datetime(2024, 3, 1)
+    # skewed: one user holds 80% of events across 10 days; uniform: 50
+    # users × 40 events each.  Gaps alternate inside/outside the 30-min
+    # session gap so both corpora exercise real merges.
+    skew_rows = [
+        (0, base + timedelta(minutes=17 * i), float(i % 7))
+        for i in range(1600)
+    ] + [
+        (1 + (i % 40), base + timedelta(minutes=45 * (i // 40)), float(i % 5))
+        for i in range(400)
+    ]
+    unif_rows = [
+        (u, base + timedelta(minutes=45 * j + 7 * (u % 3)), float(u + j))
+        for u in range(50)
+        for j in range(40)
+    ]
+    for rows, expect_engage in ((skew_rows, True), (unif_rows, False)):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        decision: dict = {}
+        got = windows.auto_salted_sessions(
+            df, keys=["user_id"], ts="ts", gap="30 minutes",
+            sums=(("sum_value", "value"),), bucket_seconds=86400,
+            partitions=32, decision=decision,
+        )
+        assert decision["engaged"] is expect_engage, decision
+        plain = (
+            df.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "user_id", "n_events", "sum_value",
+            )
+        )
+        norm = lambda d: sorted(
+            map(tuple, d.select(
+                "window_start", "window_end", "user_id", "n_events",
+                F.col("sum_value").cast("double"),
+            ).collect())
+        )
+        assert norm(got) == norm(plain), f"engage={expect_engage}"
+
+
 def test_pq_recall_and_compression(spark):
     """PQ+rerank quality gate on the planted-cluster corpus (same regime as
     the LSH/IVF gate): the ADC scan collapses tight clusters onto one code
