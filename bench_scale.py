@@ -908,6 +908,15 @@ def main() -> None:
     # (doc-id shift alone would make every replica an exact duplicate,
     # and the curation stage's canonical-dedup would correctly collapse
     # the corpus back to 1× — which tests dedup, not composition scaling).
+    # The id stride is a MULTIPLE OF 97 so replicas keep their base doc's
+    # eval-sample membership (doc_id % 97): the original 10^10 stride
+    # redrew the eval sample per replica, and since replicas share nearly
+    # all 5-grams, one replica landing in the eval set decontaminated the
+    # other k-1 copies — by 64× the curation stage was (correctly, for
+    # that input) dropping ~48% of the corpus, so the probe measured
+    # contamination behavior instead of composition scaling (r9 diagnosis;
+    # 16× kept-rate was already 75%, so the r8-recorded 1.5× wall carried
+    # a mild version of the artifact).
     # The composition must track corpus volume ~linearly: verdict folds
     # and encode are per-row, canon/eval-gram/token aggregates are keyed,
     # the learn state is vocabulary-bounded (near-constant: replicas
@@ -926,7 +935,7 @@ def main() -> None:
                 base.select(
                     "lang",
                     "source",
-                    (F.col("doc_id") + i * 10_000_000_000).alias("doc_id"),
+                    (F.col("doc_id") + i * 10_000_000_048).alias("doc_id"),
                     F.concat(F.col("text"), F.lit(f" replica{i}")).alias(
                         "text"
                     ),
@@ -945,10 +954,15 @@ def main() -> None:
         return e2e_frame(spread(docs))
 
     results["corpus_e2e"] = []
-    for k in [1, 4, 16]:
+    results["corpus_e2e_rows"] = []
+    for k in [1, 4, 16, 64]:
         t0 = time.perf_counter()
-        e2e_scale(k).count()
+        n_packed = e2e_scale(k).count()
         results["corpus_e2e"].append(round(time.perf_counter() - t0, 2))
+        # packed-context count: the output-linearity observable (r8
+        # VERDICT task 7) — must track corpus volume ~proportionally now
+        # that replicas preserve eval membership
+        results["corpus_e2e_rows"].append(n_packed)
         spark.catalog.clearCache()
         gc.collect()
     # Session IVM: the maintained STORED table grows k× (synthetic users,
