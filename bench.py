@@ -19,8 +19,8 @@ the BENCH_r*.json ledger (override: $SPARK_GRAFT_BENCH_ROUND) — always
 gets its full ``runs`` passes, so every extended query earns a true
 multi-pass median at least once every three rounds no matter how large
 the inventory grows.  Whatever remains of the soft wall budget
-($SPARK_GRAFT_BENCH_BUDGET, default 420 s) then buys extra full extended
-passes as before.  ``value``/``queries`` are per-query MEDIANS over
+($SPARK_GRAFT_BENCH_BUDGET, default 420 s) then buys extra passes over
+the NON-FOCUS extended queries (reported as ``nonfocus_passes``).  ``value``/``queries`` are per-query MEDIANS over
 however many passes a query got; ``bands`` carries min/median/max so a
 regression can be told from machine noise; ``cold`` is each query's
 first pass (absorbing its one-time whole-stage-codegen cost).  The

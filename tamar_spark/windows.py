@@ -259,7 +259,12 @@ def auto_salted_sessions(
     ``n_events``, one DECIMAL column per ``sums`` entry.  Pass
     ``decision`` (a dict) to capture the measurement for telemetry."""
     if partitions is None:
-        partitions = df.sparkSession.sparkContext.defaultParallelism
+        try:
+            partitions = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no SparkContext handle
+            partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
     row = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
