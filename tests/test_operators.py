@@ -534,6 +534,22 @@ def test_spread_is_condition_gated(spark, tmp_path):
     assert spread(derived) is derived
 
 
+def test_parse_bytes_handles_spark_size_forms():
+    """spread()'s conf parser must round-trip every form Spark's byte
+    confs emit: bare ints, the 'b' suffix Spark 3+ returns from
+    conf.get, and human units."""
+    from tamar_spark.sources import _parse_bytes
+
+    assert _parse_bytes("134217728") == 128 << 20
+    assert _parse_bytes("134217728b") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("128MB") == 128 << 20
+    assert _parse_bytes("4mb") == 4 << 20
+    assert _parse_bytes(" 1g ") == 1 << 30
+    assert _parse_bytes("512k") == 512 << 10
+    assert _parse_bytes("2tb") == 2 << 40
+
+
 def test_auto_salt_decides_from_measured_skew(spark):
     """auto_salt (r7 VERDICT task 8) must SALT the power-law corpus and
     DECLINE the uniform one — decided from the measured per-key counts,
