@@ -150,6 +150,11 @@ CONTRACTS = [
     # estimate+correct chain cut by the corrected-corpus materialization;
     # the visible plan is the search window only
     ("embed_abtt_topk", 1, 0),
+    # same corrected-corpus cut; the visible plan is the IVF search half:
+    # centroid assignment agg, probe-list window, list_id candidate join,
+    # rank window — bucket-bounded, no broadcast-hash required (centroid
+    # attaches are 16-row broadcast nested loops)
+    ("embed_abtt_ivf_topk", 5, 0),
     # sized-bloom word agg (≤3·|sel| rows, ≤n_bits/64 per map task) +
     # month rollup + output sort; exact join broadcasts at fixture SF
     ("bloom_join_prune", 3, 1),
