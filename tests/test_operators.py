@@ -534,6 +534,36 @@ def test_spread_is_condition_gated(spark, tmp_path):
     assert spread(derived) is derived
 
 
+def test_spread_estimate_agrees_with_actual_scan_partitioning(spark, tmp_path):
+    """The spread() decision must agree with Spark's ACTUAL FilePartition
+    packing in the direction that matters: whenever spread declines (est ≥
+    cores), the real scan must genuinely have ≥ cores partitions — a
+    decline on an actually-narrow scan would silently serialize a fold at
+    100 TB-shaped inputs.  (The converse — repartitioning an
+    already-parallel scan — costs one extra shuffle, not a cliff, so the
+    estimate is allowed to be conservative there.)  Pins the estimator
+    against FilePartition-formula drift across Spark versions."""
+    from tamar_spark.sources import spread
+
+    par = spark.sparkContext.defaultParallelism
+    layouts = {
+        "one": 1,
+        "few": max(2, par // 4),
+        "exactly": par,
+        "double": 2 * par,
+    }
+    for name, n_files in layouts.items():
+        path = str(tmp_path / name)
+        spark.range(0, 20_000).repartition(n_files).write.parquet(path)
+        df = spark.read.parquet(path)
+        declined = spread(df) is df
+        actual = df.rdd.getNumPartitions()
+        if declined:
+            assert actual >= par, (name, n_files, actual, par)
+        else:
+            assert spread(df).rdd.getNumPartitions() == par
+
+
 def test_parse_bytes_handles_spark_size_forms():
     """spread()'s conf parser must round-trip every form Spark's byte
     confs emit: bare ints, the 'b' suffix Spark 3+ returns from
