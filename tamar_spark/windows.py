@@ -230,6 +230,7 @@ def auto_salted_sessions(
     bucket_seconds: int = 86400,
     partitions: Optional[int] = None,
     hot_task_ratio: float = 2.0,
+    min_hot_rows: int = 2_000_000,
     decision: Optional[dict] = None,
 ) -> DataFrame:
     """Sessionization that engages the time-bucket salt ONLY when the
@@ -239,19 +240,27 @@ def auto_salted_sessions(
     pipeline) decides between the plain native ``session_window`` plan
     and :func:`salted_sessions`.
 
-    The straggler rule mirrors ``auto_salt``: the session shuffle over
-    ``partitions`` tasks puts ``n_rows / partitions`` events in an
-    average task; the hottest key forces ``max_rows`` into ONE task
-    however the hash falls (sessions shuffle on the key alone).  Salting
-    engages when ``max_rows > hot_task_ratio × avg_task`` — below that
-    line a hot key cannot produce a straggler worth the extra
-    sub-session merge stage, so the plain plan (one shuffle, native
-    merge) wins; above it the hot key's history is split across
-    ``span / bucket_seconds`` parallel tasks and re-stitched over
-    session rows (orders of magnitude fewer than events).  With default
-    parallelism P the engage line sits at a key holding more than
-    ``hot_task_ratio / P`` of the corpus — ~2 task-shares, i.e. ~6% of
-    events at the local P=32, ~0.2% at a 1000-core cluster.
+    TWO conditions must both hold, because a straggler needs both a
+    skewed share and an absolutely expensive hot task:
+
+    - **Relative share** (mirrors ``auto_salt``): the session shuffle
+      over ``partitions`` tasks puts ``n_rows / partitions`` events in
+      an average task; the hottest key forces ``max_rows`` into ONE task
+      however the hash falls (sessions shuffle on the key alone).
+      Engage past ``max_rows > hot_task_ratio × avg_task`` — with
+      default parallelism P that is a key holding more than
+      ``hot_task_ratio / P`` of the corpus (~6% at the local P=32,
+      ~0.2% at a 1000-core cluster).
+    - **Absolute volume**: ``max_rows ≥ min_hot_rows``.  The ratio alone
+      cannot see cost — measured (r9, sf0.1 skew probe, 10%-hot key):
+      at 16× replication the hot task holds 1.4M events, a 3.2×
+      task-share ratio, and the PLAIN plan still wins 1.9 s vs 4.0 s
+      because the hot task's in-partition sort+merge walk is cheaper
+      than the salted plan's extra merge stage.  The straggler only
+      dominates once the single hot task's O(n log n) walk outweighs
+      one stage of fixed overhead — ~2M rows locally, the default
+      floor.  At 100 TB a 10%-hot key is billions of rows in one task
+      and both conditions fire unambiguously.
 
     Output rows are IDENTICAL on both paths by salted_sessions'
     construction (property-tested on skewed and uniform probe corpora):
@@ -277,7 +286,11 @@ def auto_salted_sessions(
     n_rows = int(row["n_rows"] or 0)
     max_rows = int(row["max_rows"] or 0)
     avg_task = n_rows / max(1, partitions)
-    engaged = n_rows > 0 and max_rows > hot_task_ratio * avg_task
+    engaged = (
+        n_rows > 0
+        and max_rows > hot_task_ratio * avg_task
+        and max_rows >= min_hot_rows
+    )
     if decision is not None:
         decision.update(
             {

@@ -1541,9 +1541,20 @@ def test_auto_salted_sessions_engages_from_measured_skew(spark):
         got = windows.auto_salted_sessions(
             df, keys=["user_id"], ts="ts", gap="30 minutes",
             sums=(("sum_value", "value"),), bucket_seconds=86400,
-            partitions=32, decision=decision,
+            partitions=32, min_hot_rows=0, decision=decision,
         )
         assert decision["engaged"] is expect_engage, decision
+        if expect_engage:
+            # third direction: the absolute-volume floor (r9 — measured:
+            # a 3.2×-share hot key of only 1.4M rows still loses to the
+            # plain plan locally) must DECLINE the same ratio-hot corpus
+            # when the hot key is under the floor
+            floor_dec: dict = {}
+            windows.auto_salted_sessions(
+                df, keys=["user_id"], ts="ts", gap="30 minutes",
+                partitions=32, decision=floor_dec,  # default 2M floor
+            )
+            assert floor_dec["engaged"] is False, floor_dec
         plain = (
             df.groupBy(
                 F.session_window("ts", "30 minutes").alias("w"), "user_id"
