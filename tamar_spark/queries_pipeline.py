@@ -1478,6 +1478,10 @@ def bpe_learn(
         ).alias("repr"),
         "freq",
     )
+    # BOUNDED driver-side collect, by design: at most local_below+1 rows of
+    # the vocabulary-sized (word, freq) aggregate — ≤ ~10 MB at the 200k
+    # default — never corpus data.  The cap IS the measured condition: an
+    # over-cap vocabulary falls through to the distributed loop below.
     head = repr_df.limit(local_below + 1).collect()
     if len(head) <= local_below:
         merges = _bpe_learn_local([(r["repr"], r["freq"]) for r in head], steps)
