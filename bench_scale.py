@@ -691,6 +691,11 @@ def main() -> None:
 
     results["triangles"] = []
     for k in [1, 4, 16, 64]:
+        # clearCache() at the end of the previous tier unpersisted
+        # base_edges (r9 ADVICE on the flip probe — same shape here):
+        # re-persist and pre-count OUTSIDE the timed region so every
+        # tier measures the same cached input.
+        base_edges.persist().count()
         t0 = time.perf_counter()
         triangles_scale(k).count()
         results["triangles"].append(round(time.perf_counter() - t0, 2))
@@ -735,6 +740,11 @@ def main() -> None:
 
     results["triangles_flip"] = []
     for k in [1, 4]:
+        # r9 ADVICE: clearCache() after k=1 unpersisted flip_edges, so
+        # the k=4 tier timed a cold rebuild of the self-join edge table
+        # against k=1's warm cache.  Re-persist + pre-count each tier so
+        # both regimes measure the same cached input.
+        flip_edges.persist().count()
         t0 = time.perf_counter()
         triangles_flip(k).count()
         results["triangles_flip"].append(round(time.perf_counter() - t0, 2))

@@ -67,7 +67,8 @@ def _parse_bytes(s: str) -> int:
     s = str(s).strip().lower()
     units = {
         "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
-        "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40, "b": 1,
+        "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+        "p": 1 << 50, "pb": 1 << 50, "b": 1,
     }
     for suffix in sorted(units, key=len, reverse=True):
         if s.endswith(suffix):
@@ -102,7 +103,16 @@ def spread(df: DataFrame) -> DataFrame:
     applies it right after ``load_table``): a frame with no resolvable
     local input files — non-file source, remote object store, or a
     derived frame — is returned unchanged, which is exactly the
-    production posture (pre-split input → no-op)."""
+    production posture (pre-split input → no-op).
+
+    The FilePartition estimate assumes SPLITTABLE files (parquet/orc/
+    uncompressed text — every current call site is parquet).  For
+    non-splittable codecs (gzip/zstd/lz4/snappy-wrapped text) Spark
+    yields at most one partition per file regardless of size, so the
+    estimate is additionally capped at ``len(files)`` when any file
+    extension indicates such a codec — otherwise a few large .gz files
+    would estimate >= cores while the real scan is a handful of tasks
+    and spread() would decline on a genuinely serialized fold."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -123,12 +133,25 @@ def spread(df: DataFrame) -> DataFrame:
     try:
         par = df.sparkSession.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no SparkContext handle
-        par = int(conf.get("spark.sql.shuffle.partitions", "200"))
-    max_pb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+        try:
+            par = int(conf.get("spark.sql.shuffle.partitions", "200"))
+        except (ValueError, TypeError):
+            return df
+    try:
+        max_pb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    except (ValueError, TypeError):
+        # A size form the parser doesn't know must not crash the query
+        # mid-plan — same conservative posture as the probe fallbacks.
+        return df
     total = sum(sz + open_cost for sz in sizes)
     split = min(max_pb, max(open_cost, total // max(1, par)))
     est_partitions = -(-total // max(1, split))
+    _NON_SPLITTABLE = (".gz", ".gzip", ".zst", ".zstd", ".lz4", ".snappy",
+                       ".deflate", ".br")
+    if any(uri.lower().endswith(_NON_SPLITTABLE) for uri in files):
+        # Non-splittable codec: Spark reads one partition per file.
+        est_partitions = min(est_partitions, len(files))
     if est_partitions < par:
         return df.repartition(par)
     return df

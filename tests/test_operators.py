@@ -578,6 +578,62 @@ def test_parse_bytes_handles_spark_size_forms():
     assert _parse_bytes(" 1g ") == 1 << 30
     assert _parse_bytes("512k") == 512 << 10
     assert _parse_bytes("2tb") == 2 << 40
+    assert _parse_bytes("1p") == 1 << 50
+    assert _parse_bytes("1pb") == 1 << 50
+
+
+def test_spread_survives_unparseable_size_conf(spark, tmp_path, monkeypatch):
+    """A size-conf form the parser doesn't know (r9 ADVICE: '1p' used to
+    crash mid-query via float('1p')) must degrade to a conservative
+    no-op, never an exception.  Spark's own conf.set validates size
+    strings, so the alien form is injected at the RuntimeConfig.get
+    layer (a future Spark accepting a new unit is exactly this shape)."""
+    from pyspark.sql.conf import RuntimeConfig
+
+    from tamar_spark.sources import spread
+
+    path = str(tmp_path / "one")
+    spark.range(0, 100).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    real_get = RuntimeConfig.get
+
+    def alien_get(self, key, default=None):
+        if key == "spark.sql.files.maxPartitionBytes":
+            return "9x"  # a unit no parser version knows
+        return real_get(self, key, default)
+
+    monkeypatch.setattr(RuntimeConfig, "get", alien_get)
+    assert spread(df) is df  # unparseable conf → conservative no-op
+    monkeypatch.setattr(RuntimeConfig, "get", real_get)
+    assert spread(df).rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism  # sane conf → engages again
+
+
+def test_spread_caps_estimate_for_non_splittable_codecs(spark, tmp_path):
+    """For gzip'd (non-splittable) input Spark yields one partition per
+    file regardless of size, so spread() must cap its FilePartition
+    estimate at len(files) (r9 ADVICE): a few large .gz files must
+    ENGAGE even though their byte total estimates >= cores splits."""
+    from tamar_spark.sources import spread
+
+    par = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "gz")
+    # Two large-ish gzip text files: byte-size estimate would say "many
+    # splits", but the real scan is 2 tasks.
+    spark.range(0, 400_000).selectExpr("repeat('x', 200) as v") \
+        .coalesce(2).write.option("compression", "gzip").text(path)
+    df = spark.read.text(path)
+    files = df.inputFiles()
+    assert len(files) == 2 and all(f.endswith(".gz") for f in files)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    # Force the byte-based estimate above cores: tiny split size.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
+    try:
+        out = spread(df)
+        assert out is not df  # capped at len(files)=2 < cores → engage
+        assert out.rdd.getNumPartitions() == par
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
 def test_auto_salt_decides_from_measured_skew(spark):
