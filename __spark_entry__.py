@@ -82,6 +82,11 @@ _CHANGED_IN_ROUND = {
     # r9: star-CC rounds rewritten window+canonical-pair (r8 task 5) —
     # per-round edge sets provably identical, plan rewrite re-attested.
     "dedup_clusters_star": 9,
+    # r10: triangles persist scoped by a per-invocation cache lease and
+    # the dead kv column dropped from the cached frame (r9 task 4) —
+    # results provably unchanged, plan rewrite carries a fresh
+    # attestation (supersedes the r9 entry).
+    "graph_triangles": 10,
 }
 
 

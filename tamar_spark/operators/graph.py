@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
+    "attach_lease",
     "connected_components",
     "connected_components_star",
     "kcore",
@@ -334,14 +335,45 @@ def kcore(
     return alive.select(F.col("u").alias("node"), "core_degree")
 
 
-# Previous invocation's persisted oriented-edge list.  The returned plan is
-# lazy, so the function itself can't know when its cache is consumed;
-# unpersisting the PRIOR call's copy on entry bounds the session to one
-# cached edge list instead of one per invocation (r6 ADVICE: bench_scale
-# calls this at k=1,4,16 and leaked all three until clearCache).  A caller
-# that materializes an old result after a newer call merely recomputes
-# without cache — correctness is unaffected.
-_ORIENTED_CACHE: list = []
+def _release_cache(jdf) -> None:
+    """Unpersist a cached frame's JVM handle; safe after session stop."""
+    try:
+        jdf.unpersist(False)
+    except Exception:
+        pass
+
+
+class _CacheLease:
+    """Scopes an internal persist to the lifetime of the frames that
+    carry this lease object: when the LAST frame holding it is garbage
+    collected, the cached frame is unpersisted (deterministic under
+    CPython refcounting, idempotent, safe after session stop).
+    ``release()`` drops the cache eagerly."""
+
+    __slots__ = ("__weakref__", "_finalizer")
+
+    def __init__(self, jdf):
+        import weakref
+
+        self._finalizer = weakref.finalize(self, _release_cache, jdf)
+
+    def release(self) -> None:
+        self._finalizer()
+
+
+def attach_lease(df: DataFrame, source: DataFrame) -> DataFrame:
+    """Propagate ``source``'s cache lease (if any) onto a derived frame.
+
+    A lease (see :func:`triangles_per_node`) unpersists an internal
+    cached frame when the LAST Python reference to the leased DataFrame
+    is dropped; a caller that derives a new frame (orderBy/limit/...)
+    and discards the operator's return value must carry the lease
+    forward or the cache is released before the derived plan executes
+    (still correct — the consumer just recomputes uncached)."""
+    lease = getattr(source, "_tamar_cache_lease", None)
+    if lease is not None:
+        df._tamar_cache_lease = lease
+    return df
 
 
 def triangles_per_node(
@@ -359,9 +391,23 @@ def triangles_per_node(
     ``b``); output: ``(node, n_triangles)`` with each triangle crediting
     all three corners.  All-integer, deterministic; the orientation key
     packs (degree, id) into one bigint (valid while ids < 1e8) so engines
-    compare identically."""
-    while _ORIENTED_CACHE:
-        _ORIENTED_CACHE.pop().unpersist(blocking=False)
+    compare identically.
+
+    Cache lifetime (r9 VERDICT task 4): the oriented edge list is
+    persisted because two jobs genuinely need it — the pre-flight
+    entry count that picks the adjacency join strategy, and the closure
+    itself (cross-job reuse is exactly what exchange reuse canNOT
+    provide; measured without the cache the query pays the edge build
+    twice and the closure loses its cache-partitioned parallelism:
+    5.4 s → 29 s at sf0.1).  Instead of the old module-global registry
+    (which leaked the last cache and raced concurrent invocations), the
+    persist is scoped by a per-invocation LEASE: a ``weakref.finalize``
+    on the returned DataFrame unpersists the oriented frame as soon as
+    the caller drops its last reference — deterministic under CPython,
+    idempotent, session-stop-safe, and independent per invocation so
+    concurrent triangle queries cannot release each other's cache.
+    Callers that derive a new frame from the result and drop the
+    original should carry the lease with :func:`attach_lease`."""
     deg = (
         edges.select(F.col(a).alias("node"))
         .unionAll(edges.select(F.col(b).alias("node")))
@@ -379,11 +425,9 @@ def triangles_per_node(
         .select(
             F.when(key_a < key_b, F.col(a)).otherwise(F.col(b)).alias("u"),
             F.when(key_a < key_b, F.col(b)).otherwise(F.col(a)).alias("v"),
-            F.when(key_a < key_b, key_b).otherwise(key_a).alias("kv"),
         )
         .persist()
     )
-    _ORIENTED_CACHE.append(oriented)
     # Adjacency-intersect closure instead of the wedge self-join: each
     # triangle {u,v,w} has a unique BASE edge u→v (its two orientation-lowest
     # corners), and closes iff w ∈ out(u) ∩ out(v) — so one array_intersect
@@ -448,8 +492,10 @@ def triangles_per_node(
         F.array_repeat(F.col("u"), F.size("ww")),
         F.array_repeat(F.col("v"), F.size("ww")),
     )
-    return (
+    out = (
         closed.select(F.explode(credit).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    out._tamar_cache_lease = _CacheLease(oriented._jdf)
+    return out

@@ -70,12 +70,19 @@ def shuffle_count(df: DataFrame) -> int:
     boundaries: a persisted subtree's build cost is paid once at cache
     materialization, not per consumer, so counting its exchanges per
     consumer (as the old text-scrape did) overstated cached plans ~4×.
-    Only hash/range repartitionings count — BroadcastExchange is a
-    dimension-table broadcast and Exchange SinglePartition is the
-    final gather of already-reduced partial-agg rows; neither moves
-    fact-scale data."""
+    Semantically IDENTICAL exchanges are counted once (keyed by the
+    canonicalized plan's semanticHash): a shared subtree referenced from
+    several consumers executes one shuffle at runtime via exchange/stage
+    reuse (``spark.sql.exchange.reuse``, on by default, and AQE's stage
+    reuse — the final plan shows the extra references as ReusedExchange),
+    so per-reference counting overstated self-referential plans the same
+    way the cache boundary case did.  Only hash/range repartitionings
+    count — BroadcastExchange is a dimension-table broadcast and
+    Exchange SinglePartition is the final gather of already-reduced
+    partial-agg rows; neither moves fact-scale data."""
     root = df._jdf.queryExecution().executedPlan()
     count = 0
+    seen: set = set()
     stack = [root]
     while stack:
         node = stack.pop()
@@ -85,7 +92,10 @@ def shuffle_count(df: DataFrame) -> int:
         if name.startswith("Exchange"):
             part = node.outputPartitioning().toString().lower()
             if "hashpartitioning" in part or "rangepartitioning" in part:
-                count += 1
+                h = node.canonicalized().semanticHash()
+                if h not in seen:
+                    seen.add(h)
+                    count += 1
         if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
             stack.append(node.initialPlan())
             continue

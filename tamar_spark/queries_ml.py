@@ -653,7 +653,7 @@ def graph_triangles(spark, sf_dir):
     124.5M-triangle sf0.1 graph and 2.4× faster than DuckDB's wedge plan
     on the same input.  Every shuffle is on node/edge keys, no cartesian
     anywhere."""
-    from tamar_spark.operators.graph import triangles_per_node
+    from tamar_spark.operators.graph import attach_lease, triangles_per_node
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
@@ -664,10 +664,12 @@ def graph_triangles(spark, sf_dir):
         .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
         .distinct()
     )
-    return (
-        triangles_per_node(edges)
-        .orderBy(F.col("n_triangles").desc(), "node")
-        .limit(20)
+    tri = triangles_per_node(edges)
+    # carry the operator's cache lease onto the returned frame: the
+    # oriented-edge persist lives exactly as long as this result does
+    # (r9 VERDICT task 4 — released when the consumer drops the frame)
+    return attach_lease(
+        tri.orderBy(F.col("n_triangles").desc(), "node").limit(20), tri
     )
 
 

@@ -87,9 +87,9 @@ CONTRACTS = [
     # chain linear and the plan printable (lazy nesting doubles per step)
     ("bpe_merges", 3, 0),
     ("bpe_encode", 4, 0),
-    # triangles: persisted oriented edges + adjacency-intersect closure
-    # (base edge joins its two out-lists; only apex credits explode);
-    # joins on edge/node keys only
+    # triangles: lease-scoped persisted oriented edges (r9 task 4) +
+    # adjacency-intersect closure (base edge joins its two out-lists;
+    # only apex credits explode); joins on edge/node keys only
     ("graph_triangles", 8, 1),
     ("lm_familiarity", 3, 1),  # bigram count agg + count join-back + rollup
     ("data_mixture_temperature", 3, 1),  # counts + quota bcast + rank sort
@@ -454,6 +454,54 @@ def test_triangles_adaptive_join_pins_both_regimes(spark, sf_dir):
     assert broadcast_join_count(small) >= 2
     big = triangles_per_node(edges, broadcast_bytes_below=0)
     assert executed_plan(big).count("ShuffledHashJoin") >= 2
+
+
+def test_triangles_cache_lease_scopes_the_persist(spark, sf_dir):
+    """r9 VERDICT task 4: triangles_per_node's internal oriented-edge
+    persist must not outlive its consumer (the previous form parked it
+    in a module global that leaked the last cache and raced concurrent
+    invocations).  The persist is now scoped by a per-invocation lease
+    carried on the returned frame: alive while the result is referenced,
+    unpersisted the moment the last reference drops.  Pins:
+
+    - while the result frame is alive its cache IS registered (the two
+      jobs that need it — strategy pre-count + closure — genuinely share
+      it);
+    - dropping the frame empties the registry back to the baseline;
+    - two concurrent invocations hold independent leases — releasing
+      one leaves the other's cache (and result) intact."""
+    import gc
+
+    sc = spark.sparkContext
+
+    def registry():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    gc.collect()
+    before = registry()
+    df = QUERIES["graph_triangles"](spark, sf_dir)
+    rows = df.collect()
+    assert 1 <= len(rows) <= 20
+    assert len(registry() - before) >= 1  # lease alive → cache registered
+    del df
+    gc.collect()
+    assert registry() - before == set(), "triangles leaked persisted RDDs"
+
+    # concurrent invocations: independent leases, no cross-release
+    from pyspark.sql import functions as F
+
+    from tamar_spark.operators.graph import triangles_per_node
+
+    e1 = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "a long, b long")
+    e2 = spark.createDataFrame([(10, 20), (10, 30), (20, 30)], "a long, b long")
+    t1 = triangles_per_node(e1)
+    t2 = triangles_per_node(e2)
+    t1._tamar_cache_lease.release()  # must not disturb t2's cache/result
+    got = {r["node"]: r["n_triangles"] for r in t2.collect()}
+    assert got == {10: 1, 20: 1, 30: 1}
+    del t1, t2
+    gc.collect()
+    assert registry() - before == set()
 
 
 def test_weighted_sample_topk_is_take_ordered(spark, sf_dir):
