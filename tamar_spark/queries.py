@@ -210,6 +210,43 @@ def session_agg_salted(spark, sf_dir):
     )
 
 
+@query("session_agg_auto", _SESSION_ORACLE)
+def session_agg_auto(spark, sf_dir):
+    """The flagship session aggregation through the MEASURED-GATE plan
+    (``windows.auto_salted_sessions``, r8 VERDICT task 8 / r9 task 2):
+    one per-key count pre-flight decides between the plain native
+    ``session_window`` plan and the time-bucket-salted twin — the salt
+    engages only when the hottest key's task share exceeds 2× the
+    average task AND crosses the measured ~2M-row absolute floor where
+    the straggler's in-partition walk starts to dominate.
+
+    Same oracle as ``session_agg`` / ``session_agg_salted``: the driver
+    hash proves the output is identical THROUGH the measured decision,
+    whichever branch it takes.  On the fixture corpus (uniform users,
+    far below the volume floor) the gate declines and the query runs
+    the plain single-shuffle session plan — the same posture as a
+    uniform 100 TB corpus; the engage path is property-tested and
+    covered by ``session_agg_salted``'s attested kernel.  The decision
+    measurement is asserted in tests via the ``decision`` capture
+    dict."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = windows.auto_salted_sessions(
+        ev,
+        keys=["user_id"],
+        ts="ts",
+        gap="30 minutes",
+        sums=(("sum_value", "value"),),
+        bucket_seconds=6 * 3600,
+    )
+    return merged.select(
+        "window_start",
+        "window_end",
+        "user_id",
+        "n_events",
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+    )
+
+
 @query(
     "session_stats",
     """

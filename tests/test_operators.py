@@ -1634,6 +1634,36 @@ def test_auto_salted_sessions_engages_from_measured_skew(spark):
         assert norm(got) == norm(plain), f"engage={expect_engage}"
 
 
+def test_session_agg_auto_fixture_decision_and_identity(spark, sf_dir):
+    """The registered ``session_agg_auto`` query (r9 VERDICT task 2)
+    routes the flagship session aggregation through the measured gate.
+    Pin what the fixture run actually does: on the events corpus the
+    measurement sees a sub-floor hot key, so the gate DECLINES to the
+    plain single-shuffle session plan — the same posture as a uniform
+    100 TB corpus — and the query's rows are identical to session_agg's
+    (the driver oracle proves the same through the shared hash)."""
+    from tamar_spark import windows
+    from tamar_spark.queries import QUERIES
+    from tamar_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    decision: dict = {}
+    windows.auto_salted_sessions(
+        ev, keys=["user_id"], ts="ts", gap="30 minutes",
+        sums=(("sum_value", "value"),), bucket_seconds=6 * 3600,
+        decision=decision,
+    )
+    assert decision["engaged"] is False, decision
+    # the decline is measured, not vacuous: the corpus is non-empty and
+    # the hot key sits under the 2M-row absolute floor
+    assert decision["n_rows"] > 0 and 0 < decision["max_rows"] < 2_000_000
+
+    auto = QUERIES["session_agg_auto"](spark, sf_dir)
+    plain = QUERIES["session_agg"](spark, sf_dir)
+    norm = lambda d: sorted(map(tuple, d.collect()))
+    assert norm(auto) == norm(plain)
+
+
 def test_pq_recall_and_compression(spark):
     """PQ+rerank quality gate on the planted-cluster corpus (same regime as
     the LSH/IVF gate): the ADC scan collapses tight clusters onto one code
