@@ -87,6 +87,12 @@ _CHANGED_IN_ROUND = {
     # results provably unchanged, plan rewrite carries a fresh
     # attestation (supersedes the r9 entry).
     "graph_triangles": 10,
+    # r10: IVF geometry is size-derived in-plan (r9 task 3) — nlist =
+    # ceil(sqrt(n)), probe nlist/4; results CHANGE (finer lists, higher
+    # recall at the same scan fraction), oracle derives the identical
+    # geometry via scalar subqueries.
+    "embed_ivf_topk": 10,
+    "embed_abtt_ivf_topk": 10,
 }
 
 

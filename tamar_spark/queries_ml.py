@@ -1527,10 +1527,11 @@ def embed_abtt_ivf_topk(spark, sf_dir):
     """The ABTT isotropy correction composed WITH the IVF index — the
     production shape (r8 VERDICT task 4): apply the correction at
     index-BUILD time, then search the corrected space through the
-    inverted-file index (16 lists, probe 4, exact rerank), all one plan
-    over the materialized corrected table.  ``embed_abtt_topk`` stays
-    registered as the exact-scan ground truth; recall@5 of this query
-    against it is recorded in BASELINE.md.
+    inverted-file index (size-derived geometry: ⌈√n⌉ lists / probe a
+    1/4 fraction, r9 task 3; exact rerank), all one plan over the
+    materialized corrected table.  ``embed_abtt_topk`` stays registered
+    as the exact-scan ground truth; recall@5 of this query against it
+    (and the full recall-vs-nprobe curve) is recorded in BASELINE.md.
 
     Determinism: corrected vectors are bit-identical across engines (the
     9 dp-rounded component, one fixed-order fold, two exactly-rounded

@@ -823,10 +823,14 @@ def streaming_sliding_agg(spark, sf_dir):
 # The IVF pipeline over any (c: neighbor_id, cv) corpus and (q: query_id,
 # qv) probe CTEs — shared verbatim by the raw-embedding oracle below and
 # the ABTT-composed oracle in queries_ml (r8 VERDICT task 4), so the two
-# replays cannot drift.
+# replays cannot drift.  Geometry is SIZE-DERIVED exactly like the engine
+# (similarity.ivf_geometry, r9 task 3): nlist = ceil(sqrt(|c|)) via a
+# scalar subquery in LIMIT, nprobe = ceil(nlist/4) in the rk filter —
+# both engines compute the identical integers from the identical count.
 _IVF_PIPE_SQL = """seed AS (
   SELECT neighbor_id, cv, md5(CAST(neighbor_id AS VARCHAR)) AS h
-  FROM c ORDER BY h, neighbor_id LIMIT 16
+  FROM c ORDER BY h, neighbor_id
+  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM c)
 ), cents AS (
   SELECT row_number() OVER (ORDER BY h, neighbor_id) - 1 AS list_id, cv AS cent
   FROM seed
@@ -847,7 +851,7 @@ _IVF_PIPE_SQL = """seed AS (
                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.cent, cents.cent))) DESC,
              cents.list_id) AS rk
     FROM q, cents)
-  WHERE rk <= 4
+  WHERE rk <= (SELECT CAST(ceil(ceil(sqrt(count(*))) / 4.0) AS BIGINT) FROM c)
 ), scored AS (
   SELECT query_id, neighbor_id,
          list_dot_product(qv, cv) /
@@ -874,11 +878,16 @@ q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE
 
 @query("embed_ivf_topk", _IVF_TOPK_SQL)
 def embed_ivf_topk(spark, sf_dir):
-    """Approximate top-5 via IVF coarse quantization (16 lists, probe 4) with
-    exact rerank — the second ANN scale path next to LSH.  The default
-    centroid seed orders by md5(id) hex, which DuckDB computes identically,
-    so the oracle replays the IDENTICAL seed → assignment → probe → rerank
-    pipeline and the output is fully hash-checked (r2 VERDICT: retire the
+    """Approximate top-5 via IVF coarse quantization with exact rerank —
+    the second ANN scale path next to LSH.  Geometry is SIZE-DERIVED
+    in-plan (r9 VERDICT task 3): nlist = ⌈√n⌉ lists from one corpus-count
+    pre-flight, probe ⌈nlist/4⌉ — at the same 1/4 scan fraction the finer
+    geometry lifts recall@5 0.465 → 0.57 at sf0.1 (the full recall-vs-
+    nprobe curve is recorded in BASELINE.md).  The default centroid seed
+    orders by md5(id) hex, which DuckDB computes identically, and the
+    oracle derives the identical geometry via scalar subqueries, so it
+    replays the IDENTICAL seed → assignment → probe → rerank pipeline
+    and the output is fully hash-checked (r2 VERDICT: retire the
     rows-only ANN entries)."""
     from tamar_spark.operators import similarity as S
 

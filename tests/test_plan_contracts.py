@@ -248,13 +248,27 @@ def test_similarity_construction_runs_no_jobs(spark, sf_dir):
     sc.setJobGroup(group, "asserting laziness", interruptOnCancel=False)
     try:
         df_lsh = lsh_topk(emb, queries_df, k=5, dim=64)
-        df_ivf = ivf_topk(emb, queries_df, k=5)
+        df_ivf = ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4)
     finally:
         sc.setJobGroup("", "", interruptOnCancel=False)
     jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(group)
     assert jobs == [], f"operator construction launched Spark jobs: {jobs}"
     # and the plans still execute
     assert df_lsh.count() >= 0 and df_ivf.count() >= 0
+    # the SIZE-DERIVED default geometry (r9 task 3) is the one documented
+    # exception: exactly ONE pre-flight job — the corpus count that picks
+    # (nlist, nprobe) — never a scan/sort of the data
+    group2 = "construction-probe-derived"
+    sc.setJobGroup(group2, "asserting bounded pre-flight", interruptOnCancel=False)
+    try:
+        df_auto = ivf_topk(emb, queries_df, k=5)
+    finally:
+        sc.setJobGroup("", "", interruptOnCancel=False)
+    jobs2 = spark.sparkContext.statusTracker().getJobIdsForGroup(group2)
+    # one logical count (AQE may split it into two physical jobs), never
+    # a per-row scan fan-out
+    assert 1 <= len(jobs2) <= 2, f"derived geometry should cost one count: {jobs2}"
+    assert df_auto.count() >= 0
 
 
 def test_lsh_topk_requires_dim(spark):
