@@ -112,7 +112,7 @@ def connected_components_star(
     - small-star: every node links its smaller-or-equal neighbors to that
       minimum.
 
-    Three constant-factor choices, all state-preserving (the per-round
+    Four constant-factor choices, all state-preserving (the per-round
     edge SETS are identical to the textbook formulation, so round counts
     and the fixpoint cannot move):
 
@@ -125,10 +125,18 @@ def connected_components_star(
       duplicates die in the same pass;
     - the round's checkpoint is lazy and the star-forest convergence
       count materializes it — one job per round (the kcore fused
-      checkpoint+count pattern).
+      checkpoint+count pattern);
+    - every two-branch union (symmetrization, the star's keep/self
+      emissions) is a single EXPLODE over a per-row candidate array
+      (r9 VERDICT task 5): a union references its child subtree twice,
+      so the fused double-star plan duplicated the inner star ~4× and
+      per-round DRIVER-SIDE analysis (~2 s) outweighed the ~0.8 s
+      Spark job; the explode emits the identical row multiset from ONE
+      child reference.  Same rows, same sets, ~15% off the wall.
 
-    Measured on the cc_chain adversary: 100k-node chain 57 → 41 s,
-    400k 135 → 73 s, round counts unchanged (17 / 19).
+    Measured on the cc_chain adversary: 100k-node chain 57 → 41 s (r9),
+    400k 135 → 73 → 53 s (r10, explode rewrite; same-session
+    side-by-side 62.7 → 53.2), round counts unchanged (17 / 19).
 
     Edges monotonically shrink toward a star centered on each component's
     minimum; converged when the edge set is a star forest.  Returns
@@ -158,20 +166,35 @@ def connected_components_star(
     def sym_view(e: DataFrame) -> DataFrame:
         # both orientations, derived narrowly (no shuffle, no dedup needed:
         # the canonical set has one row per pair, so the two oriented
-        # copies can never collide)
-        return e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        # copies can never collide); explode, not union — one reference
+        # to the child subtree keeps the per-round plan tree (and its
+        # driver-side analysis cost) flat
+        return e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_s")
+        ).select("_s.u", "_s.v")
 
     def star(e: DataFrame, large: bool) -> DataFrame:
         em = sym_view(e).withColumn(
             "m", F.least(F.col("u"), F.min("v").over(W.partitionBy("u")))
         )
         keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        # per-row candidate array replaces the keep-branch/self-branch
+        # union: identical row multiset, one reference to em
+        cand = F.when(
+            keep,
+            F.array(
+                F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+            ),
+        ).otherwise(F.array(F.struct(F.col("u").alias("a"), F.col("m").alias("b"))))
         out = (
-            em.filter(keep)
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .unionByName(em.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            em.select(F.explode(cand).alias("_c"))
+            .select("_c.a", "_c.b")
             .filter(F.col("a") != F.col("b"))
         )
         return out.select(
