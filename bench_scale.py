@@ -87,6 +87,23 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
         )
 
+    def session_agg_auto(k):
+        # the auto-salt DECLINE path on the same uniform replicated corpus
+        # (r9 VERDICT task 7): the per-key count pre-flight is the gate's
+        # documented decision cost — on a uniform corpus it must decline
+        # and the total (pre-flight + plain plan) should sit within ~5%
+        # of session_agg at the same k
+        from tamar_spark.windows import auto_salted_sessions
+
+        e = replicate(events, k, ["user_id", "event_id"])
+        decision: dict = {}
+        out = auto_salted_sessions(
+            e, keys=["user_id"], ts="ts", gap="30 minutes",
+            sums=(("s", "value"),), decision=decision,
+        )
+        assert decision["engaged"] is False, decision
+        return out
+
     def q1_agg(k):
         l = replicate(lineitem, k, ["l_orderkey"])
         return l.groupBy("l_returnflag", "l_linestatus").agg(
@@ -192,20 +209,32 @@ def main() -> None:
         out = session_process_streaming(keyed, 30 * 60, per_session, schema)
         return _run_to_memory(out.to_df())
 
+    def _cep_over(s):
+        from tamar_spark.queries import _run_to_memory
+        from tamar_spark.stream import DataStream
+        from tamar_spark.streaming.cep import funnel_match_streaming
+
+        keyed = DataStream(s, event_time="ts").key_by("user_id")
+        out = funnel_match_streaming(
+            keyed, ("view", "click", "purchase"), within_us=172_800 * 1_000_000
+        )
+        return _run_to_memory(out.to_df())
+
+    def _cep_source(watermark: str = "10 minutes"):
+        from tamar_spark.queries import _events_stream
+
+        return (
+            _events_stream(spark, SF_DIR, watermark=watermark)
+            .where(F.col("event_type").isin("view", "click", "purchase"))
+            .select("user_id", "event_id", "event_type", "ts")
+        )
+
     def stream_cep_funnel(k):
         # the streaming CEP funnel's BASELINE.md claim: cost is KEY-count
         # bound (per-key Python/Arrow round trips), not event-volume bound —
         # key-shifted copies scale both together, so near-linear wall growth
         # here confirms there is no super-linear per-key term
-        from tamar_spark.queries import _events_stream, _run_to_memory
-        from tamar_spark.stream import DataStream
-        from tamar_spark.streaming.cep import funnel_match_streaming
-
-        sdf = (
-            _events_stream(spark, SF_DIR)
-            .where(F.col("event_type").isin("view", "click", "purchase"))
-            .select("user_id", "event_id", "event_type", "ts")
-        )
+        sdf = _cep_source()
         parts = [
             sdf.select(
                 (F.col("user_id") + F.lit(i * 10_000_000_000)).alias("user_id"),
@@ -218,11 +247,36 @@ def main() -> None:
         s = parts[0]
         for p in parts[1:]:
             s = s.unionByName(p)
-        keyed = DataStream(s, event_time="ts").key_by("user_id")
-        out = funnel_match_streaming(
-            keyed, ("view", "click", "purchase"), within_us=172_800 * 1_000_000
-        )
-        return _run_to_memory(out.to_df())
+        return _cep_over(s)
+
+    def stream_cep_funnel_volume(k):
+        # the keys-vs-volume CONTRAST (r9 VERDICT task 6): k× events per
+        # key over the SAME key set — copy i keeps user_id and shifts its
+        # whole history by i×370 days (a separate time epoch per copy, so
+        # each key replays its full match structure k× and per-copy
+        # matches are preserved exactly), event_id shifted for row
+        # identity.  The shift happens on the UN-watermarked stream and
+        # the single watermark is applied after the union (Spark allows
+        # exactly one withWatermark per event-time column).  If the
+        # applyInPandasWithState round-trip cost is key-count bound —
+        # state per key is O(pattern), volume streams through the
+        # vectorized buffer scan — this grows far slower than
+        # stream_cep_funnel at the same k, which is the claim that
+        # justifies the design at 100 TB.
+        sdf = _cep_source(watermark=None)
+        parts = [
+            sdf.select(
+                "user_id",
+                (F.col("event_id") + F.lit(i * 10_000_000_000)).alias("event_id"),
+                "event_type",
+                (F.col("ts") + F.expr(f"INTERVAL {i * 370} DAY")).alias("ts"),
+            )
+            for i in range(k)
+        ]
+        s = parts[0]
+        for p in parts[1:]:
+            s = s.unionByName(p)
+        return _cep_over(s.withWatermark("ts", "10 minutes"))
 
     # hot-shingle corpus: small base (sf0.01) because the uncapped contrast
     # is intentionally quadratic
@@ -445,6 +499,7 @@ def main() -> None:
     results = {}
     for name, fn in [
         ("session_agg", session_agg),
+        ("session_agg_auto", session_agg_auto),
         ("skewed_session", skewed_session),
         ("q1_agg", q1_agg),
         ("join_agg", join_agg),
@@ -454,10 +509,16 @@ def main() -> None:
         ("equidepth", equidepth),
         ("stream_session_process", stream_session_process),
         ("stream_cep_funnel", stream_cep_funnel),
+        ("stream_cep_funnel_volume", stream_cep_funnel_volume),
     ]:
         scales = (
             [1, 4, 16]
-            if name in ("stream_session_process", "stream_cep_funnel")
+            if name
+            in (
+                "stream_session_process",
+                "stream_cep_funnel",
+                "stream_cep_funnel_volume",
+            )
             else SCALES
         )
         times = []

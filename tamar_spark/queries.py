@@ -1893,9 +1893,14 @@ def streaming_tumbling_agg(spark, sf_dir):
     return spark.table(name)
 
 
-def _events_stream(spark, sf_dir, watermark: str = "10 minutes"):
+def _events_stream(spark, sf_dir, watermark: str | None = "10 minutes"):
     """File-based streaming source over the events fixture with the same
     timestamp normalization as the batch reader (see sources/).
+
+    ``watermark=None`` returns the raw (un-watermarked) stream — for
+    callers that derive a new event-time column (e.g. the bench_scale
+    time-epoch replication) and must apply the single allowed
+    ``withWatermark`` themselves.
 
     Adapts to the fixture's physical type: TIMESTAMP(NANOS) parquet is read
     as long (``nanosAsLong``) and truncated ns→µs like DuckDB does;
@@ -1913,13 +1918,13 @@ def _events_stream(spark, sf_dir, watermark: str = "10 minutes"):
         if raw_ts == "bigint"
         else F.col("ts").cast("timestamp_ltz")
     )
-    return (
+    sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", ts_fix)
-        .withWatermark("ts", watermark)
     )
+    return sdf.withWatermark("ts", watermark) if watermark is not None else sdf
 
 
 def _run_to_memory(sdf, mode: str = "append"):
