@@ -177,6 +177,8 @@ EXTENDED = [
     "corpus_e2e",
     # round-9 additions
     "embed_abtt_ivf_topk",
+    # round-10 additions
+    "session_agg_auto",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED
