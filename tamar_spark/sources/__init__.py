@@ -47,8 +47,7 @@ TABLES = (
 
 
 @lru_cache(maxsize=256)
-def ts_ns_columns(path: str) -> tuple:
-    """Columns stored as TIMESTAMP(NANOS) in the parquet footer (pyarrow)."""
+def _ts_ns_columns_cached(path: str, _mtime_ns: int, _size: int) -> tuple:
     import pyarrow.dataset as pads
     import pyarrow.types as pat
 
@@ -59,6 +58,20 @@ def ts_ns_columns(path: str) -> tuple:
     return tuple(
         f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
     )
+
+
+def ts_ns_columns(path: str) -> tuple:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer (pyarrow).
+
+    Cached per (path, mtime, size) — one stat per call — so a file
+    rewritten in place under the same path never serves a stale schema
+    (r9 VERDICT nit; a bare path key did)."""
+    try:
+        st = os.stat(path)
+        key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (-1, -1)
+    return _ts_ns_columns_cached(path, *key)
 
 
 def _parse_bytes(s: str) -> int:
