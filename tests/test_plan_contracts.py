@@ -55,6 +55,10 @@ CONTRACTS = [
     ("ewma_user_value", 1, 0),  # one user_id shuffle, in-frame lags
     # second-wave round-5 family: all pure-JVM expression plans
     ("session_agg_salted", 2, 0),  # (key,salt) session agg + chain merge
+    # measured gate declines on the fixture → the PLAIN one-shuffle
+    # session plan (the pre-flight count is a separate bounded job,
+    # not a plan operator)
+    ("session_agg_auto", 1, 0),
     ("dedup_substring_spans", 4, 2),  # gram agg + count-back + doc rollup
     ("data_mixture", 2, 2),  # counts + per-lang rank; quotas broadcast
     ("embed_pq_topk", 3, 5),  # codebook/LUT broadcast; encode + ADC rollup
