@@ -681,6 +681,12 @@ def ivfpq_topk(
     (broadcast argmin per subspace), then an equi-join on ``list_id``
     with the probed query lists; per-vector storage afterward is
     ``n_sub`` codes + one norm + one list id.
+
+    Geometry note: unlike :func:`ivf_topk` (size-derived since r10),
+    this operator keeps explicit ``n_centroids``/``n_probe`` defaults —
+    the registered ``embed_ivfpq_topk`` twin's oracle pins the 16/4
+    geometry and re-deriving it is a semantics change that costs an
+    attestation slot; adopt :func:`ivf_geometry` here when a slot frees.
     """
     if dim is None:
         dim = corpus.schema[vec_col].metadata.get("dim")
