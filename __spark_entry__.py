@@ -93,6 +93,7 @@ _CHANGED_IN_ROUND = {
     # geometry via scalar subqueries.
     "embed_ivf_topk": 10,
     "embed_abtt_ivf_topk": 10,
+    "embed_ivfpq_topk": 10,
     # r10: star-CC's two-branch unions rewritten as single-reference
     # explodes (r9 task 5) — identical row multisets per round, plan
     # rewrite re-attested (supersedes the r9 entry).

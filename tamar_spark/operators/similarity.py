@@ -635,8 +635,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    n_centroids: Optional[int] = None,
+    n_probe: Optional[int] = None,
     n_sub: int = 4,
     n_codes: int = 16,
     dim: Optional[int] = None,
@@ -682,11 +682,11 @@ def ivfpq_topk(
     with the probed query lists; per-vector storage afterward is
     ``n_sub`` codes + one norm + one list id.
 
-    Geometry note: unlike :func:`ivf_topk` (size-derived since r10),
-    this operator keeps explicit ``n_centroids``/``n_probe`` defaults —
-    the registered ``embed_ivfpq_topk`` twin's oracle pins the 16/4
-    geometry and re-deriving it is a semantics change that costs an
-    attestation slot; adopt :func:`ivf_geometry` here when a slot frees.
+    Coarse geometry (``n_centroids``/``n_probe``) defaults to the same
+    SIZE-DERIVED rule as :func:`ivf_topk` (:func:`ivf_geometry`, one
+    corpus-count pre-flight); the PQ compression config
+    (``n_sub``/``n_codes``) stays an explicit knob — it sets bytes per
+    vector, a capacity decision, not an index-shape one.
     """
     if dim is None:
         dim = corpus.schema[vec_col].metadata.get("dim")
@@ -698,6 +698,10 @@ def ivfpq_topk(
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
     sub_dim = dim // n_sub
+    if n_centroids is None or n_probe is None:
+        d_nlist, d_nprobe = ivf_geometry(corpus.count())
+        n_centroids = d_nlist if n_centroids is None else n_centroids
+        n_probe = d_nprobe if n_probe is None else n_probe
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")

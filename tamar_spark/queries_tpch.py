@@ -1051,7 +1051,8 @@ WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddin
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
 seed AS (
   SELECT neighbor_id, cv, md5(CAST(neighbor_id AS VARCHAR)) AS h
-  FROM c ORDER BY h, neighbor_id LIMIT 16
+  FROM c ORDER BY h, neighbor_id
+  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM c)
 ), cents AS (
   SELECT row_number() OVER (ORDER BY h, neighbor_id) - 1 AS list_id, cv AS cent
   FROM seed
@@ -1096,7 +1097,7 @@ seed AS (
                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.cent, cents.cent))) DESC,
              cents.list_id) AS rk
     FROM q, cents)
-  WHERE rk <= 4
+  WHERE rk <= (SELECT CAST(ceil(ceil(sqrt(count(*))) / 4.0) AS BIGINT) FROM c)
 ), qchunk AS (
   SELECT query_id, m, list_slice(qv, m*16+1, m*16+16) AS qh FROM q, mm
 ), lut AS (
@@ -1139,7 +1140,9 @@ FROM ranked WHERE rank <= 5
 def embed_ivfpq_topk(spark, sf_dir):
     """IVF+PQ composed — the FAISS-``IVFPQ`` production ANN shape
     (Jégou et al. 2011), completing the family's scale story: IVF coarse
-    pruning (16 lists, probe 4) bounds the candidate set, residual PQ
+    pruning (size-derived geometry since r10: ⌈√n⌉ lists, probe a 1/4
+    fraction — same derivation and oracle scalar subqueries as
+    embed_ivf_topk) bounds the candidate set, residual PQ
     (4×4-bit shared codebooks over ``v − centroid``) compresses the
     in-list scan to lookup-table adds against one stored norm per
     vector, and the ADC top-50 reranks exactly.  Standalone IVF still
