@@ -582,6 +582,38 @@ def test_parse_bytes_handles_spark_size_forms():
     assert _parse_bytes("1pb") == 1 << 50
 
 
+def test_parse_bytes_matches_sparks_own_parser(spark):
+    """Parity against the TRUE oracle — Spark's JavaUtils.byteStringAsBytes
+    (the parser that validates these confs at set time): every unit the
+    map knows, across magnitudes, must agree exactly.  A future Spark
+    adding a unit shows up here as the JVM accepting what we reject
+    (covered by spread()'s conservative fallback), never as a silent
+    numeric disagreement."""
+    from tamar_spark.sources import _parse_bytes
+
+    ju = spark._jvm.org.apache.spark.network.util.JavaUtils
+    for mag in ("1", "7", "128", "1536"):
+        for unit in ("", "b", "k", "kb", "m", "mb", "g", "gb", "t", "tb", "p", "pb"):
+            s = mag + unit
+            assert _parse_bytes(s) == ju.byteStringAsBytes(s), s
+
+
+def test_ivf_geometry_properties():
+    """Size-derived IVF geometry invariants: 1 ≤ nprobe ≤ nlist = ⌈√n⌉,
+    and the probed fraction stays ≤ 1/4 (+ ceiling rounding) at every
+    corpus size — the fixed scan-fraction contract BASELINE.md's recall
+    curve is recorded against."""
+    import math
+
+    from tamar_spark.operators.similarity import ivf_geometry
+
+    for n in (0, 1, 2, 3, 10, 500, 2000, 10**6, 10**12):
+        nlist, nprobe = ivf_geometry(n)
+        assert nlist == max(1, math.ceil(math.sqrt(n)))
+        assert 1 <= nprobe <= nlist
+        assert nprobe == max(1, math.ceil(nlist / 4))
+
+
 def test_spread_survives_unparseable_size_conf(spark, tmp_path, monkeypatch):
     """A size-conf form the parser doesn't know (r9 ADVICE: '1p' used to
     crash mid-query via float('1p')) must degrade to a conservative
