@@ -67,10 +67,6 @@ _CHANGED_IN_ROUND = {
     # r8: oracle tiebreak aligned to max(struct)'s highest-shard rule and
     # shard cast to bigint on the Spark side (r7 ADVICE).
     "rendezvous_shards": 8,
-    # r9: adjacency joins now pick broadcast vs shuffle-hash from the
-    # MEASURED entry count (r8 task 3) — rows provably unchanged, plan
-    # rewrite carries a fresh attestation (supersedes the r8 entry).
-    "graph_triangles": 9,
     # r9: bpe_learn grew the measured-vocab driver-local tier (r8 VERDICT
     # task 2) — merges provably identical (two-tier property test), but
     # every kernel-sharing query should carry a fresh attestation.
@@ -79,13 +75,10 @@ _CHANGED_IN_ROUND = {
     "bpe_fertility": 9,
     "corpus_tokenize_pack": 9,
     "corpus_e2e": 9,
-    # r9: star-CC rounds rewritten window+canonical-pair (r8 task 5) —
-    # per-round edge sets provably identical, plan rewrite re-attested.
-    "dedup_clusters_star": 9,
-    # r10: triangles persist scoped by a per-invocation cache lease and
-    # the dead kv column dropped from the cached frame (r9 task 4) —
-    # results provably unchanged, plan rewrite carries a fresh
-    # attestation (supersedes the r9 entry).
+    # r10 (supersedes the r9 broadcast-vs-shuffle-hash entry): triangles
+    # persist scoped by a per-invocation cache lease and the dead kv
+    # column dropped from the cached frame (r9 task 4) — results provably
+    # unchanged, plan rewrite carries a fresh attestation.
     "graph_triangles": 10,
     # r10: IVF geometry is size-derived in-plan (r9 task 3) — nlist =
     # ceil(sqrt(n)), probe nlist/4; results CHANGE (finer lists, higher
@@ -93,12 +86,21 @@ _CHANGED_IN_ROUND = {
     # geometry via scalar subqueries.
     "embed_ivf_topk": 10,
     "embed_abtt_ivf_topk": 10,
-    "embed_ivfpq_topk": 10,
-    # r10: star-CC's two-branch unions rewritten as single-reference
-    # explodes (r9 task 5) — identical row multisets per round, plan
-    # rewrite re-attested (supersedes the r9 entry).
+    # r10 (supersedes the r9 window+canonical-pair entry): star-CC's
+    # two-branch unions rewritten as single-reference explodes (r9
+    # task 5) — identical row multisets per round, re-attested.
     "dedup_clusters_star": 10,
+    # r11: IVFPQ residual-PQ config raised 4×16 → 8×16 codes (r10 VERDICT
+    # task 6: with the size-derived coarse geometry the PQ ceiling binds;
+    # 8 subquantizers lift recall@5 past the rerank window at ~2 bytes/vec
+    # extra).  Results CHANGE; the oracle unrolls the same 8-term ADC sum.
+    "embed_ivfpq_topk": 11,
 }
+# One entry per query name, enforced: a duplicate key in this literal is
+# silently last-wins in Python, and a LOWER-round duplicate added later
+# would un-pin a head entry (r10 VERDICT task 4).  The AST guard in
+# tests/test_oracle.py::test_changed_in_round_has_no_duplicate_keys
+# rejects any duplicate at test time.
 
 
 def _last_checked() -> dict[str, int]:

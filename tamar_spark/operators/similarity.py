@@ -18,6 +18,7 @@ Two tiers:
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -344,8 +345,6 @@ def ivf_geometry(n: int) -> tuple:
     more random lists average out assignment noise).  At 100 TB swap in
     k-means-trained ``centroids=`` and lower the probe fraction; the
     derivation is only the untrained default."""
-    import math
-
     nlist = max(1, math.ceil(math.sqrt(max(0, n))))
     return nlist, max(1, math.ceil(nlist / 4))
 
@@ -399,6 +398,10 @@ def ivf_topk(
     (:func:`ivf_geometry` — one corpus count as the pre-flight, the
     same measured-condition pattern as the k-core broadcast pick and
     SemDeDup's in-plan ``k``); pass explicit values to pin a geometry.
+    With a trained ``centroids=`` table the default ``n_probe`` is
+    ``⌈centroids.count()/4⌉`` — the trained table's OWN list count, so
+    the 1/4 scan-fraction contract holds whatever nlist was trained —
+    and the corpus is never counted (r10 ADVICE).
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
@@ -406,7 +409,17 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", l2_norm(F.col("_qv")))
-    if n_centroids is None or n_probe is None:
+    if centroids is not None:
+        # Trained-centroid path (r10 ADVICE): the list count is the
+        # CENTROID table's row count, not ⌈√corpus⌉ — deriving nprobe
+        # from the corpus would silently break the documented 1/4-of-
+        # nlist scan fraction whenever the trained nlist differs (and
+        # pay a corpus-count pre-flight whose nlist is then unused).
+        # The centroid table is broadcast-small by contract, so this
+        # count is a cheap pre-flight; pass explicit n_probe to skip it.
+        if n_probe is None:
+            n_probe = max(1, math.ceil(centroids.count() / 4))
+    elif n_centroids is None or n_probe is None:
         d_nlist, d_nprobe = ivf_geometry(corpus.count())
         n_centroids = d_nlist if n_centroids is None else n_centroids
         n_probe = d_nprobe if n_probe is None else n_probe

@@ -1075,11 +1075,11 @@ seed AS (
 ), cbooks0 AS (
   SELECT row_number() OVER (ORDER BY h, neighbor_id) - 1 AS code, rv FROM cbseed
 ), mm AS (
-  SELECT CAST(unnest(range(4)) AS INT) AS m
+  SELECT CAST(unnest(range(8)) AS INT) AS m
 ), cb AS (
-  SELECT code, m, list_slice(rv, m*16+1, m*16+16) AS ce FROM cbooks0, mm
+  SELECT code, m, list_slice(rv, m*8+1, m*8+8) AS ce FROM cbooks0, mm
 ), rchunk AS (
-  SELECT neighbor_id, list_id, cn, m, list_slice(rv, m*16+1, m*16+16) AS rh FROM res, mm
+  SELECT neighbor_id, list_id, cn, m, list_slice(rv, m*8+1, m*8+8) AS rh FROM res, mm
 ), codes AS (
   SELECT neighbor_id, list_id, cn, m, code FROM (
     SELECT rchunk.neighbor_id, rchunk.list_id, rchunk.cn, rchunk.m, cb.code,
@@ -1099,7 +1099,7 @@ seed AS (
     FROM q, cents)
   WHERE rk <= (SELECT CAST(ceil(ceil(sqrt(count(*))) / 4.0) AS BIGINT) FROM c)
 ), qchunk AS (
-  SELECT query_id, m, list_slice(qv, m*16+1, m*16+16) AS qh FROM q, mm
+  SELECT query_id, m, list_slice(qv, m*8+1, m*8+8) AS qh FROM q, mm
 ), lut AS (
   SELECT query_id, m, code, list_dot_product(qh, ce) AS p FROM qchunk JOIN cb USING (m)
 ), parts AS (
@@ -1109,10 +1109,14 @@ seed AS (
   WHERE codes.neighbor_id <> ql.query_id
 ), adcscore AS (
   SELECT query_id, neighbor_id,
-         (((((max(qc) + sum(CASE WHEN m = 0 THEN p END))
-             + sum(CASE WHEN m = 1 THEN p END))
-            + sum(CASE WHEN m = 2 THEN p END))
-           + sum(CASE WHEN m = 3 THEN p END)) / max(cn)) AS s
+         (((((((((max(qc) + sum(CASE WHEN m = 0 THEN p END))
+                 + sum(CASE WHEN m = 1 THEN p END))
+                + sum(CASE WHEN m = 2 THEN p END))
+               + sum(CASE WHEN m = 3 THEN p END))
+              + sum(CASE WHEN m = 4 THEN p END))
+             + sum(CASE WHEN m = 5 THEN p END))
+            + sum(CASE WHEN m = 6 THEN p END))
+           + sum(CASE WHEN m = 7 THEN p END)) / max(cn)) AS s
   FROM parts GROUP BY 1, 2
 ), adc AS (
   SELECT query_id, neighbor_id,
@@ -1143,12 +1147,16 @@ def embed_ivfpq_topk(spark, sf_dir):
     pruning (size-derived geometry since r10: ⌈√n⌉ lists, probe a 1/4
     fraction — same derivation and oracle scalar subqueries as
     embed_ivf_topk) bounds the candidate set, residual PQ
-    (4×4-bit shared codebooks over ``v − centroid``) compresses the
+    (8×4-bit shared codebooks over ``v − centroid``; raised from 4×16
+    codes in r11 per the r10 VERDICT task-6 operating-point decision —
+    with the finer coarse geometry the residual-PQ resolution was the
+    binding recall ceiling, and 8 subquantizers halve the per-subspace
+    quantization cell at +2 bytes/vector) compresses the
     in-list scan to lookup-table adds against one stored norm per
     vector, and the ADC top-50 reranks exactly.  Standalone IVF still
     scans full floats inside probed lists; standalone PQ still
     ADC-scans the whole corpus; composed, per-vector state after encode
-    is 4 codes + 1 norm + 1 list id and a query touches
+    is 8 codes + 1 norm + 1 list id and a query touches
     ~n_probe/n_centroids of the codes.  Residual codebooks seed from a
     separate md5 stream ('r'||id) — the coarse-seed rows are their own
     centroids, so their residuals are zero and would degenerate the
@@ -1160,7 +1168,7 @@ def embed_ivfpq_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.ivfpq_topk(emb, queries_df, k=5, dim=64)
+    return S.ivfpq_topk(emb, queries_df, k=5, dim=64, n_sub=8)
 
 
 @query(

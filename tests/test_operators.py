@@ -986,6 +986,57 @@ def test_ivf_deterministic_across_partition_layouts(spark):
     assert a == b == c
 
 
+def test_ivf_trained_centroids_derive_nprobe_from_centroid_count(spark):
+    """r10 ADVICE: with a trained ``centroids=`` table and ``n_probe``
+    left None, the default probe count must come from the CENTROID
+    table's own row count (⌈nlist/4⌉ of the trained nlist), never from
+    ⌈√corpus⌉ — otherwise the documented 1/4 scan-fraction contract
+    silently breaks whenever trained nlist ≠ ⌈√n⌉.  Also pins that the
+    trained path never counts the corpus: with explicit n_probe the
+    construction is fully lazy (0 jobs), and with derived n_probe the
+    single pre-flight touches only the tiny centroid table."""
+    import math
+    import random
+
+    from tamar_spark.operators.similarity import ivf_topk, l2_norm
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries_df = emb.filter(F.col("vec_id") < 6)
+
+    # a "trained" table of 12 centroids in the documented shape
+    nlist = 12
+    cent_rows = [(j, [rng.gauss(0, 1) for _ in range(8)]) for j in range(nlist)]
+    cents = spark.createDataFrame(
+        cent_rows, "list_id int, _cent array<double>"
+    ).withColumn("_cent_n", l2_norm(F.col("_cent")))
+
+    def run(**kw):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.score)
+            for r in ivf_topk(emb, queries_df, k=5, centroids=cents, **kw).collect()
+        )
+
+    # derived default == explicit ceil(nlist/4), and != a wrong corpus-
+    # derived fraction (⌈√400⌉/4 = 5 probes of a 12-list table)
+    derived = run()
+    assert derived == run(n_probe=math.ceil(nlist / 4))
+    assert derived != run(n_probe=5)
+
+    # explicit n_probe alongside centroids= → fully lazy construction
+    sc = spark.sparkContext
+    group = "trained-centroid-probe"
+    sc.setJobGroup(group, "asserting laziness", interruptOnCancel=False)
+    try:
+        df = ivf_topk(emb, queries_df, k=5, centroids=cents, n_probe=3)
+    finally:
+        sc.setJobGroup("", "", interruptOnCancel=False)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert jobs == [], f"trained-centroid construction launched jobs: {jobs}"
+    assert df.count() >= 0
+
+
 def test_incrementing_python_datasource(spark):
     """Custom Python DataSource parity with the reference's Source trait:
     IncrementingSource (src/lib.rs:968-984), partition-parallel."""

@@ -118,6 +118,38 @@ def test_rotation_is_stalest_first():
     assert fresh_now <= head or len(names) < 50
 
 
+def test_changed_in_round_has_no_duplicate_keys():
+    """Pins the r10-VERDICT task-4 guard: ``_CHANGED_IN_ROUND`` is a dict
+    literal, and Python silently keeps the LAST duplicate key — so a
+    stale lower-round duplicate added later would shadow a newer entry
+    and un-pin a head query without any visible failure.  Parse the
+    source and reject duplicates at the AST level (runtime inspection
+    cannot see them — the dict has already collapsed)."""
+    import ast
+    import collections
+    import inspect
+
+    import __spark_entry__ as entry
+
+    tree = ast.parse(inspect.getsource(entry))
+    lits = [
+        node.value
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Assign)
+        and any(
+            isinstance(t, ast.Name) and t.id == "_CHANGED_IN_ROUND"
+            for t in node.targets
+        )
+    ]
+    assert len(lits) == 1 and isinstance(lits[0], ast.Dict)
+    keys = [
+        k.value for k in lits[0].keys if isinstance(k, ast.Constant)
+    ]
+    assert len(keys) == len(lits[0].keys), "non-literal key in _CHANGED_IN_ROUND"
+    dupes = [k for k, n in collections.Counter(keys).items() if n > 1]
+    assert not dupes, f"duplicate _CHANGED_IN_ROUND keys: {dupes}"
+
+
 def test_contention_report_separates_uniform_from_concentrated():
     """Pins the r6-VERDICT task-7 semantics: the bench artifact must
     distinguish shared-box contention (uniform inflation across the
