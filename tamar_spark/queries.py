@@ -247,6 +247,91 @@ def session_agg_auto(spark, sf_dir):
     )
 
 
+_SESSION_SKEW_ORACLE = """
+WITH remapped AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN 0 ELSE user_id END AS user_id,
+         ts, value
+  FROM events
+), ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM remapped
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT min(ts) AS window_start,
+       max(ts) + INTERVAL 30 MINUTE AS window_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def _auto_skew_sessions(spark, sf_dir, decision=None):
+    """Shared kernel for ``session_agg_auto_skew`` and its engage-decision
+    test: remap every 10th event (by ``event_id % 10``, deterministic and
+    layout-independent) onto user 0 — a ~10%-of-corpus hot key — then run
+    the measured gate with the fixture-scale thresholds.
+
+    ``partitions=32`` pins the task-count the ratio condition divides by
+    (the production default reads ``defaultParallelism``, which would make
+    the DECISION depend on the verifying session's core count);
+    ``min_hot_rows=100`` scales the production 2M-row absolute floor to
+    the sf0.001–0.1 fixtures (same ~1%-of-corpus proportion at sf0.001).
+    With a 10% hot key the share ratio is ~3.8× whatever the sf, so the
+    gate ENGAGES the time-bucket salt at every fixture scale."""
+    ev = load_table(spark, sf_dir, "events")
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(0).cast("bigint")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    merged = windows.auto_salted_sessions(
+        hot,
+        keys=["user_id"],
+        ts="ts",
+        gap="30 minutes",
+        sums=(("sum_value", "value"),),
+        bucket_seconds=6 * 3600,
+        partitions=32,
+        min_hot_rows=100,
+        decision=decision,
+    )
+    return merged.select(
+        "window_start",
+        "window_end",
+        "user_id",
+        "n_events",
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+    )
+
+
+@query("session_agg_auto_skew", _SESSION_SKEW_ORACLE)
+def session_agg_auto_skew(spark, sf_dir):
+    """The measured auto-salt gate's ENGAGE path, driver-attested
+    end-to-end (r10 VERDICT task 3: ``session_agg_auto`` declines on the
+    uniform fixture, so until now the engaged branch rode property tests
+    plus ``session_agg_salted``'s attested kernel).  A deterministic
+    ``event_id % 10`` remap concentrates ~10% of events onto one user —
+    the hot-key shape BASELINE.md's `skewed_session` probe documents —
+    and the gate measures a ~3.8× task-share ratio over the pinned
+    32-task layout, crosses the fixture-scaled absolute floor, and takes
+    the SALTED plan (``decision["engaged"] is True``, asserted in
+    tests/test_operators.py).  The oracle recomputes the gap-merge on the
+    same remapped corpus, so the driver hash proves the salted
+    sub-session stitch is event-exact under real skew."""
+    return _auto_skew_sessions(spark, sf_dir)
+
+
 @query(
     "session_stats",
     """

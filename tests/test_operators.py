@@ -1747,6 +1747,50 @@ def test_session_agg_auto_fixture_decision_and_identity(spark, sf_dir):
     assert norm(auto) == norm(plain)
 
 
+def test_session_agg_auto_skew_engages_the_salted_plan(spark, sf_dir):
+    """The registered ``session_agg_auto_skew`` query (r10 VERDICT task 3)
+    must take the ENGAGED branch on the fixture: the deterministic
+    event_id%10 remap makes a ~10%-of-corpus hot key, the pinned 32-task
+    layout sees a ~3.8× share ratio, and the remapped hot key clears the
+    fixture-scaled absolute floor.  The decision is asserted here (the
+    driver hash covers output identity; it cannot see WHICH branch ran)
+    and the engaged output is cross-checked against the plain native
+    session plan on the identical remapped corpus."""
+    from tamar_spark.queries import _auto_skew_sessions
+    from tamar_spark.sources import load_table
+
+    decision: dict = {}
+    got = _auto_skew_sessions(spark, sf_dir, decision=decision)
+    assert decision["engaged"] is True, decision
+    assert decision["max_rows"] >= 100
+    assert decision["max_rows"] > 2.0 * decision["n_rows"] / 32
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(0).cast("bigint")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    plain = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n_events",
+            F.round("sum_value", 2).cast("double").alias("sum_value"),
+        )
+    )
+    norm = lambda d: sorted(map(tuple, d.collect()))
+    assert norm(got) == norm(plain)
+
+
 def test_pq_recall_and_compression(spark):
     """PQ+rerank quality gate on the planted-cluster corpus (same regime as
     the LSH/IVF gate): the ADC scan collapses tight clusters onto one code
