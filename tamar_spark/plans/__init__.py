@@ -79,7 +79,21 @@ def shuffle_count(df: DataFrame) -> int:
     way the cache boundary case did.  Only hash/range repartitionings
     count — BroadcastExchange is a dimension-table broadcast and
     Exchange SinglePartition is the final gather of already-reduced
-    partial-agg rows; neither moves fact-scale data."""
+    partial-agg rows; neither moves fact-scale data.
+
+    Dedup assumptions (r10 ADVICE): "identical exchanges run once" is an
+    EXCHANGE-REUSE property, so the dedup only applies when
+    ``spark.sql.exchange.reuse`` or AQE stage reuse is enabled — in a
+    session with both disabled, semantically identical exchanges really
+    do execute twice and are counted per-reference.  The dedup key is
+    the canonicalized plan STRING, not ``semanticHash`` alone, so a hash
+    collision between different subtrees can never collapse two real
+    shuffles into one count."""
+    conf = df.sparkSession.conf
+    reuse = (
+        str(conf.get("spark.sql.exchange.reuse", "true")).lower() == "true"
+        or str(conf.get("spark.sql.adaptive.enabled", "true")).lower() == "true"
+    )
     root = df._jdf.queryExecution().executedPlan()
     count = 0
     seen: set = set()
@@ -92,9 +106,11 @@ def shuffle_count(df: DataFrame) -> int:
         if name.startswith("Exchange"):
             part = node.outputPartitioning().toString().lower()
             if "hashpartitioning" in part or "rangepartitioning" in part:
-                h = node.canonicalized().semanticHash()
-                if h not in seen:
-                    seen.add(h)
+                key = node.canonicalized().toString()
+                if not reuse:
+                    count += 1
+                elif key not in seen:
+                    seen.add(key)
                     count += 1
         if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
             stack.append(node.initialPlan())

@@ -668,6 +668,32 @@ def test_spread_caps_estimate_for_non_splittable_codecs(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
+def test_spread_declines_on_many_gz_csv_files(spark, tmp_path):
+    """The other side of the codec cap (r10 VERDICT task 7), on a real
+    gzipped CSV fixture: with at least ``defaultParallelism`` .gz files
+    the capped estimate ``min(byte_estimate, len(files))`` is >= cores —
+    the scan is already file-parallel — so spread() must DECLINE and add
+    no shuffle (the production posture for a pre-sharded compressed
+    drop: thousands of .csv.gz shards, one task each)."""
+    from tamar_spark.sources import spread
+
+    par = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "gzcsv")
+    (
+        spark.range(0, par * 1000)
+        .selectExpr("id", "concat('row-', id) as name")
+        .repartition(par)
+        .write.option("compression", "gzip")
+        .option("header", "true")
+        .csv(path)
+    )
+    df = spark.read.option("header", "true").csv(path)
+    files = df.inputFiles()
+    assert len(files) >= par and all(f.endswith(".csv.gz") for f in files)
+    out = spread(df)
+    assert out is df, "spread() must decline on >=cores non-splittable files"
+
+
 def test_auto_salt_decides_from_measured_skew(spark):
     """auto_salt (r7 VERDICT task 8) must SALT the power-law corpus and
     DECLINE the uniform one — decided from the measured per-key counts,
