@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from tamar_spark.operators.similarity import dot
 
-__all__ = ["kmeans", "pagerank"]
+__all__ = ["kmeans", "kmeans_centroids", "pagerank"]
 
 
 def kmeans(
@@ -60,6 +60,44 @@ def kmeans(
     k·dim result rows — with partial decimal sums map-side; nothing
     driver-side ever holds more than the k centroids.
     """
+    cent, assign, update = _kmeans_plan(df, k, id_col, vec_col)
+    for _ in range(iters - 1):
+        cent = update(assign(cent))
+    out = assign(cent)
+    return out.select(
+        F.col("_id").alias(id_col),
+        "cluster",
+        F.round("d", 6).alias("dist"),
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The centroid TABLE the final :func:`kmeans` assignment uses —
+    ``(cluster int, _c array<double>)`` after ``iters − 1`` Lloyd update
+    rounds (``iters=1`` returns the deterministic k-smallest-id seed).
+    Same engine, same fixed-order float chains and decimal-summed means
+    as :func:`kmeans`, so the components are bit-identical to the DuckDB
+    twin's unrolled CTEs.  Feeds ``similarity.ivf_topk(centroids=)`` —
+    the trained-quantizer production path: train once, materialize the
+    k-row table, and every subsequent index build is a broadcast join
+    against it (no corpus pre-flight).  Empty clusters drop out of the
+    update (both engines identically), so the row count can be < k."""
+    cent, assign, update = _kmeans_plan(df, k, id_col, vec_col)
+    for _ in range(iters - 1):
+        cent = update(assign(cent))
+    return cent.select(F.col("cluster").cast("int").alias("cluster"), "_c")
+
+
+def _kmeans_plan(df: DataFrame, k: int, id_col: str, vec_col: str):
+    """Shared Lloyd's engine for :func:`kmeans` / :func:`kmeans_centroids`:
+    returns ``(cent0, assign, update)`` — the deterministic seed table
+    and the two step closures (both close over the persisted input)."""
     emb = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -115,14 +153,7 @@ def kmeans(
             )
         )
 
-    for _ in range(iters - 1):
-        cent = update(assign(cent))
-    out = assign(cent)
-    return out.select(
-        F.col("_id").alias(id_col),
-        "cluster",
-        F.round("d", 6).alias("dist"),
-    )
+    return cent, assign, update
 
 
 def pagerank(

@@ -136,17 +136,19 @@ def dedup_containment(spark, sf_dir):
     return D.containment_pairs(docs, threshold=0.8, max_doc_freq=32)
 
 
-def _kmeans_oracle(k: int = 8, k_sql: str | None = None) -> str:
-    """Unrolled 2-iteration Lloyd's CTE chain.  ``k_sql`` (a scalar SQL
-    expression over CTE ``e``, e.g. a ceil(count/len) subquery) overrides
-    the literal ``k`` — the production-shape SemDeDup twin derives k from
-    corpus size the same way the Spark side does."""
+def _kmeans_ctes(k: int = 8, k_sql: str | None = None) -> str:
+    """The unrolled 2-iteration Lloyd's CTE prefix ``e→c0→a1→s1→c1``
+    (no leading WITH) — shared by :func:`_kmeans_oracle` and the
+    trained-IVF twin, so the centroid floats both twins feed downstream
+    are ONE definition.  ``k_sql`` (a scalar SQL expression over CTE
+    ``e``, e.g. a ceil(count/len) subquery) overrides the literal ``k``
+    — the production-shape SemDeDup twin derives k from corpus size the
+    same way the Spark side does."""
     dist = (
         "list_dot_product(v, v) - 2 * list_dot_product(v, cv)"
         " + list_dot_product(cv, cv)"
     )
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
@@ -168,7 +170,18 @@ WITH e AS (
   GROUP BY cluster, i
 ), c1 AS (
   SELECT cluster, list(c ORDER BY pos) AS cv FROM s1 GROUP BY cluster
-), a2 AS (
+)"""
+
+
+def _kmeans_oracle(k: int = 8, k_sql: str | None = None) -> str:
+    """Full 2-iteration Lloyd's twin: the shared CTE chain + the final
+    assignment against the updated centroids."""
+    dist = (
+        "list_dot_product(v, v) - 2 * list_dot_product(v, cv)"
+        " + list_dot_product(cv, cv)"
+    )
+    return f"""
+WITH {_kmeans_ctes(k, k_sql)}, a2 AS (
   SELECT vec_id, cluster, d FROM (
     SELECT vec_id, cluster, {dist} AS d,
            row_number() OVER (PARTITION BY vec_id
@@ -190,6 +203,81 @@ def embed_kmeans(spark, sf_dir):
     exact.  See operators/clustering.py for the 100 TB plan shape."""
     emb = load_table(spark, sf_dir, "embeddings")
     return C.kmeans(emb, k=8, iters=2)
+
+
+_IVF_TRAINED_SQL = (
+    "\nWITH "
+    + _kmeans_ctes(8)
+    + """,
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+cents AS (
+  SELECT cluster AS list_id, cv AS cent FROM c1
+), assigned AS (
+  SELECT neighbor_id, cv, list_id FROM (
+    SELECT c.neighbor_id, c.cv, cents.list_id,
+           row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+             list_dot_product(c.cv, cents.cent) /
+               (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cents.cent, cents.cent))) DESC,
+             cents.list_id) AS rk
+    FROM c, cents)
+  WHERE rk = 1
+), q_lists AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, cents.list_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, cents.cent) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.cent, cents.cent))) DESC,
+             cents.list_id) AS rk
+    FROM q, cents)
+  WHERE rk <= (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) FROM cents)
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS s
+  FROM assigned JOIN q_lists USING (list_id)
+  WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
+@query("embed_ivf_trained_topk", _IVF_TRAINED_SQL)
+def embed_ivf_trained_topk(spark, sf_dir):
+    """IVF top-5 over a TRAINED coarse quantizer — the production ANN
+    call shape at 100 TB (the √n-seeded geometry of embed_ivf_topk is
+    only the untrained default): k-means centroids (k=8, 2 Lloyd
+    iterations, the same deterministic engine as embed_kmeans) are
+    materialized once via ``localCheckpoint`` — train-once semantics,
+    the k-row table an offline job would hand the index build — then
+    ``ivf_topk(centroids=)`` derives ``n_probe = ⌈nlist/4⌉`` from the
+    CENTROID table's own row count (the r10-ADVICE contract this query
+    driver-attests end-to-end: the scan fraction follows the TRAINED
+    list count, and the corpus is never counted — its pre-flight is one
+    count of the checkpointed k-row table).  The DuckDB twin chains the
+    shared kmeans CTE prefix (identical centroid floats by construction)
+    into the same cosine assign → probe → exact-rerank pipe as the
+    untrained IVF twin, so the output is fully hash-checked.  Scale:
+    training cost is amortized across every index build that reuses the
+    table; assignment stays a broadcast argmax (k·dim doubles); nothing
+    here scans more than ``n_probe/nlist`` of the corpus."""
+    from tamar_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        C.kmeans_centroids(emb, k=8, iters=2)
+        .select(F.col("cluster").alias("list_id"), F.col("_c").alias("_cent"))
+        .withColumn("_cent_n", S.l2_norm(F.col("_cent")))
+        .localCheckpoint(eager=True)
+    )
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_topk(emb, queries_df, k=5, centroids=cents)
 
 
 def _pagerank_oracle(iters: int = 3) -> str:

@@ -1149,9 +1149,15 @@ def embed_ivfpq_topk(spark, sf_dir):
     embed_ivf_topk) bounds the candidate set, residual PQ
     (8×4-bit shared codebooks over ``v − centroid``; raised from 4×16
     codes in r11 per the r10 VERDICT task-6 operating-point decision —
-    with the finer coarse geometry the residual-PQ resolution was the
-    binding recall ceiling, and 8 subquantizers halve the per-subspace
-    quantization cell at +2 bytes/vector) compresses the
+    8 subquantizers halve the per-subspace quantization cell at
+    +2 bytes/vector, which lifts the CLUSTERED-corpus recall@5 to 1.0
+    vs 0.855 at 4×16 (BASELINE.md PQ table) and sharpens deep-rerank
+    ADC ordering; measured honestly, on the near-random sf0.1 corpus
+    recall@5 at the registered rerank=50 stays 0.285 either way — there
+    the rerank WINDOW binds first (0.285/0.415/0.495/0.57 at rerank
+    50/100/200/500, the last being exactly the probe-fraction ceiling),
+    so 8×16 is the production capacity choice, not an sf0.1 win —
+    full curve in BASELINE.md) compresses the
     in-list scan to lookup-table adds against one stored norm per
     vector, and the ADC top-50 reranks exactly.  Standalone IVF still
     scans full floats inside probed lists; standalone PQ still
