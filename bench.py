@@ -179,6 +179,9 @@ EXTENDED = [
     "embed_abtt_ivf_topk",
     # round-10 additions
     "session_agg_auto",
+    # round-11 additions
+    "session_agg_auto_skew",
+    "embed_ivf_trained_topk",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED
@@ -207,12 +210,89 @@ CANONICAL_ANCHOR = {
     "dedup_ngram_jaccard": (1.24, 4.63),
     "dedup_embedding_lsh": (1.34, 3.05),
     "embed_cosine_topk": (1.26, 1.37),
-    "embed_ivf_topk": (1.73, 1.74),
+    # re-recorded r11 under the r10 size-derived ⌈√n⌉ geometry (r10
+    # VERDICT task 1 — the old (1.73, 1.74) was the retired 16/4 shape
+    # and made the regression rule cry wolf on the intended change):
+    # r10 artifact 2.22 in-bench-context; r11 quiet re-measure 2.536 raw
+    # at contention index 1.106 (2.29 adjusted), dedicated-session warm
+    # 1.9-2.5.  Median pinned at the adjusted in-context figure.
+    "embed_ivf_topk": (2.25, 2.90),
     "doc_quality": (0.30, 0.36),
     "stateful_event_numbering": (3.87, 4.45),
     "streaming_session_agg": (2.90, 4.30),
     "streaming_stream_join": (3.36, 3.47),
 }
+
+
+def floor_probe(spark, runs: int) -> dict:
+    """Environmental-floor probe (r10 VERDICT task 5): three fixed-cost
+    micro-measurements whose wall is pure machinery — a 1-row batch job
+    (scheduler + codegen dispatch), an empty streaming micro-batch
+    (Structured Streaming runner + noop sink), and a 1-key
+    applyInPandasWithState no-op over one row (state-store provider +
+    Arrow worker round-trip).  None touches the SF data, so drift here is
+    the BOX/JVM moving, not a query regression — recorded as ``floor`` in
+    the artifact so absolute-constant drift (stream_session_process,
+    corpus_e2e bands were widened for exactly this in r9/r10) divides out
+    like the contention index instead of eroding per-query bands.  Each
+    probe reports its median over ``runs`` passes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tmp = tempfile.mkdtemp(prefix="tamar_floor_")
+    try:
+        tiny = os.path.join(tmp, "tiny")
+        spark.createDataFrame([(1, 1.0)], "k int, v double").coalesce(1).write.parquet(tiny)
+        schema = spark.read.parquet(tiny).schema
+
+        def stream():
+            return spark.readStream.schema(schema).parquet(tiny)
+
+        def noop(key, pdfs, state):
+            import pandas as pd
+
+            n = sum(len(p) for p in pdfs)
+            yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        def run(sdf):
+            q = (
+                sdf.writeStream.outputMode("append")
+                .format("noop")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        probes = {
+            "range_job": lambda: spark.range(1).count(),
+            "empty_microbatch": lambda: run(stream().filter("k < 0")),
+            "stateful_1key_noop": lambda: run(
+                stream()
+                .groupBy("k")
+                .applyInPandasWithState(
+                    noop,
+                    "k int, n long",
+                    "cnt long",
+                    "append",
+                    GroupStateTimeout.NoTimeout,
+                )
+            ),
+        }
+        out = {}
+        for name, fn in probes.items():
+            xs = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn()
+                xs.append(round(time.perf_counter() - t0, 3))
+            s = sorted(xs)
+            m = len(s) // 2
+            out[name] = s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def contention_report(timings: dict[str, float]) -> dict:
@@ -272,6 +352,9 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    # floor probe runs BEFORE the budget clock: ~5 s of fixed-cost
+    # machinery measurements that must not eat tier-4 passes
+    floor = floor_probe(spark, runs)
     started = time.perf_counter()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
 
@@ -354,6 +437,10 @@ def main() -> None:
                     sum(cold[n] for n in RECORDED_BASELINE), 3
                 ),
                 "contention": contention_report(timings),
+                # fixed-cost machinery medians (see floor_probe): compare
+                # against BASELINE.md's recorded floor before reading any
+                # absolute per-query drift as a regression
+                "floor": floor,
                 # focus membership is derivable: EXTENDED[i] with
                 # i % 3 == focus_slice — no name list, the tail is scarce
                 "protocol": {
