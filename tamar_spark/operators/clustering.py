@@ -29,6 +29,7 @@ from typing import Optional
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F
 
+from tamar_spark.operators.graph import _CacheLease
 from tamar_spark.operators.similarity import dot
 
 __all__ = ["kmeans", "kmeans_centroids", "pagerank"]
@@ -60,15 +61,16 @@ def kmeans(
     k·dim result rows — with partial decimal sums map-side; nothing
     driver-side ever holds more than the k centroids.
     """
-    cent, assign, update = _kmeans_plan(df, k, id_col, vec_col)
+    cent, assign, update, lease = _kmeans_plan(df, k, id_col, vec_col)
     for _ in range(iters - 1):
         cent = update(assign(cent))
-    out = assign(cent)
-    return out.select(
+    out = assign(cent).select(
         F.col("_id").alias(id_col),
         "cluster",
         F.round("d", 6).alias("dist"),
     )
+    out._tamar_cache_lease = lease
+    return out
 
 
 def kmeans_centroids(
@@ -88,16 +90,24 @@ def kmeans_centroids(
     k-row table, and every subsequent index build is a broadcast join
     against it (no corpus pre-flight).  Empty clusters drop out of the
     update (both engines identically), so the row count can be < k."""
-    cent, assign, update = _kmeans_plan(df, k, id_col, vec_col)
+    cent, assign, update, lease = _kmeans_plan(df, k, id_col, vec_col)
     for _ in range(iters - 1):
         cent = update(assign(cent))
-    return cent.select(F.col("cluster").cast("int").alias("cluster"), "_c")
+    out = cent.select(F.col("cluster").cast("int").alias("cluster"), "_c")
+    out._tamar_cache_lease = lease
+    return out
 
 
 def _kmeans_plan(df: DataFrame, k: int, id_col: str, vec_col: str):
     """Shared Lloyd's engine for :func:`kmeans` / :func:`kmeans_centroids`:
-    returns ``(cent0, assign, update)`` — the deterministic seed table
-    and the two step closures (both close over the persisted input)."""
+    returns ``(cent0, assign, update, lease)`` — the deterministic seed
+    table, the two step closures (both close over the persisted input),
+    and the cache lease scoping that persist to the returned frame's
+    lifetime (the triangles pattern, r10: an internal persist must not
+    outlive its consumer — callers attach the lease to what they
+    return, so dropping the result unpersists the training cache;
+    materializing via ``localCheckpoint`` then dropping the handle
+    releases it immediately after training)."""
     emb = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -153,7 +163,7 @@ def _kmeans_plan(df: DataFrame, k: int, id_col: str, vec_col: str):
             )
         )
 
-    return cent, assign, update
+    return cent, assign, update, _CacheLease(emb._jdf)
 
 
 def pagerank(

@@ -270,12 +270,19 @@ def embed_ivf_trained_topk(spark, sf_dir):
     from tamar_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # `trained` stays referenced through the EAGER checkpoint so its
+    # lease-scoped training persist is live while the Lloyd iterations
+    # actually run; once the k rows are materialized the handle drops
+    # and the training cache is released with it
+    trained = C.kmeans_centroids(emb, k=8, iters=2)
     cents = (
-        C.kmeans_centroids(emb, k=8, iters=2)
-        .select(F.col("cluster").alias("list_id"), F.col("_c").alias("_cent"))
+        trained.select(
+            F.col("cluster").alias("list_id"), F.col("_c").alias("_cent")
+        )
         .withColumn("_cent_n", S.l2_norm(F.col("_cent")))
         .localCheckpoint(eager=True)
     )
+    del trained
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return S.ivf_topk(emb, queries_df, k=5, centroids=cents)
 
@@ -579,8 +586,11 @@ WHERE {cos} >= {tau}"""
 def _semdedup_pairs(spark, sf_dir, k: int, tau: float = 0.4):
     """Shared SemDeDup plan: k-means assignment, then exact cosine only
     within clusters (operators/clustering.py has the 100 TB shape)."""
+    from tamar_spark.operators.graph import attach_lease
+
     emb = load_table(spark, sf_dir, "embeddings")
-    asg = C.kmeans(emb, k=k, iters=2).select("vec_id", "cluster")
+    km = C.kmeans(emb, k=k, iters=2)
+    asg = km.select("vec_id", "cluster")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("_v")
     )
@@ -594,7 +604,7 @@ def _semdedup_pairs(spark, sf_dir, k: int, tau: float = 0.4):
         F.col("vec_id").alias("dup_id"), "cluster", F.col("_v").alias("_yv")
     ).withColumn("_yn", l2_norm(F.col("_yv")))
     score = dot(F.col("_xv"), F.col("_yv")) / (F.col("_xn") * F.col("_yn"))
-    return (
+    out = (
         x.join(y, "cluster")
         .filter(F.col("src_id") < F.col("dup_id"))
         .withColumn("_s", score)
@@ -606,6 +616,10 @@ def _semdedup_pairs(spark, sf_dir, k: int, tau: float = 0.4):
             F.round("_s", 6).alias("score"),
         )
     )
+    # the kmeans training persist is lease-scoped (r11); carry it onto
+    # the derived frame so execution still reuses the cached input
+    # across the plan's multiple emb references
+    return attach_lease(out, km)
 
 
 @query("dedup_semantic", _semdedup_oracle())

@@ -522,6 +522,41 @@ def test_triangles_cache_lease_scopes_the_persist(spark, sf_dir):
     assert registry() - before == set()
 
 
+def test_kmeans_cache_lease_scopes_the_training_persist(spark, sf_dir):
+    """r11: kmeans' internal training persist (the emb frame every Lloyd
+    assign/update step rescans) must not outlive its consumer — same
+    lease pattern as triangles.  Pins:
+
+    - while the kmeans result is alive its cache IS registered;
+    - dropping the result empties the registry back to the baseline;
+    - a DERIVED consumer (dedup_semantic) carries the lease via
+      attach_lease, so the cache is still live while ITS plan (with
+      multiple emb references) executes, and released when it drops."""
+    import gc
+
+    sc = spark.sparkContext
+
+    def registry():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    gc.collect()
+    before = registry()
+    df = QUERIES["embed_kmeans"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(registry() - before) >= 1  # lease alive → cache registered
+    del df
+    gc.collect()
+    assert registry() - before == set(), "kmeans leaked its training persist"
+
+    df2 = QUERIES["dedup_semantic"](spark, sf_dir)
+    assert getattr(df2, "_tamar_cache_lease", None) is not None
+    df2.count()
+    del df2
+    gc.collect()
+    assert registry() - before == set()
+
+
 def test_weighted_sample_topk_is_take_ordered(spark, sf_dir):
     """The global top-200 by priority must compile to
     TakeOrderedAndProject (per-partition heads + merge), never a full
