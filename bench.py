@@ -206,8 +206,15 @@ CANONICAL_ANCHOR = {
     "q18_large_orders": (1.16, 1.24),
     "window_rank": (0.34, 0.57),
     "asof_join_latest_order": (0.38, 0.45),
-    "dedup_minhash_lsh": (2.04, 5.62),
-    "dedup_ngram_jaccard": (1.24, 4.63),
+    # dedup anchors re-recorded r11: the r6 warm medians (2.04 / 1.24)
+    # silently depended on a session-lifetime cache LEAK — un-released
+    # internal persists let pass 2+ reuse pass 1's shingle/signature
+    # caches.  Persists are lease-scoped since r11 (operators.cache), so
+    # every pass pays its true cache-free cost, the property the r10
+    # triangles row established.  In-context post-lease medians 5.15 /
+    # 5.76 at index 1.195; dedicated warm 3.6-4.8 / 4.7-4.9.
+    "dedup_minhash_lsh": (5.0, 6.5),
+    "dedup_ngram_jaccard": (5.5, 6.6),
     "dedup_embedding_lsh": (1.34, 3.05),
     "embed_cosine_topk": (1.26, 1.37),
     # re-recorded r11 under the r10 size-derived ⌈√n⌉ geometry (r10
@@ -220,7 +227,12 @@ CANONICAL_ANCHOR = {
     "doc_quality": (0.30, 0.36),
     "stateful_event_numbering": (3.87, 4.45),
     "streaming_session_agg": (2.90, 4.30),
-    "streaming_stream_join": (3.36, 3.47),
+    # re-recorded r11: no code change on this path, but it runs directly
+    # after the dedup anchors in RECORDED_BASELINE order, and with their
+    # caches lease-released each pass the predecessors now do full work
+    # per pass, heating the session before the streaming tail (in-context
+    # median 3.57 pre-lease → 4.86 post at index 1.195).
+    "streaming_stream_join": (4.2, 5.6),
 }
 
 

@@ -29,7 +29,7 @@ from typing import Optional
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F
 
-from tamar_spark.operators.graph import _CacheLease
+from tamar_spark.operators.cache import CacheLease as _CacheLease, scope_caches
 from tamar_spark.operators.similarity import dot
 
 __all__ = ["kmeans", "kmeans_centroids", "pagerank"]
@@ -241,4 +241,6 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-    return pr
+    # the node and weighted-edge persists are referenced by every
+    # iteration of the returned plan — lease them to its lifetime
+    return scope_caches(pr, nodes, e)

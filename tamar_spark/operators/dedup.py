@@ -122,11 +122,18 @@ def jaccard_pairs(
     shares shingles of df ≈ g; unrelated boilerplate runs far hotter).
     """
     # the shingle set feeds three consumers (sizes, both join sides) — persist
-    # so the explode+distinct runs once; MEMORY_AND_DISK spills at scale
+    # so the explode+distinct runs once; MEMORY_AND_DISK spills at scale.
+    # Every persist this call creates is lease-scoped to the returned frame
+    # (operators.cache): alive while a consumer holds the result, released
+    # when the last reference drops — no session-lifetime cache residue.
     from pyspark import StorageLevel
 
+    from tamar_spark.operators.cache import scope_caches
+
+    own = []  # persists created by THIS call (a caller-passed sh is theirs)
     if sh is None:
         sh = shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+        own.append(sh)
     if candidates is None and max_doc_freq is not None:
         cool = (
             sh.groupBy("shingle")
@@ -214,9 +221,10 @@ def jaccard_pairs(
             .select("doc_id_1", "doc_id_2", "jaccard")
         )
         to_verify = scored.filter(slack > 0).select("doc_id_1", "doc_id_2")
-        return _verify_pairs(sh, to_verify, id_col, threshold).unionByName(
+        out = _verify_pairs(sh, to_verify, id_col, threshold).unionByName(
             direct
         )
+        return scope_caches(out, *own, stats, scored)
     if candidates is not None:
         # verification is candidate-PAIR-bounded (not candidate-doc-bounded:
         # in a hot-boilerplate corpus nearly every doc lands in SOME pair, so
@@ -225,7 +233,7 @@ def jaccard_pairs(
         # 32k docs before this fix).  Jaccard is still computed on the FULL
         # shingle sets — max_doc_freq affects candidate generation only, so
         # emitted values are exact.
-        return _verify_pairs(sh, candidates, id_col, threshold)
+        return scope_caches(_verify_pairs(sh, candidates, id_col, threshold), *own)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_id_1"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_id_2"), "shingle")
@@ -247,7 +255,7 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_1", "doc_id_2", "jaccard")
     )
-    return out
+    return scope_caches(out, *own)
 
 
 def _verify_pairs(
@@ -323,6 +331,8 @@ def containment_pairs(
     """
     from pyspark import StorageLevel
 
+    from tamar_spark.operators.cache import scope_caches
+
     sh = shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if max_doc_freq is None:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -335,7 +345,7 @@ def containment_pairs(
         )
         sa = sizes.select(F.col(id_col).alias("doc_id_1"), F.col("n_sh").alias("n_a"))
         sb = sizes.select(F.col(id_col).alias("doc_id_2"), F.col("n_sh").alias("n_b"))
-        return (
+        out = (
             inter.join(sa, "doc_id_1")
             .join(sb, "doc_id_2")
             .withColumn(
@@ -345,6 +355,7 @@ def containment_pairs(
             .filter(F.col("containment") >= threshold)
             .select("doc_id_1", "doc_id_2", "containment")
         )
+        return scope_caches(out, sh)
     cool = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -420,7 +431,7 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_id_1", "doc_id_2", "containment")
     )
-    return verified.unionByName(direct)
+    return scope_caches(verified.unionByName(direct), sh, stats, scored)
 
 
 def minhash_signatures(
@@ -514,12 +525,14 @@ def minhash_lsh_pairs(
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
+    from tamar_spark.operators.cache import scope_caches
+
     if not verify:
-        return cand
+        return scope_caches(cand, sh, sig)
     # candidate-pair-bounded exact verification (shared with the capped
     # jaccard_pairs path — see _verify_pairs for the scale rationale)
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    return _verify_pairs(sh, cand, id_col, threshold)
+    return scope_caches(_verify_pairs(sh, cand, id_col, threshold), sh, sig, cand)
 
 
 def minhash_lsh_join(
@@ -586,10 +599,17 @@ def minhash_lsh_join(
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
+    from tamar_spark.operators.cache import scope_caches
+
     if not verify:
-        return cand
+        return scope_caches(cand, sh, sig)
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    return _verify_pairs(sh.select(id_col, "shingle"), cand, id_col, threshold)
+    return scope_caches(
+        _verify_pairs(sh.select(id_col, "shingle"), cand, id_col, threshold),
+        sh,
+        sig,
+        cand,
+    )
 
 
 def simhash_fingerprints(

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from tamar_spark.operators.cache import CacheLease as _CacheLease, attach_lease
+
 __all__ = [
     "attach_lease",
     "connected_components",
@@ -358,45 +360,11 @@ def kcore(
     return alive.select(F.col("u").alias("node"), "core_degree")
 
 
-def _release_cache(jdf) -> None:
-    """Unpersist a cached frame's JVM handle; safe after session stop."""
-    try:
-        jdf.unpersist(False)
-    except Exception:
-        pass
-
-
-class _CacheLease:
-    """Scopes an internal persist to the lifetime of the frames that
-    carry this lease object: when the LAST frame holding it is garbage
-    collected, the cached frame is unpersisted (deterministic under
-    CPython refcounting, idempotent, safe after session stop).
-    ``release()`` drops the cache eagerly."""
-
-    __slots__ = ("__weakref__", "_finalizer")
-
-    def __init__(self, jdf):
-        import weakref
-
-        self._finalizer = weakref.finalize(self, _release_cache, jdf)
-
-    def release(self) -> None:
-        self._finalizer()
-
-
-def attach_lease(df: DataFrame, source: DataFrame) -> DataFrame:
-    """Propagate ``source``'s cache lease (if any) onto a derived frame.
-
-    A lease (see :func:`triangles_per_node`) unpersists an internal
-    cached frame when the LAST Python reference to the leased DataFrame
-    is dropped; a caller that derives a new frame (orderBy/limit/...)
-    and discards the operator's return value must carry the lease
-    forward or the cache is released before the derived plan executes
-    (still correct — the consumer just recomputes uncached)."""
-    lease = getattr(source, "_tamar_cache_lease", None)
-    if lease is not None:
-        df._tamar_cache_lease = lease
-    return df
+# The lease implementation lives in operators.cache since it generalized
+# beyond triangles (r11: kmeans, dedup, pagerank, first_fit_pack persists
+# are all lease-scoped); it is re-exported from this module's top-level
+# imports because the pattern was introduced here and tests/callers
+# import attach_lease from it.
 
 
 def triangles_per_node(

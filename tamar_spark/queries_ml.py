@@ -363,8 +363,10 @@ def pagerank_nations(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("w"))
     )
     nodes = nation.select(F.col("n_name").alias("node"))
+    from tamar_spark.operators.cache import attach_lease
+
     pr = C.pagerank(edges, damping=0.85, iters=3, nodes=nodes)
-    return pr.select(F.col("node").alias("n_name"), "pr")
+    return attach_lease(pr.select(F.col("node").alias("n_name"), "pr"), pr)
 
 
 _CMS_SQL = """

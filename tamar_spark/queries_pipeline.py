@@ -379,13 +379,18 @@ def first_fit_pack(
     offsets = per_bucket.withColumn(
         "_off", F.sum("_n_packs").over(w) - F.col("_n_packs")
     ).select("lang", "source", "_bucket", "_off")
-    return packed.join(offsets, ["lang", "source", "_bucket"]).select(
+    from tamar_spark.operators.cache import scope_caches
+
+    out = packed.join(offsets, ["lang", "source", "_bucket"]).select(
         "lang",
         "source",
         "doc_id",
         "n_tok",
         (F.col("pack_id") + F.col("_off")).alias("pack_id"),
     )
+    # the packed persist feeds both the offset aggregate and the final
+    # join of the returned plan — lease it to the result's lifetime
+    return scope_caches(out, packed)
 
 
 @query("pack_sequences", _PACK_SQL)

@@ -557,6 +557,75 @@ def test_kmeans_cache_lease_scopes_the_training_persist(spark, sf_dir):
     assert registry() - before == set()
 
 
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_containment",
+        "dedup_incremental",
+        "pagerank_nations",
+    ],
+)
+def test_internal_persists_are_lease_scoped(spark, sf_dir, qname):
+    """r11: EVERY internal operator persist is lease-scoped (the r10
+    triangles pattern, generalized in operators.cache) — Spark's
+    CacheManager otherwise holds un-released persisted plans for the
+    SESSION lifetime, and eight dedup/similarity queries measurably left
+    ten cached RDDs behind.  For each query whose operator persists
+    intermediates (shingle sets, signatures, candidates, pagerank's node
+    and weighted-edge tables, the pack kernel's packed frame): the cache
+    is registered while the result frame is alive and the registry
+    returns to baseline when it drops.  (localCheckpoint residue from the
+    iterative operators is ContextCleaner-managed and excluded — none of
+    these queries checkpoint.)"""
+    import gc
+
+    sc = spark.sparkContext
+
+    def registry():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    gc.collect()
+    before = registry()
+    df = QUERIES[qname](spark, sf_dir)
+    assert df.count() >= 0
+    assert getattr(df, "_tamar_cache_lease", None) is not None
+    assert len(registry() - before) >= 1  # lease alive → cache registered
+    del df
+    gc.collect()
+    assert registry() - before == set(), f"{qname} leaked persisted RDDs"
+
+
+def test_bucketed_pack_persist_is_lease_scoped(spark):
+    """The pack kernel's persisted ``packed`` frame (only created on the
+    ``n_buckets > 1`` scale path — the registered queries pack each shard
+    in one walk and persist nothing) is lease-scoped like every other
+    internal persist."""
+    import gc
+
+    from tamar_spark.queries_pipeline import first_fit_pack
+
+    sc = spark.sparkContext
+
+    def registry():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    toks = spark.createDataFrame(
+        [("en", "web", i, 40 + (i % 3) * 30) for i in range(40)],
+        "lang string, source string, doc_id long, n_tok long",
+    )
+    gc.collect()
+    before = registry()
+    df = first_fit_pack(toks, n_buckets=4)
+    assert df.count() == 40
+    assert getattr(df, "_tamar_cache_lease", None) is not None
+    assert len(registry() - before) >= 1
+    del df
+    gc.collect()
+    assert registry() - before == set(), "pack kernel leaked its persist"
+
+
 def test_weighted_sample_topk_is_take_ordered(spark, sf_dir):
     """The global top-200 by priority must compile to
     TakeOrderedAndProject (per-partition heads + merge), never a full
