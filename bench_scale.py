@@ -1230,6 +1230,39 @@ def main() -> None:
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
+    # trained-IVF amortization probe (r11): the production ANN call shape
+    # trains the coarse quantizer ONCE (k-means, materialized k-row
+    # table) and reuses it for every index build.  Pins two claims from
+    # the operator docstring: (a) training cost is NOT re-paid per tier —
+    # the same localCheckpointed centroid table serves every scale; (b)
+    # with the probe count fixed the search leg (assign → probe →
+    # rerank) grows ~linearly with the corpus, since assignment is one
+    # broadcast argmax pass and the candidate join is bounded by the
+    # probed fraction.
+    from tamar_spark.operators.clustering import kmeans_centroids
+    from tamar_spark.operators.similarity import ivf_topk, l2_norm
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    t0 = time.perf_counter()
+    trained = kmeans_centroids(emb, k=8, iters=2)
+    cents = (
+        trained.select(
+            F.col("cluster").alias("list_id"), F.col("_c").alias("_cent")
+        )
+        .withColumn("_cent_n", l2_norm(F.col("_cent")))
+        .localCheckpoint(eager=True)
+    )
+    del trained
+    results["ivf_trained_train_once"] = [round(time.perf_counter() - t0, 2)]
+    results["ivf_trained_search"] = []
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    for k in [1, 4, 16]:
+        corpus = replicate(emb, k, ["vec_id"])
+        t0 = time.perf_counter()
+        ivf_topk(corpus, queries_df, k=5, centroids=cents, n_probe=2).count()
+        results["ivf_trained_search"].append(round(time.perf_counter() - t0, 2))
+        gc.collect()
+
     print(json.dumps({"sf_base": 0.1, "scales": SCALES, "queries": results}))
 
 
