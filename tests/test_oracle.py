@@ -43,6 +43,25 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     pd.testing.assert_frame_equal(s_n, o_n, check_dtype=False, check_exact=True)
 
 
+def test_floor_probe_shape_and_cleanup(spark):
+    """Pins the r10-VERDICT task-5 artifact contract: ``bench.floor_probe``
+    returns the three fixed-cost machinery medians (positive seconds,
+    stable keys — BASELINE.md's floor reading rule keys on these names)
+    and leaves nothing behind: no temp dir, no registered streaming
+    query, no persisted RDDs."""
+    import glob
+    import tempfile
+
+    import bench
+
+    before_tmp = set(glob.glob(tempfile.gettempdir() + "/tamar_floor_*"))
+    floor = bench.floor_probe(spark, runs=1)
+    assert set(floor) == {"range_job", "empty_microbatch", "stateful_1key_noop"}
+    assert all(isinstance(v, float) and v > 0 for v in floor.values())
+    assert set(glob.glob(tempfile.gettempdir() + "/tamar_floor_*")) == before_tmp
+    assert not spark.streams.active
+
+
 def test_registry_invariants():
     """The three registries the driver and bench read must agree: every
     bench headline name resolves to a registered query, every oracle
