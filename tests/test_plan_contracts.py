@@ -597,6 +597,49 @@ def test_internal_persists_are_lease_scoped(spark, sf_dir, qname):
     assert registry() - before == set(), f"{qname} leaked persisted RDDs"
 
 
+def test_cache_lease_composition_and_release(spark):
+    """Unit contract of operators.cache: scope_caches releases every
+    cached frame when the returned frame drops; a lease already riding a
+    composed frame is folded in as a CHILD and released with the parent;
+    release() is eager and idempotent; attach_lease carries the same
+    object (no copy)."""
+    import gc
+
+    from tamar_spark.operators.cache import attach_lease, scope_caches
+
+    sc = spark.sparkContext
+
+    def registry():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    gc.collect()
+    before = registry()
+    inner = spark.range(100).persist()
+    inner.count()
+    mid = scope_caches(inner.selectExpr("id * 2 AS id"), inner)
+    outer_cache = spark.range(50).persist()
+    outer_cache.count()
+    out = scope_caches(mid.union(outer_cache), outer_cache, mid)
+    assert len(registry() - before) == 2  # both caches registered
+
+    derived = attach_lease(out.filter("id >= 0"), out)
+    assert derived._tamar_cache_lease is out._tamar_cache_lease
+
+    # dropping out/mid does NOT release: derived still carries the chain
+    del mid, out
+    gc.collect()
+    assert len(registry() - before) == 2
+
+    lease = derived._tamar_cache_lease
+    del derived
+    lease.release()  # eager: outer cache + child lease (inner cache)
+    lease.release()  # idempotent
+    gc.collect()
+    assert registry() - before == set()
+    del inner, outer_cache
+    gc.collect()
+
+
 def test_bucketed_pack_persist_is_lease_scoped(spark):
     """The pack kernel's persisted ``packed`` frame (only created on the
     ``n_buckets > 1`` scale path — the registered queries pack each shard
