@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["CacheLease", "attach_lease", "scope_caches"]
+__all__ = ["CacheLease", "attach_lease", "leased_persist", "scope_caches"]
 
 
 def _release_cache(jdf) -> None:
@@ -73,26 +73,53 @@ def attach_lease(df: DataFrame, source: DataFrame) -> DataFrame:
     A caller that derives a new frame (orderBy/limit/select/...) and
     discards the operator's return value must carry the lease forward or
     the cache is released before the derived plan executes (still
-    correct — the consumer just recomputes uncached)."""
+    correct — the consumer just recomputes uncached).
+
+    Folds rather than overwrites: a frame derived from TWO leased
+    sources keeps both chains alive (an overwrite would silently release
+    the first source's persists before execution — caches defeated, plan
+    recomputes uncached)."""
     lease = getattr(source, "_tamar_cache_lease", None)
     if lease is not None:
-        df._tamar_cache_lease = lease
+        existing = getattr(df, "_tamar_cache_lease", None)
+        if existing is None or existing is lease:
+            df._tamar_cache_lease = lease
+        else:
+            df._tamar_cache_lease = CacheLease(children=[existing, lease])
     return df
+
+
+def leased_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """Persist ``df`` and IMMEDIATELY scope the cache to the frame's own
+    lifetime, closing the error-path leak window: an exception raised
+    between an eager ``persist()`` and the operator's final
+    :func:`scope_caches` would otherwise strand a session-lifetime cached
+    plan (exactly the leak class the lease pattern exists to fix — the
+    happy path released, the error path did not).  The frame's own lease
+    is folded as a child by a later ``scope_caches``/``attach_lease``, so
+    the release point still migrates to the operator's output frame."""
+    out = df.persist(storage_level) if storage_level is not None else df.persist()
+    out._tamar_cache_lease = CacheLease(out._jdf)
+    return out
 
 
 def scope_caches(out: DataFrame, *cached: DataFrame) -> DataFrame:
     """Scope the persists of ``cached`` frames to ``out``'s lifetime.
 
     Any lease already riding ``out`` or a ``cached`` frame (an operator
-    composing another leased operator) is folded in as a child, so one
-    object on the returned frame owns the full cache chain.  Returns
-    ``out`` with the lease attached."""
+    composing another leased operator, or a :func:`leased_persist`
+    intermediate) is folded in as a child, so one object on the returned
+    frame owns the full cache chain; a cached frame that already carries
+    its own lease contributes only that child (no second finalizer on
+    the same plan).  Returns ``out`` with the lease attached."""
     children = []
+    direct = []
     for d in (out, *cached):
         lease = getattr(d, "_tamar_cache_lease", None)
-        if lease is not None and all(lease is not c for c in children):
-            children.append(lease)
-    out._tamar_cache_lease = CacheLease(
-        *(d._jdf for d in cached), children=children
-    )
+        if lease is not None:
+            if all(lease is not c for c in children):
+                children.append(lease)
+        elif d is not out:
+            direct.append(d._jdf)
+    out._tamar_cache_lease = CacheLease(*direct, children=children)
     return out

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 SIMHASH_BITS = 60
 
@@ -123,16 +123,20 @@ def jaccard_pairs(
     """
     # the shingle set feeds three consumers (sizes, both join sides) — persist
     # so the explode+distinct runs once; MEMORY_AND_DISK spills at scale.
-    # Every persist this call creates is lease-scoped to the returned frame
-    # (operators.cache): alive while a consumer holds the result, released
-    # when the last reference drops — no session-lifetime cache residue.
+    # Every persist this call creates is lease-scoped AT CREATION
+    # (leased_persist): alive while a consumer holds a referencing frame,
+    # released when the last reference drops — including on exception
+    # paths between the persist and the return, so no session-lifetime
+    # cache residue either way.
     from pyspark import StorageLevel
 
-    from tamar_spark.operators.cache import scope_caches
+    from tamar_spark.operators.cache import leased_persist, scope_caches
 
     own = []  # persists created by THIS call (a caller-passed sh is theirs)
     if sh is None:
-        sh = shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+        sh = leased_persist(
+            shingles(df, text_col, id_col, n), StorageLevel.MEMORY_AND_DISK
+        )
         own.append(sh)
     if candidates is None and max_doc_freq is not None:
         cool = (
@@ -171,8 +175,8 @@ def jaccard_pairs(
                 F.col("n_sh"),
                 (F.col("n_sh") - F.coalesce(F.col("n_cool"), F.lit(0))).alias("h"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        stats = leased_persist(stats, StorageLevel.MEMORY_AND_DISK)
         sa = stats.select(
             F.col(id_col).alias("doc_id_1"),
             F.col("n_sh").alias("n_a"),
@@ -196,11 +200,9 @@ def jaccard_pairs(
         # persisted: the surviving candidate set feeds the direct/verify
         # split below (and the verify branch reads it three times) —
         # without the cache the pruned self-join subtree re-executes
-        scored = (
-            i_p.join(sa, "doc_id_1")
-            .join(sb, "doc_id_2")
-            .filter(j_ub >= threshold)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        scored = leased_persist(
+            i_p.join(sa, "doc_id_1").join(sb, "doc_id_2").filter(j_ub >= threshold),
+            StorageLevel.MEMORY_AND_DISK,
         )
         # Exact direct-emit tier: when min(h_a, h_b) == 0, one doc has no
         # hot (pruned) shingles at all, so every SHARED shingle is cool and
@@ -331,9 +333,11 @@ def containment_pairs(
     """
     from pyspark import StorageLevel
 
-    from tamar_spark.operators.cache import scope_caches
+    from tamar_spark.operators.cache import leased_persist, scope_caches
 
-    sh = shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = leased_persist(
+        shingles(df, text_col, id_col, n), StorageLevel.MEMORY_AND_DISK
+    )
     if max_doc_freq is None:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
         inter = (
@@ -376,8 +380,8 @@ def containment_pairs(
             F.col("n_sh"),
             (F.col("n_sh") - F.coalesce(F.col("n_cool"), F.lit(0))).alias("h"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    stats = leased_persist(stats, StorageLevel.MEMORY_AND_DISK)
     i_p = (
         pruned.select(F.col(id_col).alias("doc_id_1"), "shingle")
         .join(pruned.select(F.col(id_col).alias("doc_id_2"), "shingle"), "shingle")
@@ -397,11 +401,11 @@ def containment_pairs(
     )
     slack = F.least(F.col("h_a"), F.col("h_b"))
     denom = F.least(F.col("n_a"), F.col("n_b"))
-    scored = (
+    scored = leased_persist(
         i_p.join(sa, "doc_id_1")
         .join(sb, "doc_id_2")
-        .filter((F.col("i_p") + slack) / denom >= threshold)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter((F.col("i_p") + slack) / denom >= threshold),
+        StorageLevel.MEMORY_AND_DISK,
     )
     direct = (
         scored.filter(slack == 0)
@@ -503,15 +507,20 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    from tamar_spark.operators.cache import leased_persist, scope_caches
+
     rows = num_perm // bands
     # one persisted shingle set feeds both the signature aggregation and the
     # exact-Jaccard verification — without this the explode+distinct runs twice
-    sh = shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = leased_persist(
+        shingles(df, text_col, id_col, n), StorageLevel.MEMORY_AND_DISK
+    )
     # both sides of the band self-join derive from the signature table; persist
     # it (1 row/doc — tiny next to the corpus) so the 128-permutation
     # aggregation runs once, not once per join side
-    sig = minhash_signatures(df, text_col, id_col, n, num_perm, sh=sh).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = leased_persist(
+        minhash_signatures(df, text_col, id_col, n, num_perm, sh=sh),
+        StorageLevel.MEMORY_AND_DISK,
     )
     banded = sig.select(
         F.col(id_col),
@@ -525,13 +534,11 @@ def minhash_lsh_pairs(
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
-    from tamar_spark.operators.cache import scope_caches
-
     if not verify:
         return scope_caches(cand, sh, sig)
     # candidate-pair-bounded exact verification (shared with the capped
     # jaccard_pairs path — see _verify_pairs for the scale rationale)
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = leased_persist(cand, StorageLevel.MEMORY_AND_DISK)
     return scope_caches(_verify_pairs(sh, cand, id_col, threshold), sh, sig, cand)
 
 
@@ -571,18 +578,24 @@ def minhash_lsh_join(
     """
     from pyspark import StorageLevel
 
+    from tamar_spark.operators.cache import leased_persist, scope_caches
+
     rows = num_perm // bands
     both = new_df.select(
         F.col(id_col), F.col(text_col), F.lit(True).alias("_is_new")
     ).unionByName(
         old_df.select(F.col(id_col), F.col(text_col), F.lit(False).alias("_is_new"))
     )
-    sh = shingles(both, text_col, id_col, n, carry_cols=("_is_new",)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = leased_persist(
+        shingles(both, text_col, id_col, n, carry_cols=("_is_new",)),
+        StorageLevel.MEMORY_AND_DISK,
     )
-    sig = minhash_signatures(
-        both, text_col, id_col, n, num_perm, sh=sh, group_extra=("_is_new",)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = leased_persist(
+        minhash_signatures(
+            both, text_col, id_col, n, num_perm, sh=sh, group_extra=("_is_new",)
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     banded = sig.select(
         F.col(id_col),
         "_is_new",
@@ -599,11 +612,9 @@ def minhash_lsh_join(
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
-    from tamar_spark.operators.cache import scope_caches
-
     if not verify:
         return scope_caches(cand, sh, sig)
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = leased_persist(cand, StorageLevel.MEMORY_AND_DISK)
     return scope_caches(
         _verify_pairs(sh.select(id_col, "shingle"), cand, id_col, threshold),
         sh,

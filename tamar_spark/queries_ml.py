@@ -136,6 +136,15 @@ def dedup_containment(spark, sf_dir):
     return D.containment_pairs(docs, threshold=0.8, max_doc_freq=32)
 
 
+# The squared-L2 distance expression over a point ``v`` and centroid ``cv``
+# (DuckDB SQL) — ONE definition shared by the CTE prefix and the oracle's
+# final assignment, so the two can never silently desynchronize (r11 ADVICE).
+_KMEANS_DIST_SQL = (
+    "list_dot_product(v, v) - 2 * list_dot_product(v, cv)"
+    " + list_dot_product(cv, cv)"
+)
+
+
 def _kmeans_ctes(k: int = 8, k_sql: str | None = None) -> str:
     """The unrolled 2-iteration Lloyd's CTE prefix ``e→c0→a1→s1→c1``
     (no leading WITH) — shared by :func:`_kmeans_oracle` and the
@@ -144,10 +153,7 @@ def _kmeans_ctes(k: int = 8, k_sql: str | None = None) -> str:
     ``e``, e.g. a ceil(count/len) subquery) overrides the literal ``k``
     — the production-shape SemDeDup twin derives k from corpus size the
     same way the Spark side does."""
-    dist = (
-        "list_dot_product(v, v) - 2 * list_dot_product(v, cv)"
-        " + list_dot_product(cv, cv)"
-    )
+    dist = _KMEANS_DIST_SQL
     return f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c0 AS (
@@ -176,10 +182,7 @@ def _kmeans_ctes(k: int = 8, k_sql: str | None = None) -> str:
 def _kmeans_oracle(k: int = 8, k_sql: str | None = None) -> str:
     """Full 2-iteration Lloyd's twin: the shared CTE chain + the final
     assignment against the updated centroids."""
-    dist = (
-        "list_dot_product(v, v) - 2 * list_dot_product(v, cv)"
-        " + list_dot_product(cv, cv)"
-    )
+    dist = _KMEANS_DIST_SQL
     return f"""
 WITH {_kmeans_ctes(k, k_sql)}, a2 AS (
   SELECT vec_id, cluster, d FROM (

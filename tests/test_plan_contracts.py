@@ -640,6 +640,91 @@ def test_cache_lease_composition_and_release(spark):
     gc.collect()
 
 
+def test_attach_lease_folds_two_leased_sources(spark):
+    """r11 ADVICE: a frame derived from TWO leased sources must keep BOTH
+    cache chains alive — the old attach_lease overwrote the first lease
+    with the second, silently releasing source A's persists before the
+    derived plan executed (output still correct, cache defeated).  Pins
+    the fold: after attaching both sources, both caches stay registered
+    until the derived frame drops, then both release together."""
+    import gc
+
+    from tamar_spark.operators.cache import attach_lease, scope_caches
+
+    sc = spark.sparkContext
+
+    def registry():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    gc.collect()
+    before = registry()
+    ca = spark.range(100).persist()
+    ca.count()
+    a = scope_caches(ca.selectExpr("id AS id"), ca)
+    cb = spark.range(50).persist()
+    cb.count()
+    b = scope_caches(cb.selectExpr("id AS id"), cb)
+    assert len(registry() - before) == 2
+
+    derived = a.union(b)
+    derived = attach_lease(derived, a)
+    derived = attach_lease(derived, b)  # must FOLD, not overwrite a's lease
+    # re-attaching an already-held lease is a no-op (no infinite nesting)
+    derived = attach_lease(derived, a)
+    del a, b
+    gc.collect()
+    assert len(registry() - before) == 2, "attach_lease dropped a source's chain"
+    del derived
+    gc.collect()
+    assert registry() - before == set()
+    del ca, cb
+    gc.collect()
+
+
+def test_leased_persist_releases_on_error_path(spark):
+    """r11 ADVICE: an eager persist must not outlive an exception raised
+    before the operator's final scope_caches — leased_persist scopes the
+    cache to the frame itself AT CREATION, so abandoning the frame (the
+    error path) releases it; composing it through scope_caches migrates
+    the release point to the output frame without double-finalizing."""
+    import gc
+
+    from tamar_spark.operators.cache import leased_persist, scope_caches
+
+    sc = spark.sparkContext
+
+    def registry():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    gc.collect()
+    before = registry()
+
+    # error path: persist, materialize, then abandon without scope_caches
+    def op_that_raises():
+        mid = leased_persist(spark.range(64))
+        mid.count()
+        assert len(registry() - before) == 1
+        raise RuntimeError("boom")
+
+    try:
+        op_that_raises()
+    except RuntimeError:
+        pass
+    gc.collect()
+    assert registry() - before == set(), "error path leaked the persist"
+
+    # happy path: the same intermediate composed through scope_caches
+    mid = leased_persist(spark.range(64))
+    mid.count()
+    out = scope_caches(mid.selectExpr("id * 2 AS id"), mid)
+    del mid
+    gc.collect()
+    assert len(registry() - before) == 1  # out's chain holds the cache
+    del out
+    gc.collect()
+    assert registry() - before == set()
+
+
 def test_bucketed_pack_persist_is_lease_scoped(spark):
     """The pack kernel's persisted ``packed`` frame (only created on the
     ``n_buckets > 1`` scale path — the registered queries pack each shard
