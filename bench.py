@@ -423,9 +423,7 @@ def main() -> None:
     # the driver archives only the TAIL of stdout: keep the per-run
     # diagnostics (baseline totals, contention verdict, protocol) LAST so
     # truncation can never eat them
-    print(
-        json.dumps(
-            {
+    result = {
                 "metric": "headline_query_wall_sec",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
@@ -463,9 +461,18 @@ def main() -> None:
                     "focus_runs": runs,
                     "focus_size": len(focus),
                 },
-            }
-        )
-    )
+    }
+    # The driver's BENCH_r*.json keeps only a truncated stdout TAIL — the
+    # first ~two-thirds of per-query medians were lost every round and the
+    # judge had to reconstruct anchor values from anchor_ratios (r11
+    # VERDICT task 3).  Persist the COMPLETE artifact (plus the raw
+    # per-pass samples the stdout line never carried) next to this file,
+    # overwritten per run and committed, so the full timing record
+    # survives independent of the stdout cap.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_local.json"), "w") as f:
+        json.dump({**result, "samples": samples}, f, indent=1, sort_keys=True)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1266,5 +1266,129 @@ def main() -> None:
     print(json.dumps({"sf_base": 0.1, "scales": SCALES, "queries": results}))
 
 
+def ivf_recall_probe() -> None:
+    """Recall probes for the two r11 VERDICT measurement gaps (tasks 5+6),
+    runnable standalone: ``python bench_scale.py ivf_recall``.
+
+    1. ``ivf_trained_vs_derived`` — the trained-quantizer path at a
+       PRODUCTION-SHAPED list count: k-means trains nlist = ⌈√n⌉ = 45
+       centroids (2 Lloyd iterations, the registered query trains only
+       k=8 to keep the oracle twin tractable) and searches at the same
+       n_probe = 12 the size-derived geometry uses — recall@5 and wall
+       vs the untrained md5-sampled geometry at the MATCHED probe count.
+    2. ``ivfpq_clustered`` — the 8×16-vs-4×16 capacity decision made
+       visible: on the sf0.1 near-random corpus the rerank window binds
+       and both configs read identical recall (BASELINE.md "IVFPQ
+       operating point"), so the paid +2 bytes/vector shows nothing
+       there.  This probe builds a deterministic CLUSTERED corpus —
+       40 centers (every 50th real embedding), each point =
+       center(vec_id mod 40) + 0.15 × its own real embedding as noise,
+       so within-cluster cosine ≈ 0.98 and cross-cluster ≈ 0 — the
+       real-world shape where residual-PQ resolution binds instead, and
+       records recall@5 at rerank=50 for both subquantizer counts.
+    """
+    import time as _t
+
+    from tamar_spark.operators.clustering import kmeans_centroids
+    from tamar_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivfpq_topk,
+        l2_norm,
+    )
+
+    spark = get_spark(app_name="tamar-ivf-recall-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    emb.count()
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def recall_at(ann: DataFrame, exact: DataFrame) -> float:
+        hits = ann.join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        return round(hits / exact.count(), 3)
+
+    results: dict = {}
+
+    # --- 1. trained vs derived at matched scan fraction (nlist 45 / probe 12)
+    exact5 = cosine_topk(emb, queries_df, k=5).persist()
+    exact5.count()
+    t0 = _t.perf_counter()
+    derived = ivf_topk(emb, queries_df, k=5)  # size-derived: 45 lists, probe 12
+    derived_wall = None
+    derived.count()
+    derived_wall = round(_t.perf_counter() - t0, 2)
+    results["ivf_derived_45"] = {
+        "recall@5": recall_at(derived, exact5),
+        "wall": derived_wall,
+    }
+    t0 = _t.perf_counter()
+    trained = kmeans_centroids(emb, k=45, iters=2)
+    cents = (
+        trained.select(
+            F.col("cluster").alias("list_id"), F.col("_c").alias("_cent")
+        )
+        .withColumn("_cent_n", l2_norm(F.col("_cent")))
+        .localCheckpoint(eager=True)
+    )
+    train_wall = round(_t.perf_counter() - t0, 2)
+    t0 = _t.perf_counter()
+    tr = ivf_topk(emb, queries_df, k=5, centroids=cents, n_probe=12)
+    tr.count()
+    results["ivf_trained_45"] = {
+        "recall@5": recall_at(tr, exact5),
+        "wall": round(_t.perf_counter() - t0, 2),
+        "train_wall": train_wall,
+        "nlist": cents.count(),
+        "n_probe": 12,
+    }
+    exact5.unpersist()
+
+    # --- 2. IVFPQ 4x16 vs 8x16 on the clustered corpus, rerank 50
+    centers = emb.filter(F.col("vec_id") % 50 == 1).select(
+        ((F.col("vec_id") - 1) / 50).cast("int").alias("_cidx"),
+        F.col("embedding").cast("array<double>").alias("_center"),
+    )
+    clustered = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("_noise"),
+            (F.col("vec_id") % 40).cast("int").alias("_cidx"),
+        )
+        .join(F.broadcast(centers), "_cidx")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "_center", "_noise", lambda x, y: x + F.lit(0.15) * y
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    clustered.count()
+    cq = clustered.filter(F.col("vec_id") % 50 == 0)
+    cexact5 = cosine_topk(clustered, cq, k=5).persist()
+    cexact5.count()
+    for n_sub in (4, 8):
+        t0 = _t.perf_counter()
+        ann = ivfpq_topk(
+            clustered, cq, k=5, n_sub=n_sub, n_codes=16, dim=64, rerank=50
+        )
+        ann.count()
+        results[f"ivfpq_clustered_{n_sub}x16"] = {
+            "recall@5": recall_at(ann, cexact5),
+            "wall": round(_t.perf_counter() - t0, 2),
+            "rerank": 50,
+        }
+    cexact5.unpersist()
+    clustered.unpersist()
+    print(json.dumps({"probe": "ivf_recall", "sf_base": 0.1, "results": results}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf_recall":
+        ivf_recall_probe()
+    else:
+        main()
