@@ -182,6 +182,8 @@ EXTENDED = [
     # round-11 additions
     "session_agg_auto_skew",
     "embed_ivf_trained_topk",
+    # round-12 additions
+    "embed_ivfpq_trained_topk",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -654,6 +654,7 @@ def ivfpq_topk(
     n_codes: int = 16,
     dim: Optional[int] = None,
     rerank: int = 50,
+    centroids: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF+PQ composed (Jégou et al. 2011, the FAISS ``IVFPQ`` shape) —
     the production ANN tier at 100 TB, where neither standalone path
@@ -700,6 +701,19 @@ def ivfpq_topk(
     corpus-count pre-flight); the PQ compression config
     (``n_sub``/``n_codes``) stays an explicit knob — it sets bytes per
     vector, a capacity decision, not an index-shape one.
+
+    ``centroids=`` accepts the same offline-TRAINED coarse-quantizer
+    table as :func:`ivf_topk` (``(list_id, _cent, _cent_n)``, e.g. from
+    ``clustering.kmeans_centroids``) — the production IVFPQ shape at
+    100 TB, where the quantizer is trained once on a sample and every
+    index build reuses it.  Under the same contract: the default
+    ``n_probe`` follows the TRAINED table's own row count
+    (``⌈centroids.count()/4⌉`` — the 1/4 scan fraction holds whatever
+    nlist was trained) and the corpus is never counted.  The residual
+    codebooks still seed from the corpus's own ``md5('r'||id)`` stream:
+    with trained centroids no corpus row is exactly its own centroid, so
+    every seed residual is informative (strictly better-conditioned than
+    the untrained case the separate hash stream exists to protect).
     """
     if dim is None:
         dim = corpus.schema[vec_col].metadata.get("dim")
@@ -711,7 +725,13 @@ def ivfpq_topk(
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
     sub_dim = dim // n_sub
-    if n_centroids is None or n_probe is None:
+    if centroids is not None:
+        # trained-quantizer path: the scan-fraction contract follows the
+        # CENTROID table's own row count, never the corpus (the r10
+        # ADVICE rule ivf_topk pins; same rationale here)
+        if n_probe is None:
+            n_probe = max(1, math.ceil(centroids.count() / 4))
+    elif n_centroids is None or n_probe is None:
         d_nlist, d_nprobe = ivf_geometry(corpus.count())
         n_centroids = d_nlist if n_centroids is None else n_centroids
         n_probe = d_nprobe if n_probe is None else n_probe
@@ -723,18 +743,21 @@ def ivfpq_topk(
         F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", l2_norm(F.col("_qv")))
 
-    seed = (
-        c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
-        .orderBy("_h", "neighbor_id")
-        .limit(n_centroids)
-    )
-    cents = seed.select(
-        (F.row_number().over(Window.orderBy("_h", "neighbor_id")) - 1).alias(
-            "list_id"
-        ),
-        F.col("_cv").alias("_cent"),
-        F.col("_cn").alias("_cent_n"),
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        seed = (
+            c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
+            .orderBy("_h", "neighbor_id")
+            .limit(n_centroids)
+        )
+        cents = seed.select(
+            (F.row_number().over(Window.orderBy("_h", "neighbor_id")) - 1).alias(
+                "list_id"
+            ),
+            F.col("_cv").alias("_cent"),
+            F.col("_cn").alias("_cent_n"),
+        )
 
     sim = dot(F.col("_cv"), F.col("_cent")) / (F.col("_cn") * F.col("_cent_n"))
     w_assign = Window.partitionBy("neighbor_id").orderBy(

@@ -290,6 +290,136 @@ def embed_ivf_trained_topk(spark, sf_dir):
     return S.ivf_topk(emb, queries_df, k=5, centroids=cents)
 
 
+_IVFPQ_TRAINED_SQL = (
+    "\nWITH "
+    + _kmeans_ctes(8)
+    + """,
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+cents AS (
+  SELECT cluster AS list_id, cv AS cent FROM c1
+), assigned AS (
+  SELECT neighbor_id, cv, list_id, cent FROM (
+    SELECT c.neighbor_id, c.cv, cents.list_id, cents.cent,
+           row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+             list_dot_product(c.cv, cents.cent) /
+               (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cents.cent, cents.cent))) DESC,
+             cents.list_id) AS rk
+    FROM c, cents)
+  WHERE rk = 1
+), res AS (
+  SELECT neighbor_id, list_id, sqrt(list_dot_product(cv, cv)) AS cn,
+         list_transform(range(1, len(cv) + 1), i -> cv[i] - cent[i]) AS rv
+  FROM assigned
+), cbseed AS (
+  SELECT neighbor_id, rv, md5('r' || CAST(neighbor_id AS VARCHAR)) AS h
+  FROM res ORDER BY h, neighbor_id LIMIT 16
+), cbooks0 AS (
+  SELECT row_number() OVER (ORDER BY h, neighbor_id) - 1 AS code, rv FROM cbseed
+), mm AS (
+  SELECT CAST(unnest(range(8)) AS INT) AS m
+), cb AS (
+  SELECT code, m, list_slice(rv, m*8+1, m*8+8) AS ce FROM cbooks0, mm
+), rchunk AS (
+  SELECT neighbor_id, list_id, cn, m, list_slice(rv, m*8+1, m*8+8) AS rh FROM res, mm
+), codes AS (
+  SELECT neighbor_id, list_id, cn, m, code FROM (
+    SELECT rchunk.neighbor_id, rchunk.list_id, rchunk.cn, rchunk.m, cb.code,
+           row_number() OVER (PARTITION BY rchunk.neighbor_id, rchunk.m ORDER BY
+             (list_dot_product(rh, rh) - 2*list_dot_product(rh, ce)) + list_dot_product(ce, ce),
+             cb.code) AS rk
+    FROM rchunk JOIN cb USING (m))
+  WHERE rk = 1
+), q_lists AS (
+  SELECT query_id, list_id, qc FROM (
+    SELECT q.query_id, cents.list_id,
+           list_dot_product(q.qv, cents.cent) AS qc,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, cents.cent) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.cent, cents.cent))) DESC,
+             cents.list_id) AS rk
+    FROM q, cents)
+  WHERE rk <= (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) FROM cents)
+), qchunk AS (
+  SELECT query_id, m, list_slice(qv, m*8+1, m*8+8) AS qh FROM q, mm
+), lut AS (
+  SELECT query_id, m, code, list_dot_product(qh, ce) AS p FROM qchunk JOIN cb USING (m)
+), parts AS (
+  SELECT ql.query_id, codes.neighbor_id, ql.qc, codes.cn, codes.m, lut.p
+  FROM codes JOIN q_lists ql USING (list_id)
+  JOIN lut ON lut.query_id = ql.query_id AND lut.m = codes.m AND lut.code = codes.code
+  WHERE codes.neighbor_id <> ql.query_id
+), adcscore AS (
+  SELECT query_id, neighbor_id,
+         (((((((((max(qc) + sum(CASE WHEN m = 0 THEN p END))
+                 + sum(CASE WHEN m = 1 THEN p END))
+                + sum(CASE WHEN m = 2 THEN p END))
+               + sum(CASE WHEN m = 3 THEN p END))
+              + sum(CASE WHEN m = 4 THEN p END))
+             + sum(CASE WHEN m = 5 THEN p END))
+            + sum(CASE WHEN m = 6 THEN p END))
+           + sum(CASE WHEN m = 7 THEN p END)) / max(cn)) AS s
+  FROM parts GROUP BY 1, 2
+), adc AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rk
+  FROM adcscore
+), rr AS (
+  SELECT a.query_id, a.neighbor_id,
+         list_dot_product(q.qv, c.cv) /
+           (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+  FROM adc a
+  JOIN c ON a.neighbor_id = c.neighbor_id
+  JOIN q ON a.query_id = q.query_id
+  WHERE a.rk <= 50
+), ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+  FROM rr
+)
+SELECT query_id, neighbor_id, round(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
+@query("embed_ivfpq_trained_topk", _IVFPQ_TRAINED_SQL)
+def embed_ivfpq_trained_topk(spark, sf_dir):
+    """IVF+PQ over a TRAINED coarse quantizer — the full production ANN
+    shape at 100 TB (FAISS ``IVFPQ`` with a k-means-trained coarse stage,
+    Jégou et al. 2011 §IV): the quantizer is trained once offline
+    (k-means k=8, 2 Lloyd iterations here — the same tractable-oracle
+    scale as embed_ivf_trained_topk; production trains ⌈√n⌉ on a sample,
+    and BASELINE.md's r12 recall probe records the trained-at-45 gain),
+    materialized via ``localCheckpoint``, and handed to
+    ``ivfpq_topk(centroids=)``: residuals are taken against the TRAINED
+    centroids (lower variance than against md5-sampled corpus rows, so
+    the same 8×16 codebook budget quantizes finer), ``n_probe`` follows
+    the trained table's own row count (⌈8/4⌉ = 2 — the scan-fraction
+    contract, corpus never counted), and everything downstream (residual
+    encode → probe → LUT → ADC → exact rerank-50) is the registered
+    IVFPQ pipe unchanged.  The DuckDB twin chains the shared kmeans CTE
+    prefix (bit-identical centroid floats) into the full IVFPQ unroll,
+    so the composition is hash-checked end-to-end.  Completes the
+    trained-quantizer story: embed_ivf_trained_topk attests train+IVF,
+    this attests train+IVF+PQ — at 100 TB the pair differ only in
+    whether probed lists scan floats or 8-byte codes."""
+    from tamar_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = C.kmeans_centroids(emb, k=8, iters=2)
+    cents = (
+        trained.select(
+            F.col("cluster").alias("list_id"), F.col("_c").alias("_cent")
+        )
+        .withColumn("_cent_n", S.l2_norm(F.col("_cent")))
+        .localCheckpoint(eager=True)
+    )
+    del trained
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivfpq_topk(emb, queries_df, k=5, dim=64, n_sub=8, centroids=cents)
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     sql = """
 WITH edges AS (

@@ -2291,6 +2291,74 @@ def test_ivfpq_recall_and_layout_independence(spark):
     assert a == b
 
 
+def test_ivfpq_trained_centroids_recall_and_probe_contract(spark):
+    """The trained-quantizer IVFPQ path (r12 — ivfpq_topk gains the same
+    ``centroids=`` contract as ivf_topk): on the planted-cluster corpus a
+    k-means-trained coarse stage must reach the same >= 0.8 recall gate
+    as the md5-seeded one (residuals against trained centroids are
+    lower-variance, so quality should not drop), and the default
+    ``n_probe`` must derive from the TRAINED table's own row count
+    (⌈count/4⌉) — pinned by equality with the explicit value."""
+    import math
+    import random
+
+    from tamar_spark.operators.clustering import kmeans_centroids
+    from tamar_spark.operators.similarity import cosine_topk, ivfpq_topk, l2_norm
+
+    rng = random.Random(31)
+    dim, n_clusters, per_cluster = 16, 10, 20
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_clusters * per_cluster):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+
+    trained = kmeans_centroids(emb, k=10, iters=2)
+    cents = (
+        trained.select(
+            F.col("cluster").alias("list_id"), F.col("_c").alias("_cent")
+        )
+        .withColumn("_cent_n", l2_norm(F.col("_cent")))
+        .localCheckpoint(eager=True)
+    )
+    n_lists = cents.count()
+
+    exact = _topk_sets(cosine_topk(emb, queries_df, k=5))
+    got = _topk_sets(
+        ivfpq_topk(emb, queries_df, k=5, dim=dim, centroids=cents)
+    )
+    hits = sum(len(got.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.values())
+    assert hits / total >= 0.8, f"trained-IVFPQ recall too low: {hits / total}"
+
+    # default n_probe follows the TRAINED table's row count: identical
+    # output to the explicit ⌈n_lists/4⌉
+    a = sorted(
+        map(
+            tuple,
+            ivfpq_topk(emb, queries_df, k=5, dim=dim, centroids=cents).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb,
+                queries_df,
+                k=5,
+                dim=dim,
+                centroids=cents,
+                n_probe=math.ceil(n_lists / 4),
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_lang_segments_tile_and_alternate(spark, sf_dir):
     """The zero-shuffle array-fold segmentation must produce, per doc,
     segments that (a) tile [0, n_sentences) exactly — contiguous, ordered,
