@@ -18,7 +18,7 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional, Union
+from typing import Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 

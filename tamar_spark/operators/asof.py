@@ -22,7 +22,7 @@ Three physical strategies, chosen by ``strategy``:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window

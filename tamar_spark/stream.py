@@ -17,7 +17,7 @@ explicitly after a transform.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional, Sequence, Tuple, Union
+from typing import Callable, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
 

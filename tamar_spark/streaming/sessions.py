@@ -35,7 +35,7 @@ batch-needing logic.
 from __future__ import annotations
 
 import pickle
-from typing import Any, Callable, Iterator, Optional
+from typing import Any, Callable, Optional
 
 import pandas as pd
 

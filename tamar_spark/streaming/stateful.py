@@ -39,7 +39,7 @@ Spark mapping (SURVEY §2.4):
 from __future__ import annotations
 
 import pickle
-from typing import Any, Callable, Iterator, Optional
+from typing import Any, Callable, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
