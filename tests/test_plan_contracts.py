@@ -275,6 +275,56 @@ def test_similarity_construction_runs_no_jobs(spark, sf_dir):
     assert df_auto.count() >= 0
 
 
+def test_ivfpq_trained_preflight_is_centroid_count_only(spark, sf_dir):
+    """The trained-centroid IVFPQ path (r12) inherits ivf_topk's
+    pre-flight contract: plan construction may count only the TRAINED
+    centroid table (broadcast-small by contract, checkpointed — a
+    metadata-cheap job), never the corpus — at 100 TB a corpus count at
+    plan time is a full scan.  With explicit n_probe the construction
+    must launch NO job at all."""
+    from pyspark.sql import functions as F
+
+    from tamar_spark.operators.clustering import kmeans_centroids
+    from tamar_spark.operators.similarity import ivfpq_topk, l2_norm
+    from tamar_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    trained = kmeans_centroids(emb, k=8, iters=2)
+    cents = (
+        trained.select(
+            F.col("cluster").alias("list_id"), F.col("_c").alias("_cent")
+        )
+        .withColumn("_cent_n", l2_norm(F.col("_cent")))
+        .localCheckpoint(eager=True)
+    )
+    sc = spark.sparkContext
+
+    group = "ivfpq-trained-explicit"
+    sc.setJobGroup(group, "asserting laziness", interruptOnCancel=False)
+    try:
+        df_explicit = ivfpq_topk(
+            emb, queries_df, k=5, dim=64, centroids=cents, n_probe=2
+        )
+    finally:
+        sc.setJobGroup("", "", interruptOnCancel=False)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert jobs == [], f"explicit n_probe should launch no job: {jobs}"
+
+    group2 = "ivfpq-trained-derived"
+    sc.setJobGroup(group2, "asserting bounded pre-flight", interruptOnCancel=False)
+    try:
+        df_derived = ivfpq_topk(emb, queries_df, k=5, dim=64, centroids=cents)
+    finally:
+        sc.setJobGroup("", "", interruptOnCancel=False)
+    jobs2 = sc.statusTracker().getJobIdsForGroup(group2)
+    # one logical count of the CHECKPOINTED k-row table (AQE may split it
+    # into two physical jobs) — cheap by construction, and the corpus is
+    # untouched either way
+    assert 1 <= len(jobs2) <= 2, f"trained n_probe should cost one centroid count: {jobs2}"
+    assert df_explicit.count() >= 0 and df_derived.count() >= 0
+
+
 def test_lsh_topk_requires_dim(spark):
     """dim is mandatory without schema metadata — the old corpus.first()
     inference ran an eager job during construction."""
