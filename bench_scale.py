@@ -1382,6 +1382,31 @@ def ivf_recall_probe() -> None:
         }
     cexact5.unpersist()
     clustered.unpersist()
+
+    # --- 3. trained-IVFPQ search scaling (r12): same shape as the r11
+    # ivf_trained_search amortization row, with the PQ encode leg in the
+    # plan — the quantizer is trained ONCE and every tier reuses it; the
+    # search wall (assign → residual-encode → probe → LUT → ADC → rerank)
+    # should stay ~linear in the corpus since every per-vector step is a
+    # broadcast map and the candidate join is bounded by the probed
+    # fraction.
+    trained8 = kmeans_centroids(emb, k=8, iters=2)
+    cents8 = (
+        trained8.select(
+            F.col("cluster").alias("list_id"), F.col("_c").alias("_cent")
+        )
+        .withColumn("_cent_n", l2_norm(F.col("_cent")))
+        .localCheckpoint(eager=True)
+    )
+    results["ivfpq_trained_search"] = []
+    for k in [1, 4, 16]:
+        corpus = replicate(emb, k, ["vec_id"])
+        t0 = _t.perf_counter()
+        ivfpq_topk(
+            corpus, queries_df, k=5, dim=64, n_sub=8, centroids=cents8
+        ).count()
+        results["ivfpq_trained_search"].append(round(_t.perf_counter() - t0, 2))
+
     print(json.dumps({"probe": "ivf_recall", "sf_base": 0.1, "results": results}))
 
 
