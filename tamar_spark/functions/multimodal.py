@@ -10,20 +10,24 @@ Image codecs auto-detect: when PIL/Pillow is importable on the executors
 (:data:`HAS_PIL`), :func:`decode_image` and :func:`resize_images` run the
 real codec; without PIL, the CODEC-FREE raster formats still decode for
 real — BMP (bottom-up rows, 4-byte stride) and binary PPM/PGM via the
-pure-Python :func:`parse_bmp`/:func:`parse_ppm`, and ONE genuinely
-COMPRESSED codec decodes for real with only the stdlib: PNG
+pure-Python :func:`parse_bmp`/:func:`parse_ppm`, and TWO genuinely
+COMPRESSED codecs decode for real with numpy + the stdlib: PNG
 (:func:`parse_png` — CRC-checked chunk walk, zlib inflate, all five
-scanline filters incl. Paeth), with :func:`decode_image_pixels`
-exposing the full pixel-level round trip for all of them.
+scanline filters incl. Paeth) and baseline JPEG (:func:`parse_jpeg` —
+marker walk, embedded-table parse, bit-level Huffman entropy decode,
+dequantize, inverse zigzag, IDCT, color convert; r12), with
+:func:`decode_image_pixels` exposing the full pixel-level round trip
+for all of them and :func:`jpeg_roundtrip_check` proving the lossy
+round trip under a measured error bound.
 For other codec-bearing formats without PIL the stages raise
 ``NotImplementedError`` unless ``fake=True``, which produces a
 deterministic fake decode (dimensions derived from the payload hash) so
 the Spark-side plumbing — schema, batching, partitioning — stays real
 and tested in codec-less CI.  Video frame SAMPLING (``sample_frames``)
 is real for two containers that need no codec: MJPEG (structural JPEG
-segment walk) and rawvideo (fixed-size frame slicing); pixel DECODE of
-ffmpeg-class media (JPEG entropy coding, H.264, …) remains the
-documented out-of-scope line.
+segment walk) and rawvideo (fixed-size frame slicing); pixel decode of
+progressive/subsampled JPEG and inter-frame video (H.264, …) remains
+the documented out-of-scope line.
 
 Scale notes: payload columns are heavy — always ``select`` metadata-only
 projections for filtering/joins and re-attach payloads late (column pruning
@@ -56,10 +60,13 @@ __all__ = [
     "decode_image",
     "decode_image_pixels",
     "extract_image_features",
+    "jpeg_roundtrip_check",
     "make_bmp",
+    "make_jpeg",
     "make_png",
     "make_wav",
     "parse_bmp",
+    "parse_jpeg",
     "parse_png",
     "parse_ppm",
     "resize_images",
@@ -382,14 +389,528 @@ def parse_png(buf: bytes):
     return w, h, nch, bytes(out)
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81), encoder + REAL entropy decoder — numpy + stdlib
+# --------------------------------------------------------------------------
+#
+# This retires the larger half of the "entropy-coded media" non-goal: a
+# baseline sequential JFIF codec implemented from the public spec —
+# marker segments, embedded quantization + Huffman tables, zigzag,
+# per-block DCT, DC prediction, run-length AC coding with byte stuffing.
+# Both directions read their tables FROM THE FILE (DQT/DHT segments), so
+# the round trip never depends on Annex-K constants being transcribed
+# perfectly; the tables below are the standard ones scaled by the IJG
+# quality rule.  JPEG is lossy, so unlike PNG the pixel hash cannot equal
+# the source hash — the registered query instead proves the round trip
+# with a BOUNDED-ERROR check (same self-verified-boolean pattern as
+# approx_distinct_users).  Progressive JPEG (SOF2), subsampled chroma,
+# restart markers, and H.264 remain the documented out-of-scope line.
+
+# standard luminance/chrominance quantization tables (T.81 Annex K.1/K.2);
+# only a starting point — the encoder embeds the scaled tables in DQT and
+# the decoder uses whatever the file carries
+_JPEG_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+
+def _jpeg_zigzag():
+    """The standard zigzag scan order, GENERATED rather than transcribed:
+    diagonals of constant r+c, even diagonals walked bottom-left→top-right
+    (row descending), odd ones top-right→bottom-left.  Returns the list of
+    flat (row*8+col) indices in scan order."""
+    order = []
+    for s in range(15):
+        cells = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            cells.reverse()
+        order.extend(r * 8 + c for r, c in cells)
+    return order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+# Flat canonical Huffman tables: DC categories 0-11 as 4-bit codes, every
+# AC (run, size) symbol plus EOB/ZRL as 9-bit codes.  Deliberately NOT the
+# Annex-K optimal tables: a flat code is trivially valid (the all-ones
+# code is never assigned), is embedded in DHT like any other table, and
+# removes transcription risk — the cost is only compression ratio, which
+# this fixture does not grade.
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0] * 8 + [162] + [0] * 7
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _canon_codes(bits, vals):
+    """Canonical Huffman assignment (T.81 C.2): symbols take consecutive
+    codes within each length, code doubles moving to the next length."""
+    out = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_mat():
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for k in range(8):
+        c = math.sqrt(0.125) if k == 0 else 0.5
+        for n in range(8):
+            a[k, n] = c * math.cos((2 * n + 1) * k * math.pi / 16)
+    return a
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def make_jpeg(payload: bytes, width: int = 8, quality: int = 97) -> bytes:
+    """Encode raw bytes as a REAL baseline JFIF JPEG: ``width`` px/row of
+    RGB (3 bytes each, row-major top-down), height = full rows (tail
+    dropped).  4:4:4 sampling (every component one 8×8 block per MCU),
+    standard quant tables scaled by the IJG quality rule and embedded in
+    DQT, flat canonical Huffman tables embedded in DHT, float DCT,
+    DC-differential + run-length AC entropy coding with byte stuffing.
+    ``width`` must be a multiple of 8 (one MCU column per 8 px; the
+    fixture uses exactly 8); height pads to the block grid by edge
+    replication, with the TRUE height declared in SOF0 (decoder crops)."""
+    import struct
+
+    import numpy as np
+
+    if width <= 0 or width % 8:
+        raise ValueError("JPEG fixture width must be a positive multiple of 8")
+    row_bytes = width * 3
+    h = len(payload) // row_bytes
+    if h <= 0:
+        raise ValueError("payload shorter than one pixel row")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qt = []
+    for base in (_JPEG_QUANT_LUMA, _JPEG_QUANT_CHROMA):
+        qt.append(
+            np.array(
+                [min(255, max(1, (t * scale + 50) // 100)) for t in base],
+                dtype=np.float64,
+            ).reshape(8, 8)
+        )
+
+    px = np.frombuffer(payload[: h * row_bytes], dtype=np.uint8).reshape(
+        h, width, 3
+    ).astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    comps = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    h8 = -(-h // 8) * 8
+    nby, nbx = h8 // 8, width // 8
+    a = _dct_mat()
+    dc_codes = _canon_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canon_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    quantized = []  # per component: (nby*nbx, 64) int arrays in block order
+    for ci, comp in enumerate(comps):
+        if h8 > h:  # edge-replicate the last row into the padding
+            comp = np.vstack([comp, np.repeat(comp[-1:, :], h8 - h, axis=0)])
+        blocks = (
+            comp.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        f = np.einsum("ij,bjk,lk->bil", a, blocks - 128.0, a)
+        q = np.round(f / qt[1 if ci else 0]).astype(np.int64)
+        quantized.append(q.reshape(-1, 64)[:, _JPEG_ZZ])
+
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for blk in range(nby * nbx):
+        for ci in range(3):
+            zz = quantized[ci][blk]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            size = diff.bit_length() if diff else 0
+            code, ln = dc_codes[size]
+            w.put(code, ln)
+            if size:
+                w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            last_nz = 0
+            nz = np.nonzero(zz[1:])[0]
+            last_nz = int(nz[-1]) + 1 if len(nz) else 0
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]
+                    w.put(code, ln)
+                    run -= 16
+                size = abs(v).bit_length()
+                code, ln = ac_codes[(run << 4) | size]
+                w.put(code, ln)
+                w.put(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]
+                w.put(code, ln)
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return _jpeg_seg(
+            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    zz_inv = _JPEG_ZZ  # DQT stores the table in zigzag order
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid in (0, 1):
+        flat = qt[tid].reshape(-1)
+        out += _jpeg_seg(
+            0xDB, bytes([tid]) + bytes(int(flat[i]) for i in zz_inv)
+        )
+    sof = struct.pack(">BHHB", 8, h, width, 3)
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    out += _jpeg_seg(0xC0, sof)
+    out += dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS)
+    out += dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS)
+    sos = bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    sos += bytes([0, 63, 0])
+    out += _jpeg_seg(0xDA, sos)
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | reader.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def parse_jpeg(buf: bytes):
+    """REAL baseline JPEG decode, numpy + stdlib only: marker walk,
+    DQT/DHT table parse, SOF0 geometry, Huffman decode of the entropy
+    stream (byte unstuffing, DC prediction, EOB/ZRL run semantics),
+    dequantize, inverse zigzag, IDCT, YCbCr→RGB, crop to the declared
+    height — returns ``(width, height, 3, pixels)`` row-major top-down.
+    Raises ``ValueError`` on structural corruption and
+    ``NotImplementedError`` on the declared out-of-scope variants:
+    progressive (SOF2), subsampled chroma, restart intervals."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict = {}
+    huff: dict = {}
+    sof = None
+    scan_comps = None
+    data_start = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = buf[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", buf, pos + 2)[0]
+        body = buf[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tab = np.zeros(64)
+                for i, zi in enumerate(_JPEG_ZZ):
+                    tab[zi] = body[o + 1 + i]
+                qt[tq] = tab.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                cls, tid = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                codes = _canon_codes(bits, vals)
+                huff[(cls, tid)] = {
+                    (ln_, code): sym for sym, (code, ln_) in codes.items()
+                }
+                o += 17 + n
+        elif marker == 0xC0:
+            prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("non-8-bit JPEG precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled JPEG chroma")
+                comps.append((cid, tq))
+            sof = (h, w_, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) is supported"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            data_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if sof is None or scan_comps is None or data_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w_, comps = sof
+    if w_ % 8 or not qt:
+        raise NotImplementedError("JPEG width must align to the MCU grid")
+
+    # unstuff the entropy stream up to EOI
+    raw = bytearray()
+    i = data_start
+    while i < len(buf) - 1:
+        c = buf[i]
+        if c == 0xFF:
+            nxt = buf[i + 1]
+            if nxt == 0x00:
+                raw.append(0xFF)
+                i += 2
+                continue
+            if nxt == 0xD9:
+                break
+            if 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError("JPEG restart markers")
+            raise ValueError("unexpected marker in JPEG entropy stream")
+        raw.append(c)
+        i += 1
+
+    reader = _BitReader(bytes(raw))
+    h8 = -(-h // 8) * 8
+    nby, nbx = h8 // 8, w_ // 8
+    nmcu = nby * nbx
+    coefs = [np.zeros((nmcu, 64)) for _ in comps]
+    pred = [0] * len(comps)
+    tq_by_cid = dict(comps)
+    dc_tid = {cid: d for cid, d, _ in scan_comps}
+    ac_tid = {cid: a_ for cid, _, a_ in scan_comps}
+    for blk in range(nmcu):
+        for ci, (cid, tq_) in enumerate(comps):
+            dct = huff[(0, dc_tid[cid])]
+            act = huff[(1, ac_tid[cid])]
+            size = _huff_decode(reader, dct)
+            diff = _extend(reader.bits(size), size) if size else 0
+            pred[ci] += diff
+            zz = np.zeros(64)
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run overflows the block")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+            coefs[ci][blk, _JPEG_ZZ] = zz
+    a = _dct_mat()
+    planes = []
+    for ci, (cid, tq_) in enumerate(comps):
+        f = coefs[ci].reshape(-1, 8, 8) * qt[tq_by_cid[cid]]
+        sp = np.einsum("ji,bjk,kl->bil", a, f, a) + 128.0
+        plane = (
+            sp.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(h8, w_)
+        )
+        planes.append(plane[:h, :])
+    if len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+    else:
+        rgb = planes[0][..., None]
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w_, h, out.shape[-1], out.tobytes()
+
+
+def jpeg_roundtrip_check(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    quality: int = 99,
+    max_err: int = 12,
+) -> DataFrame:
+    """Encode each row's utf-8 bytes as a baseline JPEG and decode it
+    back, emitting ``(id, width, height, n_channels, decode_ok)`` where
+    ``decode_ok`` = dimensions round-tripped AND every recovered pixel is
+    within ``max_err`` of the source byte.  JPEG is lossy, so the PNG
+    query's hash-the-source trick cannot work here; the bounded-error
+    boolean is the self-verified-check pattern (approx_distinct_users):
+    a broken Huffman walk, zigzag, dequant, or IDCT produces garbage
+    pixels and fails the bound — only a working codec pair passes.
+    Measured at quality 99 the true max error over the ENTIRE sf0.1
+    fixture is 5 (BASELINE.md r12; quality 97 read 15 — too close to a
+    bound), so the 12 bound has 2.4× margin and the boolean is stable
+    against float wobble.  One Arrow-batched
+    ``mapInPandas`` stage, no shuffle; per-row CPU-bound work that
+    partitions embarrassingly."""
+    import numpy as np
+
+    row_bytes = width * 3
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, ncs, oks = [], [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                pay = (t or "").encode("utf-8")
+                n = (len(pay) // row_bytes) * row_bytes
+                jp = make_jpeg(pay, width=width, quality=quality)
+                w, h, nch, px = parse_jpeg(jp)
+                src = np.frombuffer(pay[:n], dtype=np.uint8).astype(np.int64)
+                dec = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                ok = (
+                    w == width
+                    and nch == 3
+                    and len(dec) == n
+                    and h == n // row_bytes
+                    and int(np.abs(src - dec).max()) <= max_err
+                )
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                ncs.append(nch)
+                oks.append(bool(ok))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": ws,
+                    "height": hs,
+                    "n_channels": ncs,
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        check,
+        f"{id_col} long, width int, height int, n_channels int, decode_ok boolean",
+    )
+
+
 def _parse_raster(buf: bytes):
-    """Dispatch on magic bytes to the codec-free parsers — and to the
-    stdlib-only PNG inflate+unfilter path, the one compressed codec the
-    sandbox can decode for real."""
+    """Dispatch on magic bytes to the codec-free parsers — the stdlib-only
+    PNG inflate+unfilter path, and the baseline JPEG entropy decoder, the
+    two genuinely COMPRESSED codecs the sandbox decodes for real."""
     if buf[:2] == b"BM":
         return parse_bmp(buf)
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return parse_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        return parse_jpeg(buf)
     return parse_ppm(buf)
 
 
@@ -400,12 +921,13 @@ def decode_image(df: DataFrame, id_col: str = "id", payload_col: str = "payload"
     """Decode image payloads to (width, height, channels) via mapInPandas.
 
     Real decode when possible: PIL when importable on the executor (any
-    format Pillow reads); without PIL, BMP and binary PPM/PGM payloads
-    still decode for REAL via the pure-Python parsers above (magic-byte
-    dispatch).  ``fake=True`` runs a deterministic fake decode (dims from
-    the payload hash) so the distributed plumbing is exercised end-to-end
-    in any environment; ``fake=False`` on a codec-bearing format without
-    PIL raises ``NotImplementedError`` at execution time — loudly, never
+    format Pillow reads); without PIL, BMP, binary PPM/PGM, PNG, and
+    baseline JPEG payloads still decode for REAL via the pure-Python
+    parsers above (magic-byte dispatch).  ``fake=True`` runs a
+    deterministic fake decode (dims from the payload hash) so the
+    distributed plumbing is exercised end-to-end in any environment;
+    ``fake=False`` on a remaining codec-bearing format without PIL
+    raises ``NotImplementedError`` at execution time — loudly, never
     silently faking.
     """
 
@@ -432,7 +954,7 @@ def decode_image(df: DataFrame, id_col: str = "id", payload_col: str = "payload"
                 def _dims(b):
                     buf = bytes(b or b"")
                     known = (
-                        buf[:2] in (b"BM", b"P5", b"P6")
+                        buf[:2] in (b"BM", b"P5", b"P6", b"\xff\xd8")
                         or buf[: len(_PNG_SIG)] == _PNG_SIG
                     )
                     try:
@@ -443,8 +965,8 @@ def decode_image(df: DataFrame, id_col: str = "id", payload_col: str = "payload"
                         raise NotImplementedError(
                             "image codec (Pillow) not available in this "
                             "environment and payload is not a stdlib-"
-                            "decodable BMP/PPM/PNG; pass fake=True to "
-                            "exercise the pipeline"
+                            "decodable BMP/PPM/PNG/baseline-JPEG; pass "
+                            "fake=True to exercise the pipeline"
                         )
                     return w, h, nch
                 parsed = pdf[payload_col].map(_dims)
@@ -479,8 +1001,10 @@ _PIXEL_SCHEMA = (
 def decode_image_pixels(
     df: DataFrame, id_col: str = "id", payload_col: str = "payload"
 ) -> DataFrame:
-    """PIXEL-level decode of codec-free rasters (BMP / binary PPM): parse
-    the container for real — flip bottom-up rows, strip stride padding —
+    """PIXEL-level decode of the stdlib-decodable rasters (BMP, binary
+    PPM/PGM, PNG, baseline JPEG — magic-byte dispatch): parse the
+    container for real — flip bottom-up rows, strip stride padding,
+    inflate+unfilter, or entropy-decode —
     and emit ``(id, width, height, n_channels, pixel_sha)`` where
     ``pixel_sha`` is sha256 over the row-major TOP-DOWN unpadded pixel
     bytes.  The hash is the proof the decode is real: it only matches a

@@ -1688,6 +1688,53 @@ def image_png_pixels(spark, sf_dir):
     )
 
 
+@query(
+    "image_jpeg_roundtrip",
+    """
+SELECT doc_id,
+       CAST(8 AS INT) AS width,
+       CAST(floor(length(text) / 24) AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       TRUE AS decode_ok
+FROM documents
+WHERE length(text) >= 24
+""",
+)
+def image_jpeg_roundtrip(spark, sf_dir):
+    """REAL baseline JPEG encode + ENTROPY DECODE, numpy + stdlib only
+    (r12 — shrinks the declared entropy-codec non-goal): each document's
+    utf-8 bytes become the RGB rows of a genuine baseline JFIF JPEG
+    (``make_jpeg`` — 8 px/row, 4:4:4, IJG-scaled standard quant tables
+    and canonical Huffman tables embedded in DQT/DHT, float DCT, DC
+    prediction, run-length AC coding, byte stuffing), then ``parse_jpeg``
+    decodes it back on the executor: marker walk, table parse, bit-level
+    Huffman decode with unstuffing and EOB/ZRL semantics, dequantize,
+    inverse zigzag, IDCT, YCbCr→RGB, crop.  JPEG is LOSSY, so unlike
+    image_png_pixels the pixel hash cannot equal the source hash; the
+    proof is the bounded-error check (the approx_distinct_users
+    self-verified-boolean pattern): ``decode_ok`` is true iff the
+    decoded dimensions match the source-derived geometry AND every
+    recovered pixel is within 12 of its source byte — the measured true
+    max error at quality 99 is 5 over the ENTIRE sf0.1 fixture, and a
+    broken Huffman walk / zigzag / dequant / IDCT produces garbage that
+    fails the bound, so the oracle hash (which asserts TRUE for every
+    doc) only matches when the full codec pair works.  Progressive JPEG,
+    subsampled chroma, and H.264 remain the loud out-of-scope line.
+    Docs shorter than one pixel row (24 bytes) are filtered identically
+    in both engines.
+
+    Scale: one Arrow-batched ``mapInPandas`` stage, no shuffle —
+    identical plan shape to image_png_pixels; decode is per-row
+    CPU-bound numpy work that partitions embarrassingly (reference
+    parity: the map/process operator family, src/lib.rs:127-174)."""
+    from tamar_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.jpeg_roundtrip_check(
+        docs.filter(F.length("text") >= 24), text_col="text", id_col="doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming parity (reference execution model, SURVEY §3, §5)
 # ---------------------------------------------------------------------------

@@ -2237,6 +2237,112 @@ def test_decode_image_real_path_without_pil_on_bmp(spark):
     assert px[2] == _h.sha256(bytes(96)).hexdigest()
 
 
+def test_jpeg_codec_roundtrip_and_bounds():
+    """The baseline JPEG pair (r12): encode → REAL entropy decode must
+    round-trip dimensions exactly and pixels within the documented error
+    bound, across content shapes (smooth, noise, text-like, constant)
+    and non-block-aligned heights (SOF0 declares the true height, the
+    decoder crops the padded block grid)."""
+    import random
+
+    import numpy as np
+
+    from tamar_spark.functions import multimodal as M
+
+    rng = random.Random(13)
+    cases = [
+        bytes(range(24)) * 10,                                   # 10 rows
+        bytes(rng.randrange(256) for _ in range(24 * 20)),       # noise, 20 rows
+        b"The quick brown fox jumps over the lazy dog. " * 30,   # text
+        bytes(24 * 3),                                           # constant, 3 rows
+        bytes(rng.randrange(256) for _ in range(24 * 9 + 17)),   # tail dropped
+    ]
+    for pay in cases:
+        jp = M.make_jpeg(pay, width=8, quality=99)
+        w, h, nch, px = M.parse_jpeg(jp)
+        n = (len(pay) // 24) * 24
+        assert (w, nch) == (8, 3)
+        assert h == n // 24  # true (cropped) height, not the padded grid
+        assert len(px) == n
+        src = np.frombuffer(pay[:n], dtype=np.uint8).astype(int)
+        dec = np.frombuffer(px, dtype=np.uint8).astype(int)
+        assert int(np.abs(src - dec).max()) <= 12
+    # quality 100 (all-ones quant tables): float-rounding error only
+    jp = M.make_jpeg(cases[1], width=8, quality=100)
+    _, _, _, px = M.parse_jpeg(jp)
+    src = np.frombuffer(cases[1], dtype=np.uint8).astype(int)
+    dec = np.frombuffer(px, dtype=np.uint8).astype(int)
+    assert int(np.abs(src - dec).max()) <= 3
+
+
+def test_jpeg_decoder_rejects_corrupt_and_out_of_scope():
+    """parse_jpeg fails LOUDLY: ValueError on structural corruption,
+    NotImplementedError on the declared out-of-scope variants
+    (progressive SOF2, subsampled chroma, restart intervals) — never a
+    silent wrong decode."""
+    import pytest
+
+    from tamar_spark.functions import multimodal as M
+
+    pay = bytes(range(24)) * 8
+    jp = bytearray(M.make_jpeg(pay, width=8, quality=99))
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        M.parse_jpeg(b"\x00\x01" + bytes(jp[2:]))
+    # cut mid-ENTROPY-STREAM (a noise payload so the scan is long; the
+    # smooth fixture compresses to ~28 bytes and a cut lands in headers)
+    import random
+
+    rng = random.Random(3)
+    noisy = bytes(rng.randrange(256) for _ in range(24 * 16))
+    jp_noise = M.make_jpeg(noisy, width=8, quality=99)
+    scan_at = jp_noise.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        M.parse_jpeg(jp_noise[: scan_at + 40])
+
+    i = bytes(jp).index(b"\xff\xc0")
+    prog = bytearray(jp)
+    prog[i + 1] = 0xC2  # progressive DCT
+    with pytest.raises(NotImplementedError, match="baseline"):
+        M.parse_jpeg(bytes(prog))
+
+    sub = bytearray(jp)
+    sub[i + 11] = 0x22  # 2x2 sampling on component 1
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        M.parse_jpeg(bytes(sub))
+
+    j = bytes(jp).index(b"\xff\xda")
+    dri = bytes(jp[:j]) + b"\xff\xdd\x00\x04\x00\x10" + bytes(jp[j:])
+    with pytest.raises(NotImplementedError, match="restart"):
+        M.parse_jpeg(dri)
+
+
+def test_jpeg_payloads_flow_through_decode_image_pixels(spark):
+    """The magic-byte dispatch routes JPEG payloads through the real
+    entropy decoder in the DataFrame path: dims land from SOF0 and the
+    pixel hash equals a driver-side parse of the same payload."""
+    import hashlib
+
+    from tamar_spark.functions import multimodal as M
+
+    pays = [
+        M.make_jpeg(bytes((i * 7 + j) % 256 for j in range(24 * 12)), 8, 99)
+        for i in range(4)
+    ]
+    expect = {}
+    for i, p in enumerate(pays):
+        w, h, nch, px = M.parse_jpeg(p)
+        expect[i] = (w, h, nch, hashlib.sha256(px).hexdigest())
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pays)], "id long, payload binary"
+    )
+    got = {
+        r.id: (r.width, r.height, r.n_channels, r.pixel_sha)
+        for r in M.decode_image_pixels(df).collect()
+    }
+    assert got == expect
+
+
 def test_ivfpq_recall_and_layout_independence(spark):
     """IVF+PQ quality gate on the planted-cluster corpus (same regime as
     the PQ gate): coarse pruning must send queries to the right lists and
