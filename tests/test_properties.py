@@ -211,6 +211,44 @@ def test_png_roundtrip_property(params):
     assert pixels == payload[: h * row]
 
 
+jpeg_strategy = st.tuples(
+    st.sampled_from([99, 100]),                 # registered-margin qualities
+    st.binary(min_size=0, max_size=24 * 40),    # up to 40 pixel rows
+)
+
+
+@given(params=jpeg_strategy)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_roundtrip_bounded_error_property(params):
+    """For ANY payload, make_jpeg → parse_jpeg must (a) recover the exact
+    geometry (8 px/row, full-row count, 3 channels, padded block grid
+    cropped away) and (b) land every pixel within the registered error
+    bound — 12 at quality 99 (measured fixture max 5), 3 at quality 100
+    where quantization is all-ones and only float rounding remains.
+    Arbitrary bytes are the adversarial content class for a DCT codec
+    (maximal high-frequency energy), so a bound that holds here holds on
+    any real corpus; sub-one-row payloads must raise."""
+    import numpy as np
+
+    from tamar_spark.functions.multimodal import make_jpeg, parse_jpeg
+
+    quality, payload = params
+    h = len(payload) // 24
+    if h == 0:
+        try:
+            make_jpeg(payload, width=8, quality=quality)
+            assert False, "zero-row JPEG must raise"
+        except ValueError:
+            return
+    w2, h2, nch, pixels = parse_jpeg(make_jpeg(payload, width=8, quality=quality))
+    assert (w2, h2, nch) == (8, h, 3)
+    assert len(pixels) == h * 24
+    src = np.frombuffer(payload[: h * 24], dtype=np.uint8).astype(int)
+    dec = np.frombuffer(pixels, dtype=np.uint8).astype(int)
+    bound = 12 if quality == 99 else 3
+    assert int(np.abs(src - dec).max()) <= bound
+
+
 wav_strategy = st.tuples(
     st.sampled_from([8000, 16000, 44100, 48000]),
     st.integers(min_value=1, max_value=8),     # channels
