@@ -61,6 +61,7 @@ __all__ = [
     "decode_image_pixels",
     "extract_image_features",
     "jpeg_roundtrip_check",
+    "mjpeg_frame_pixel_check",
     "make_bmp",
     "make_jpeg",
     "make_png",
@@ -898,6 +899,92 @@ def jpeg_roundtrip_check(
     return df.select(id_col, text_col).mapInPandas(
         check,
         f"{id_col} long, width int, height int, n_channels int, decode_ok boolean",
+    )
+
+
+def mjpeg_frame_pixel_check(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frame_rows: int = 8,
+    every_n: int = 4,
+    quality: int = 99,
+    max_err: int = 12,
+) -> DataFrame:
+    """End-to-end MJPEG PIXEL decode (r12 — composes the two real video
+    pieces that previously stopped at frame boundaries): each row's
+    utf-8 bytes are chunked into ``frame_rows``-row frames, every chunk
+    is encoded as a baseline JPEG, the frames are concatenated into a
+    genuine MJPEG stream, the stream is re-split by the STRUCTURAL
+    segment walker (:func:`_iter_jpeg_frames` — the same splitter
+    sample_frames uses, so the split is computed from marker structure,
+    not remembered from construction), and every ``every_n``-th frame is
+    entropy-decoded back to pixels and bounded-error-checked against its
+    source chunk.  Emits one row per SAMPLED frame:
+    ``(id, frame_idx, width, height, n_channels, decode_ok)``.
+    ``decode_ok`` additionally requires the splitter to have recovered
+    exactly the constructed frame count — a miscounted split shifts
+    every downstream comparison and fails the bound.  One Arrow-batched
+    ``mapInPandas`` stage, no shuffle."""
+    import numpy as np
+
+    frame_bytes = frame_rows * 24  # 8 px/row RGB
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, ncs, oks = [], [], [], [], [], []
+            for rid, t in zip(pdf[id_col], pdf[text_col]):
+                pay = (t or "").encode("utf-8")
+                n_frames = len(pay) // frame_bytes
+                if n_frames <= 0:
+                    continue
+                chunks = [
+                    pay[k * frame_bytes : (k + 1) * frame_bytes]
+                    for k in range(n_frames)
+                ]
+                stream = b"".join(
+                    make_jpeg(c, width=8, quality=quality) for c in chunks
+                )
+                bounds = list(_iter_jpeg_frames(stream))
+                split_ok = len(bounds) == n_frames
+                for k in range(0, n_frames, every_n):
+                    ok = split_ok
+                    w = h = nch = 0
+                    if split_ok:
+                        s, e = bounds[k]
+                        w, h, nch, px = parse_jpeg(stream[s:e])
+                        src = np.frombuffer(chunks[k], dtype=np.uint8).astype(
+                            np.int64
+                        )
+                        dec = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                        ok = (
+                            w == 8
+                            and h == frame_rows
+                            and nch == 3
+                            and len(dec) == len(src)
+                            and int(np.abs(src - dec).max()) <= max_err
+                        )
+                    ids.append(rid)
+                    idxs.append(k)
+                    ws.append(w if split_ok else 8)
+                    hs.append(h if split_ok else frame_rows)
+                    ncs.append(nch if split_ok else 3)
+                    oks.append(bool(ok))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "n_channels": ncs,
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        check,
+        f"{id_col} long, frame_idx int, width int, height int, "
+        "n_channels int, decode_ok boolean",
     )
 
 

@@ -1735,6 +1735,51 @@ def image_jpeg_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "video_frame_pixels",
+    """
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       TRUE AS decode_ok
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(
+                0, CAST(floor(length(text) / 192) AS BIGINT) - 1, 4)) AS i) t
+WHERE length(text) >= 192
+""",
+)
+def video_frame_pixels(spark, sf_dir):
+    """MJPEG frame sampling with REAL PIXEL DECODE (r12 — closes the gap
+    video_frames left open: the structural splitter found frame
+    boundaries but pixels stayed opaque): each document's bytes become
+    8-row JPEG frames concatenated into a genuine MJPEG stream, the
+    stream is re-split by the marker-structure walker (the same
+    ``_iter_jpeg_frames`` sample_frames uses — the split is computed
+    from segment structure, so an entropy-stream mis-walk miscounts
+    frames and fails every row), and every 4th frame is Huffman-decoded
+    back to pixels and checked within the measured error bound of its
+    source chunk (quality 99 / bound 12 — the image_jpeg_roundtrip
+    operating point).  One row per SAMPLED frame; the oracle derives the
+    sampled frame indices and geometry from the text length and asserts
+    TRUE, so the hash only matches if synthesis, container split,
+    entropy decode, and the bound all hold for every sampled frame of
+    every document.  Docs shorter than one frame (192 bytes) are
+    filtered identically in both engines.
+
+    Scale: one Arrow-batched ``mapInPandas`` stage, no shuffle — frame
+    decode is per-row CPU work that partitions embarrassingly; at 100 TB
+    the same stage runs over real camera MJPEG with the sampling ratio
+    as the cost dial (decode cost ∝ sampled frames, split cost ∝ bytes)."""
+    from tamar_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.mjpeg_frame_pixel_check(
+        docs.filter(F.length("text") >= 192), text_col="text", id_col="doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming parity (reference execution model, SURVEY §3, §5)
 # ---------------------------------------------------------------------------

@@ -2343,6 +2343,27 @@ def test_jpeg_payloads_flow_through_decode_image_pixels(spark):
     assert got == expect
 
 
+def test_mjpeg_frame_pixel_check_samples_and_bounds(spark):
+    """The MJPEG pixel-decode composition: frames re-found by the
+    STRUCTURAL splitter (not construction offsets), every 4th decoded
+    and bounded — frame indices, geometry, and ok-bits all pin it."""
+    from tamar_spark.functions import multimodal as M
+
+    texts = [
+        (0, "A" * 192 * 6),            # 6 frames → sampled 0, 4
+        (1, "B" * 192 * 4 + "C" * 50),  # 4 frames, tail dropped → sampled 0
+        (2, "D" * 100),                 # < 1 frame → no rows
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = M.mjpeg_frame_pixel_check(df).collect()
+    got = {(r.doc_id, r.frame_idx): (r.width, r.height, r.n_channels, r.decode_ok) for r in rows}
+    assert got == {
+        (0, 0): (8, 8, 3, True),
+        (0, 4): (8, 8, 3, True),
+        (1, 0): (8, 8, 3, True),
+    }
+
+
 def test_ivfpq_recall_and_layout_independence(spark):
     """IVF+PQ quality gate on the planted-cluster corpus (same regime as
     the PQ gate): coarse pruning must send queries to the right lists and
