@@ -26,8 +26,8 @@ the Spark-side plumbing — schema, batching, partitioning — stays real
 and tested in codec-less CI.  Video frame SAMPLING (``sample_frames``)
 is real for two containers that need no codec: MJPEG (structural JPEG
 segment walk) and rawvideo (fixed-size frame slicing); pixel decode of
-progressive/subsampled JPEG and inter-frame video (H.264, …) remains
-the documented out-of-scope line.
+progressive JPEG, sampling factors beyond 2×2, and inter-frame video
+(H.264, …) remains the documented out-of-scope line.
 
 Scale notes: payload columns are heavy — always ``select`` metadata-only
 projections for filtering/joins and re-attach payloads late (column pruning
@@ -517,22 +517,64 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def make_jpeg(payload: bytes, width: int = 8, quality: int = 97) -> bytes:
+def _encode_block(w: "_BitWriter", zz, pred: int, dc_codes, ac_codes) -> int:
+    """Entropy-encode one zigzagged quantized block; returns the new DC
+    predictor (T.81 F.1.2: DC difference category + magnitude bits,
+    run-length AC with ZRL/EOB)."""
+    dc = int(zz[0])
+    diff = dc - pred
+    size = diff.bit_length() if diff else 0
+    code, ln = dc_codes[size]
+    w.put(code, ln)
+    if size:
+        w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    import numpy as np
+
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = int(nz[-1]) + 1 if len(nz) else 0
+    run = 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            w.put(code, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | size]
+        w.put(code, ln)
+        w.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        w.put(code, ln)
+    return dc
+
+
+def make_jpeg(
+    payload: bytes, width: int = 8, quality: int = 97, subsampling: str = "444"
+) -> bytes:
     """Encode raw bytes as a REAL baseline JFIF JPEG: ``width`` px/row of
     RGB (3 bytes each, row-major top-down), height = full rows (tail
-    dropped).  4:4:4 sampling (every component one 8×8 block per MCU),
-    standard quant tables scaled by the IJG quality rule and embedded in
-    DQT, flat canonical Huffman tables embedded in DHT, float DCT,
-    DC-differential + run-length AC entropy coding with byte stuffing.
-    ``width`` must be a multiple of 8 (one MCU column per 8 px; the
-    fixture uses exactly 8); height pads to the block grid by edge
-    replication, with the TRUE height declared in SOF0 (decoder crops)."""
+    dropped).  ``subsampling="444"`` (default) gives every component one
+    8×8 block per MCU; ``"420"`` (r12) is the common camera layout —
+    16×16 MCUs of four luma blocks plus one 2×2-box-averaged block each
+    of Cb/Cr.  Standard quant tables scaled by the IJG quality rule and
+    embedded in DQT, flat canonical Huffman tables embedded in DHT,
+    float DCT, DC-differential + run-length AC entropy coding with byte
+    stuffing.  ``width`` must be a multiple of 8; both dimensions pad to
+    the MCU grid by edge replication, with the TRUE geometry declared in
+    SOF0 (the decoder crops)."""
     import struct
 
     import numpy as np
 
     if width <= 0 or width % 8:
         raise ValueError("JPEG fixture width must be a positive multiple of 8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     row_bytes = width * 3
     h = len(payload) // row_bytes
     if h <= 0:
@@ -558,56 +600,54 @@ def make_jpeg(payload: bytes, width: int = 8, quality: int = 97) -> bytes:
         -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
         0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
     ]
-    h8 = -(-h // 8) * 8
-    nby, nbx = h8 // 8, width // 8
+    ys, cs = ((2, 2), (1, 1)) if subsampling == "420" else ((1, 1), (1, 1))
+    mcu_w, mcu_h = 8 * ys[0], 8 * ys[1]
+    wp = -(-width // mcu_w) * mcu_w
+    hp = -(-h // mcu_h) * mcu_h
     a = _dct_mat()
     dc_codes = _canon_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _canon_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
-    quantized = []  # per component: (nby*nbx, 64) int arrays in block order
+    def pad(plane, th, tw):
+        if plane.shape[0] < th:
+            plane = np.vstack(
+                [plane, np.repeat(plane[-1:, :], th - plane.shape[0], axis=0)]
+            )
+        if plane.shape[1] < tw:
+            plane = np.hstack(
+                [plane, np.repeat(plane[:, -1:], tw - plane.shape[1], axis=1)]
+            )
+        return plane
+
+    # per-component quantized block GRIDS (nby, nbx, 64-zigzag)
+    grids = []
     for ci, comp in enumerate(comps):
-        if h8 > h:  # edge-replicate the last row into the padding
-            comp = np.vstack([comp, np.repeat(comp[-1:, :], h8 - h, axis=0)])
+        plane = pad(comp, hp, wp)
+        if ci and subsampling == "420":  # 2x2 box-average the chroma
+            plane = (
+                plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+            )
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
         blocks = (
-            comp.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         )
         f = np.einsum("ij,bjk,lk->bil", a, blocks - 128.0, a)
         q = np.round(f / qt[1 if ci else 0]).astype(np.int64)
-        quantized.append(q.reshape(-1, 64)[:, _JPEG_ZZ])
+        grids.append(q.reshape(nby, nbx, 64)[:, :, _JPEG_ZZ])
 
+    samp = [ys, cs, cs]
     w = _BitWriter()
     pred = [0, 0, 0]
-    for blk in range(nby * nbx):
-        for ci in range(3):
-            zz = quantized[ci][blk]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size = diff.bit_length() if diff else 0
-            code, ln = dc_codes[size]
-            w.put(code, ln)
-            if size:
-                w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
-            run = 0
-            last_nz = 0
-            nz = np.nonzero(zz[1:])[0]
-            last_nz = int(nz[-1]) + 1 if len(nz) else 0
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_codes[0xF0]
-                    w.put(code, ln)
-                    run -= 16
-                size = abs(v).bit_length()
-                code, ln = ac_codes[(run << 4) | size]
-                w.put(code, ln)
-                w.put(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]
-                w.put(code, ln)
+    for my in range(hp // mcu_h):
+        for mx in range(wp // mcu_w):
+            for ci in range(3):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = grids[ci][my * sv + by, mx * sh + bx]
+                        pred[ci] = _encode_block(
+                            w, zz, pred[ci], dc_codes, ac_codes
+                        )
 
     def dht(cls: int, tid: int, bits, vals) -> bytes:
         return _jpeg_seg(
@@ -623,8 +663,9 @@ def make_jpeg(payload: bytes, width: int = 8, quality: int = 97) -> bytes:
             0xDB, bytes([tid]) + bytes(int(flat[i]) for i in zz_inv)
         )
     sof = struct.pack(">BHHB", 8, h, width, 3)
-    for cid in (1, 2, 3):
-        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    for ci, cid in enumerate((1, 2, 3)):
+        sh, sv = samp[ci]
+        sof += bytes([cid, (sh << 4) | sv, 0 if cid == 1 else 1])
     out += _jpeg_seg(0xC0, sof)
     out += dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS)
     out += dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -681,13 +722,17 @@ def _extend(bits: int, size: int) -> int:
 
 def parse_jpeg(buf: bytes):
     """REAL baseline JPEG decode, numpy + stdlib only: marker walk,
-    DQT/DHT table parse, SOF0 geometry, Huffman decode of the entropy
-    stream (byte unstuffing, DC prediction, EOB/ZRL run semantics),
-    dequantize, inverse zigzag, IDCT, YCbCr→RGB, crop to the declared
-    height — returns ``(width, height, 3, pixels)`` row-major top-down.
+    DQT/DHT table parse, SOF0 geometry with general sampling factors up
+    to 2×2 (4:4:4, 4:2:0, 4:2:2 — subsampled components decode at their
+    own resolution and upsample by sample-box replication), Huffman
+    decode of the entropy stream (byte unstuffing, DC prediction,
+    EOB/ZRL run semantics), dequantize, inverse zigzag, IDCT,
+    YCbCr→RGB, crop to the declared geometry — returns
+    ``(width, height, 3, pixels)`` row-major top-down.
     Raises ``ValueError`` on structural corruption and
     ``NotImplementedError`` on the declared out-of-scope variants:
-    progressive (SOF2), subsampled chroma, restart intervals."""
+    progressive (SOF2), sampling factors beyond 2×2, restart
+    intervals."""
     import struct
 
     import numpy as np
@@ -740,9 +785,12 @@ def parse_jpeg(buf: bytes):
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG chroma")
-                comps.append((cid, tq))
+                sh, sv = samp >> 4, samp & 0xF
+                if sh not in (1, 2) or sv not in (1, 2):
+                    raise NotImplementedError(
+                        "JPEG sampling factors beyond 2x2"
+                    )
+                comps.append((cid, sh, sv, tq))
             sof = (h, w_, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError(
@@ -762,8 +810,8 @@ def parse_jpeg(buf: bytes):
     if sof is None or scan_comps is None or data_start is None:
         raise ValueError("JPEG missing SOF0/SOS")
     h, w_, comps = sof
-    if w_ % 8 or not qt:
-        raise NotImplementedError("JPEG width must align to the MCU grid")
+    if not qt:
+        raise ValueError("JPEG missing quantization tables")
 
     # unstuff the entropy stream up to EOI
     raw = bytearray()
@@ -785,47 +833,68 @@ def parse_jpeg(buf: bytes):
         i += 1
 
     reader = _BitReader(bytes(raw))
-    h8 = -(-h // 8) * 8
-    nby, nbx = h8 // 8, w_ // 8
-    nmcu = nby * nbx
-    coefs = [np.zeros((nmcu, 64)) for _ in comps]
+    maxh = max(sh for _, sh, _, _ in comps)
+    maxv = max(sv for _, _, sv, _ in comps)
+    mcus_x = -(-w_ // (8 * maxh))
+    mcus_y = -(-h // (8 * maxv))
+    # per-component block-grid dims (each MCU carries sh×sv blocks of it)
+    grid = [(mcus_y * sv, mcus_x * sh) for _, sh, sv, _ in comps]
+    coefs = [np.zeros((gy * gx, 64)) for gy, gx in grid]
     pred = [0] * len(comps)
-    tq_by_cid = dict(comps)
     dc_tid = {cid: d for cid, d, _ in scan_comps}
     ac_tid = {cid: a_ for cid, _, a_ in scan_comps}
-    for blk in range(nmcu):
-        for ci, (cid, tq_) in enumerate(comps):
-            dct = huff[(0, dc_tid[cid])]
-            act = huff[(1, ac_tid[cid])]
-            size = _huff_decode(reader, dct)
-            diff = _extend(reader.bits(size), size) if size else 0
-            pred[ci] += diff
-            zz = np.zeros(64)
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(reader, act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC run overflows the block")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
-            coefs[ci][blk, _JPEG_ZZ] = zz
+
+    def decode_block(dct, act, dc_pred):
+        size = _huff_decode(reader, dct)
+        diff = _extend(reader.bits(size), size) if size else 0
+        dc_pred += diff
+        zz = np.zeros(64)
+        zz[0] = dc_pred
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, act)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC run overflows the block")
+            zz[k] = _extend(reader.bits(size), size)
+            k += 1
+        return zz, dc_pred
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, sh, sv, tq_) in enumerate(comps):
+                dct = huff[(0, dc_tid[cid])]
+                act = huff[(1, ac_tid[cid])]
+                gy_, gx_ = grid[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz, pred[ci] = decode_block(dct, act, pred[ci])
+                        blk = (my * sv + by) * gx_ + (mx * sh + bx)
+                        coefs[ci][blk, _JPEG_ZZ] = zz
     a = _dct_mat()
     planes = []
-    for ci, (cid, tq_) in enumerate(comps):
-        f = coefs[ci].reshape(-1, 8, 8) * qt[tq_by_cid[cid]]
+    for ci, (cid, sh, sv, tq_) in enumerate(comps):
+        gy_, gx_ = grid[ci]
+        f = coefs[ci].reshape(-1, 8, 8) * qt[tq_]
         sp = np.einsum("ji,bjk,kl->bil", a, f, a) + 128.0
         plane = (
-            sp.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(h8, w_)
+            sp.reshape(gy_, gx_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gy_ * 8, gx_ * 8)
         )
-        planes.append(plane[:h, :])
+        # upsample subsampled components to full resolution (nearest:
+        # each chroma sample covers its maxh/sh × maxv/sv pixel box)
+        if sv < maxv:
+            plane = np.repeat(plane, maxv // sv, axis=0)
+        if sh < maxh:
+            plane = np.repeat(plane, maxh // sh, axis=1)
+        planes.append(plane[:h, :w_])
     if len(planes) == 3:
         y, cb, cr = planes
         r = y + 1.402 * (cr - 128.0)

@@ -2307,14 +2307,48 @@ def test_jpeg_decoder_rejects_corrupt_and_out_of_scope():
         M.parse_jpeg(bytes(prog))
 
     sub = bytearray(jp)
-    sub[i + 11] = 0x22  # 2x2 sampling on component 1
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[i + 11] = 0x33  # 3x3 sampling — beyond the supported 2x2
+    with pytest.raises(NotImplementedError, match="beyond 2x2"):
         M.parse_jpeg(bytes(sub))
 
     j = bytes(jp).index(b"\xff\xda")
     dri = bytes(jp[:j]) + b"\xff\xdd\x00\x04\x00\x10" + bytes(jp[j:])
     with pytest.raises(NotImplementedError, match="restart"):
         M.parse_jpeg(dri)
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 support (r12): the common camera layout — 16×16 MCUs of four
+    luma blocks + one box-averaged block each of Cb/Cr — must round-trip
+    GRAYSCALE content within the luma-only bound (R=G=B ⇒ chroma is the
+    constant 128, so 2×2 subsampling is exactly lossless on it and the
+    only error left is the 4:4:4 float/quant path), across widths that
+    exercise one MCU column, two, and horizontal padding.  On saturated-
+    color content chroma subsampling loses information BY DESIGN — that
+    is the format, not a codec bug — so gray fixtures are the honest
+    roundtrip probe."""
+    import random
+
+    import numpy as np
+
+    from tamar_spark.functions import multimodal as M
+
+    rng = random.Random(17)
+    for width in (8, 16, 24):  # 24 pads to the 32-px MCU grid
+        lum = [rng.randrange(256) for _ in range(width * 20)]
+        gray = bytes(v for v in lum for _ in range(3))
+        jp = M.make_jpeg(gray, width=width, quality=99, subsampling="420")
+        w, h, nch, px = M.parse_jpeg(jp)
+        assert (w, h, nch) == (width, 20, 3)
+        src = np.frombuffer(gray, dtype=np.uint8).astype(int)
+        dec = np.frombuffer(px, dtype=np.uint8).astype(int)
+        assert int(np.abs(src - dec).max()) <= 4
+    # colored content still decodes structurally (chroma loss expected)
+    color = bytes(rng.randrange(256) for _ in range(24 * 12))
+    w, h, nch, px = M.parse_jpeg(
+        M.make_jpeg(color, width=8, quality=99, subsampling="420")
+    )
+    assert (w, h, nch, len(px)) == (8, 12, 3, 24 * 12)
 
 
 def test_jpeg_payloads_flow_through_decode_image_pixels(spark):
