@@ -404,8 +404,11 @@ def parse_png(buf: bytes):
 # quality rule.  JPEG is lossy, so unlike PNG the pixel hash cannot equal
 # the source hash — the registered query instead proves the round trip
 # with a BOUNDED-ERROR check (same self-verified-boolean pattern as
-# approx_distinct_users).  Progressive JPEG (SOF2), subsampled chroma,
-# restart markers, and H.264 remain the documented out-of-scope line.
+# approx_distinct_users).  4:2:0/4:2:2 chroma subsampling decodes for
+# real (r12) and DRI/RSTn restart intervals round-trip both directions
+# (r13 — byte-aligned segments, DC-predictor reset, 0-7 marker-cycle
+# verification); what remains out of scope — loudly — is progressive
+# JPEG (SOF2), sampling factors beyond 2×2, and H.264.
 
 # standard luminance/chrominance quantization tables (T.81 Annex K.1/K.2);
 # only a starting point — the encoder embeds the scaled tables in DQT and
@@ -554,7 +557,11 @@ def _encode_block(w: "_BitWriter", zz, pred: int, dc_codes, ac_codes) -> int:
 
 
 def make_jpeg(
-    payload: bytes, width: int = 8, quality: int = 97, subsampling: str = "444"
+    payload: bytes,
+    width: int = 8,
+    quality: int = 97,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode raw bytes as a REAL baseline JFIF JPEG: ``width`` px/row of
     RGB (3 bytes each, row-major top-down), height = full rows (tail
@@ -564,7 +571,12 @@ def make_jpeg(
     of Cb/Cr.  Standard quant tables scaled by the IJG quality rule and
     embedded in DQT, flat canonical Huffman tables embedded in DHT,
     float DCT, DC-differential + run-length AC entropy coding with byte
-    stuffing.  ``width`` must be a multiple of 8; both dimensions pad to
+    stuffing.  ``restart_interval=N`` (r13) emits a DRI segment and the
+    T.81 F.1.2.3 restart protocol — after every N MCUs the entropy
+    stream byte-aligns (1-bit pad), an RSTm marker (m cycling 0–7) is
+    written, and DC predictors reset — the layout real camera/FFmpeg
+    MJPEG almost always uses so a corrupted scan resynchronizes.
+    ``width`` must be a multiple of 8; both dimensions pad to
     the MCU grid by edge replication, with the TRUE geometry declared in
     SOF0 (the decoder crops)."""
     import struct
@@ -575,6 +587,8 @@ def make_jpeg(
         raise ValueError("JPEG fixture width must be a positive multiple of 8")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must be in [0, 65535]")
     row_bytes = width * 3
     h = len(payload) // row_bytes
     if h <= 0:
@@ -636,8 +650,12 @@ def make_jpeg(
         grids.append(q.reshape(nby, nbx, 64)[:, :, _JPEG_ZZ])
 
     samp = [ys, cs, cs]
+    entropy = bytearray()
     w = _BitWriter()
     pred = [0, 0, 0]
+    n_mcus = (hp // mcu_h) * (wp // mcu_w)
+    mcu_idx = 0
+    rst_m = 0
     for my in range(hp // mcu_h):
         for mx in range(wp // mcu_w):
             for ci in range(3):
@@ -648,6 +666,20 @@ def make_jpeg(
                         pred[ci] = _encode_block(
                             w, zz, pred[ci], dc_codes, ac_codes
                         )
+            mcu_idx += 1
+            # T.81 restart protocol: byte-align, emit RSTm (m cycles 0-7),
+            # reset DC predictors — never after the final MCU
+            if (
+                restart_interval
+                and mcu_idx % restart_interval == 0
+                and mcu_idx < n_mcus
+            ):
+                entropy += w.flush()
+                entropy += bytes([0xFF, 0xD0 + rst_m])
+                rst_m = (rst_m + 1) % 8
+                w = _BitWriter()
+                pred = [0, 0, 0]
+    entropy += w.flush()
 
     def dht(cls: int, tid: int, bits, vals) -> bytes:
         return _jpeg_seg(
@@ -669,10 +701,12 @@ def make_jpeg(
     out += _jpeg_seg(0xC0, sof)
     out += dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS)
     out += dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS)
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
     sos += bytes([0, 63, 0])
     out += _jpeg_seg(0xDA, sos)
-    out += w.flush()
+    out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -728,11 +762,14 @@ def parse_jpeg(buf: bytes):
     decode of the entropy stream (byte unstuffing, DC prediction,
     EOB/ZRL run semantics), dequantize, inverse zigzag, IDCT,
     YCbCr→RGB, crop to the declared geometry — returns
-    ``(width, height, 3, pixels)`` row-major top-down.
+    ``(width, height, 3, pixels)`` row-major top-down.  Restart
+    intervals (r13): a DRI segment declares the MCU period; at each
+    RSTm the decoder byte-aligns, resets DC predictors, and verifies
+    the 0–7 marker cycle — out-of-sequence, missing, or surplus
+    restart markers (and RSTm with no DRI) raise ``ValueError``.
     Raises ``ValueError`` on structural corruption and
     ``NotImplementedError`` on the declared out-of-scope variants:
-    progressive (SOF2), sampling factors beyond 2×2, restart
-    intervals."""
+    progressive (SOF2), sampling factors beyond 2×2."""
     import struct
 
     import numpy as np
@@ -745,6 +782,7 @@ def parse_jpeg(buf: bytes):
     sof = None
     scan_comps = None
     data_start = None
+    restart_interval = 0
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -797,7 +835,9 @@ def parse_jpeg(buf: bytes):
                 "only baseline sequential JPEG (SOF0) is supported"
             )
         elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals")
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
             ns = body[0]
             scan_comps = [
@@ -813,7 +853,9 @@ def parse_jpeg(buf: bytes):
     if not qt:
         raise ValueError("JPEG missing quantization tables")
 
-    # unstuff the entropy stream up to EOI
+    # unstuff the entropy stream up to EOI, splitting at restart markers
+    # (each restart segment is independently byte-aligned per T.81)
+    segments: list = []
     raw = bytearray()
     i = data_start
     while i < len(buf) - 1:
@@ -827,12 +869,23 @@ def parse_jpeg(buf: bytes):
             if nxt == 0xD9:
                 break
             if 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("JPEG restart markers")
+                if not restart_interval:
+                    raise ValueError(
+                        "JPEG restart marker without a DRI interval"
+                    )
+                if (nxt - 0xD0) != len(segments) % 8:
+                    raise ValueError("JPEG restart marker out of sequence")
+                segments.append(bytes(raw))
+                raw = bytearray()
+                i += 2
+                continue
             raise ValueError("unexpected marker in JPEG entropy stream")
         raw.append(c)
         i += 1
+    segments.append(bytes(raw))
 
-    reader = _BitReader(bytes(raw))
+    seg_idx = 0
+    reader = _BitReader(segments[0])
     maxh = max(sh for _, sh, _, _ in comps)
     maxv = max(sv for _, _, sv, _ in comps)
     mcus_x = -(-w_ // (8 * maxh))
@@ -866,8 +919,22 @@ def parse_jpeg(buf: bytes):
             k += 1
         return zz, dc_pred
 
+    mcu_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            # restart boundary: advance to the next byte-aligned segment
+            # and reset every DC predictor (T.81 F.2.1.3.1)
+            if (
+                restart_interval
+                and mcu_idx
+                and mcu_idx % restart_interval == 0
+            ):
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing JPEG restart marker")
+                reader = _BitReader(segments[seg_idx])
+                pred = [0] * len(comps)
+            mcu_idx += 1
             for ci, (cid, sh, sv, tq_) in enumerate(comps):
                 dct = huff[(0, dc_tid[cid])]
                 act = huff[(1, ac_tid[cid])]
@@ -877,6 +944,8 @@ def parse_jpeg(buf: bytes):
                         zz, pred[ci] = decode_block(dct, act, pred[ci])
                         blk = (my * sv + by) * gx_ + (mx * sh + bx)
                         coefs[ci][blk, _JPEG_ZZ] = zz
+    if seg_idx != len(segments) - 1:
+        raise ValueError("surplus JPEG restart marker")
     a = _dct_mat()
     planes = []
     for ci, (cid, sh, sv, tq_) in enumerate(comps):
@@ -914,6 +983,7 @@ def jpeg_roundtrip_check(
     width: int = 8,
     quality: int = 99,
     max_err: int = 12,
+    restart_interval: int = 0,
 ) -> DataFrame:
     """Encode each row's utf-8 bytes as a baseline JPEG and decode it
     back, emitting ``(id, width, height, n_channels, decode_ok)`` where
@@ -926,7 +996,11 @@ def jpeg_roundtrip_check(
     Measured at quality 99 the true max error over the ENTIRE sf0.1
     fixture is 5 (BASELINE.md r12; quality 97 read 15 — too close to a
     bound), so the 12 bound has 2.4× margin and the boolean is stable
-    against float wobble.  One Arrow-batched
+    against float wobble.  ``restart_interval`` threads through to the
+    encoder (r13), so the same check exercises the DRI/RSTn restart
+    protocol end-to-end: a decoder that mis-walks segment boundaries,
+    forgets the DC-predictor reset, or miscounts the marker cycle fails
+    the bound (or raises) on every multi-MCU document.  One Arrow-batched
     ``mapInPandas`` stage, no shuffle; per-row CPU-bound work that
     partitions embarrassingly."""
     import numpy as np
@@ -939,7 +1013,12 @@ def jpeg_roundtrip_check(
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 pay = (t or "").encode("utf-8")
                 n = (len(pay) // row_bytes) * row_bytes
-                jp = make_jpeg(pay, width=width, quality=quality)
+                jp = make_jpeg(
+                    pay,
+                    width=width,
+                    quality=quality,
+                    restart_interval=restart_interval,
+                )
                 w, h, nch, px = parse_jpeg(jp)
                 src = np.frombuffer(pay[:n], dtype=np.uint8).astype(np.int64)
                 dec = np.frombuffer(px, dtype=np.uint8).astype(np.int64)

@@ -1718,10 +1718,16 @@ def image_jpeg_roundtrip(spark, sf_dir):
     max error at quality 99 is 5 over the ENTIRE sf0.1 fixture, and a
     broken Huffman walk / zigzag / dequant / IDCT produces garbage that
     fails the bound, so the oracle hash (which asserts TRUE for every
-    doc) only matches when the full codec pair works.  Progressive JPEG,
-    subsampled chroma, and H.264 remain the loud out-of-scope line.
+    doc) only matches when the full codec pair works.  4:2:0/4:2:2
+    chroma decodes for real (r12) and restart intervals round-trip
+    (r13, image_jpeg_rst_roundtrip); progressive JPEG, sampling beyond
+    2×2, and H.264 remain the loud out-of-scope line.
     Docs shorter than one pixel row (24 bytes) are filtered identically
-    in both engines.
+    in both engines.  The oracle derives geometry from ``length(text)``
+    in CHARACTERS while the Spark side uses utf-8 BYTES — equal only
+    because the fixture is ASCII (the image_png_pixels assumption,
+    stated here per the r12 ADVICE so a non-ASCII fixture is a known
+    divergence point, not a silent one).
 
     Scale: one Arrow-batched ``mapInPandas`` stage, no shuffle —
     identical plan shape to image_png_pixels; decode is per-row
@@ -1732,6 +1738,51 @@ def image_jpeg_roundtrip(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return M.jpeg_roundtrip_check(
         docs.filter(F.length("text") >= 24), text_col="text", id_col="doc_id"
+    )
+
+
+@query(
+    "image_jpeg_rst_roundtrip",
+    """
+SELECT doc_id,
+       CAST(8 AS INT) AS width,
+       CAST(floor(length(text) / 24) AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       TRUE AS decode_ok
+FROM documents
+WHERE length(text) >= 24
+""",
+)
+def image_jpeg_rst_roundtrip(spark, sf_dir):
+    """The r12 JPEG round trip under the DRI/RSTn RESTART protocol (r13
+    — closes the one scope line real camera MJPEG hits immediately:
+    hardware encoders almost always emit restart intervals so a damaged
+    scan can resynchronize).  Same encode→entropy-decode→bounded-error
+    construction as image_jpeg_roundtrip, but the encoder writes a DRI
+    segment and an RSTm marker after EVERY MCU (interval 1 — the
+    maximal-marker layout), so multi-MCU documents exercise the full 0-7
+    marker cycle, per-segment byte alignment, and the DC-predictor
+    reset.  A decoder that misses the reset drifts every post-restart
+    DC level and fails the 12 bound; one that mis-walks segment
+    boundaries raises — either way ``decode_ok`` goes false and the
+    oracle hash (TRUE for every doc with ≥1 pixel row) breaks.
+    Corrupted restart streams (out-of-sequence / missing / surplus
+    markers, RST with no DRI) are pinned to raise by the adversarial
+    unit tests.  Oracle geometry uses ``length(text)`` characters vs
+    the Spark side's utf-8 bytes — equal only on the ASCII fixture
+    (stated per the r12 ADVICE, as in image_jpeg_roundtrip).
+
+    Scale: identical plan shape to image_jpeg_roundtrip — one
+    Arrow-batched ``mapInPandas`` stage, no shuffle, per-row CPU-bound
+    codec work that partitions embarrassingly."""
+    from tamar_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.jpeg_roundtrip_check(
+        docs.filter(F.length("text") >= 24),
+        text_col="text",
+        id_col="doc_id",
+        restart_interval=1,
     )
 
 
@@ -1766,12 +1817,18 @@ def video_frame_pixels(spark, sf_dir):
     TRUE, so the hash only matches if synthesis, container split,
     entropy decode, and the bound all hold for every sampled frame of
     every document.  Docs shorter than one frame (192 bytes) are
-    filtered identically in both engines.
+    filtered identically in both engines.  Frame counts and indices
+    derive from ``length(text)`` characters in the oracle vs utf-8
+    bytes on the Spark side — equal only on the ASCII fixture (stated
+    per the r12 ADVICE, as in image_png_pixels).
 
     Scale: one Arrow-batched ``mapInPandas`` stage, no shuffle — frame
     decode is per-row CPU work that partitions embarrassingly; at 100 TB
     the same stage runs over real camera MJPEG with the sampling ratio
-    as the cost dial (decode cost ∝ sampled frames, split cost ∝ bytes)."""
+    as the cost dial (decode cost ∝ sampled frames, split cost ∝ bytes).
+    The restart intervals real camera MJPEG carries decode as of r13
+    (image_jpeg_rst_roundtrip pins the protocol), so that claim no
+    longer rides on a NotImplementedError."""
     from tamar_spark.functions import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")

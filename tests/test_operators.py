@@ -2278,8 +2278,8 @@ def test_jpeg_codec_roundtrip_and_bounds():
 def test_jpeg_decoder_rejects_corrupt_and_out_of_scope():
     """parse_jpeg fails LOUDLY: ValueError on structural corruption,
     NotImplementedError on the declared out-of-scope variants
-    (progressive SOF2, subsampled chroma, restart intervals) — never a
-    silent wrong decode."""
+    (progressive SOF2, sampling beyond 2×2) — never a silent wrong
+    decode."""
     import pytest
 
     from tamar_spark.functions import multimodal as M
@@ -2311,10 +2311,86 @@ def test_jpeg_decoder_rejects_corrupt_and_out_of_scope():
     with pytest.raises(NotImplementedError, match="beyond 2x2"):
         M.parse_jpeg(bytes(sub))
 
-    j = bytes(jp).index(b"\xff\xda")
-    dri = bytes(jp[:j]) + b"\xff\xdd\x00\x04\x00\x10" + bytes(jp[j:])
-    with pytest.raises(NotImplementedError, match="restart"):
-        M.parse_jpeg(dri)
+def test_jpeg_restart_markers_roundtrip_and_adversarial():
+    """DRI/RSTn restart intervals (r13 — the layout real camera/FFmpeg
+    MJPEG carries): round trip within the documented bound at several
+    intervals (including interval 1, which exercises the full 0-7 marker
+    cycle on multi-MCU payloads), 4:2:0 composes with restarts, and the
+    decoder REJECTS a corrupted restart stream — marker out of sequence,
+    RSTn with no DRI declared, and a surplus marker all raise ValueError
+    rather than silently desyncing the scan."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from tamar_spark.functions import multimodal as M
+
+    rng = random.Random(19)
+    cases = [
+        bytes(range(24)) * 80,                               # 10 MCUs
+        bytes(rng.randrange(256) for _ in range(24 * 100)),  # noise
+        b"The quick brown fox jumps over the lazy dog. " * 60,
+        bytes(24 * 3),                                       # single MCU
+    ]
+    for ri in (1, 2, 3):
+        for pay in cases:
+            jp = M.make_jpeg(pay, width=8, quality=99, restart_interval=ri)
+            w, h, nch, px = M.parse_jpeg(jp)
+            n = (len(pay) // 24) * 24
+            assert (w, nch, h) == (8, 3, n // 24)
+            src = np.frombuffer(pay[:n], dtype=np.uint8).astype(int)
+            dec = np.frombuffer(px, dtype=np.uint8).astype(int)
+            assert int(np.abs(src - dec).max()) <= 12
+    # 4:2:0 subsampling composes with the restart protocol
+    lum = [rng.randrange(256) for _ in range(16 * 40)]
+    gray = bytes(v for v in lum for _ in range(3))
+    jp = M.make_jpeg(
+        gray, width=16, quality=99, subsampling="420", restart_interval=1
+    )
+    w, h, nch, px = M.parse_jpeg(jp)
+    src = np.frombuffer(gray, dtype=np.uint8).astype(int)
+    dec = np.frombuffer(px, dtype=np.uint8).astype(int)
+    assert (w, h, nch) == (16, 40, 3)
+    assert int(np.abs(src - dec).max()) <= 4
+
+    jp = M.make_jpeg(cases[0], width=8, quality=99, restart_interval=1)
+
+    def first_rst(b: bytes) -> int:
+        j = b.index(b"\xff\xda")
+        while j < len(b) - 1:
+            if b[j] == 0xFF and 0xD0 <= b[j + 1] <= 0xD7:
+                return j
+            j += 1
+        raise AssertionError("no restart marker found")
+
+    # out-of-sequence marker cycle
+    bad = bytearray(jp)
+    at = first_rst(jp)
+    bad[at + 1] = 0xD0 + ((bad[at + 1] - 0xD0 + 3) % 8)
+    with pytest.raises(ValueError, match="out of sequence"):
+        M.parse_jpeg(bytes(bad))
+    # RSTn with no DRI declared
+    no_dri = bytearray(jp)
+    k = no_dri.index(b"\xff\xdd")
+    del no_dri[k : k + 6]
+    with pytest.raises(ValueError, match="without a DRI"):
+        M.parse_jpeg(bytes(no_dri))
+    # surplus marker: append a cycle-correct extra RST just before EOI
+    # (10 MCUs at interval 5 → one real marker, RST0; the forged RST1
+    # splits off an empty trailing segment the MCU walk never consumes)
+    jp5 = M.make_jpeg(cases[0], width=8, quality=99, restart_interval=5)
+    assert jp5.endswith(b"\xff\xd9")
+    surplus = jp5[:-2] + b"\xff\xd1\xff\xd9"
+    with pytest.raises(ValueError, match="surplus"):
+        M.parse_jpeg(surplus)
+    # missing marker: strip the interval-5 stream's only RST — the walk
+    # needs a second byte-aligned segment at MCU 5 and must say so
+    missing = bytearray(jp5)
+    at5 = first_rst(jp5)
+    del missing[at5 : at5 + 2]
+    with pytest.raises(ValueError, match="missing JPEG restart"):
+        M.parse_jpeg(bytes(missing))
 
 
 def test_jpeg_420_subsampled_roundtrip():

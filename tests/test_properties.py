@@ -214,6 +214,7 @@ def test_png_roundtrip_property(params):
 jpeg_strategy = st.tuples(
     st.sampled_from([99, 100]),                 # registered-margin qualities
     st.binary(min_size=0, max_size=24 * 40),    # up to 40 pixel rows
+    st.sampled_from([0, 1, 3]),                 # DRI restart interval (r13)
 )
 
 
@@ -224,23 +225,27 @@ def test_jpeg_roundtrip_bounded_error_property(params):
     geometry (8 px/row, full-row count, 3 channels, padded block grid
     cropped away) and (b) land every pixel within the registered error
     bound — 12 at quality 99 (measured fixture max 5), 3 at quality 100
-    where quantization is all-ones and only float rounding remains.
-    Arbitrary bytes are the adversarial content class for a DCT codec
-    (maximal high-frequency energy), so a bound that holds here holds on
-    any real corpus; sub-one-row payloads must raise."""
+    where quantization is all-ones and only float rounding remains —
+    and (c) hold both properties under any DRI restart interval (r13:
+    byte-aligned restart segments with DC-predictor resets must be decode-
+    transparent).  Arbitrary bytes are the adversarial content class for
+    a DCT codec (maximal high-frequency energy), so a bound that holds
+    here holds on any real corpus; sub-one-row payloads must raise."""
     import numpy as np
 
     from tamar_spark.functions.multimodal import make_jpeg, parse_jpeg
 
-    quality, payload = params
+    quality, payload, rst = params
     h = len(payload) // 24
     if h == 0:
         try:
-            make_jpeg(payload, width=8, quality=quality)
+            make_jpeg(payload, width=8, quality=quality, restart_interval=rst)
             assert False, "zero-row JPEG must raise"
         except ValueError:
             return
-    w2, h2, nch, pixels = parse_jpeg(make_jpeg(payload, width=8, quality=quality))
+    w2, h2, nch, pixels = parse_jpeg(
+        make_jpeg(payload, width=8, quality=quality, restart_interval=rst)
+    )
     assert (w2, h2, nch) == (8, h, 3)
     assert len(pixels) == h * 24
     src = np.frombuffer(payload[: h * 24], dtype=np.uint8).astype(int)
