@@ -66,6 +66,15 @@ class CacheLease:
         for c in self._children:
             c.release()
 
+    def covers(self, other: "CacheLease") -> bool:
+        """True if ``other`` is this lease or held transitively through
+        the child chain — i.e. keeping ``self`` alive already keeps
+        ``other``'s caches registered.  Chains are a handful of levels
+        deep at most (one per composed operator), so the walk is cheap."""
+        if other is self:
+            return True
+        return any(c.covers(other) for c in self._children)
+
 
 def attach_lease(df: DataFrame, source: DataFrame) -> DataFrame:
     """Propagate ``source``'s cache lease (if any) onto a derived frame.
@@ -78,13 +87,17 @@ def attach_lease(df: DataFrame, source: DataFrame) -> DataFrame:
     Folds rather than overwrites: a frame derived from TWO leased
     sources keeps both chains alive (an overwrite would silently release
     the first source's persists before execution — caches defeated, plan
-    recomputes uncached)."""
+    recomputes uncached).  Re-attaching a lease either side already
+    holds — directly or transitively through a fold — is a TRUE no-op
+    (r12 ADVICE: the membership check is ``covers()``, so deriving
+    repeatedly from the same leased source in a loop no longer grows a
+    nested fold chain one level per call)."""
     lease = getattr(source, "_tamar_cache_lease", None)
     if lease is not None:
         existing = getattr(df, "_tamar_cache_lease", None)
-        if existing is None or existing is lease:
+        if existing is None or lease.covers(existing):
             df._tamar_cache_lease = lease
-        else:
+        elif not existing.covers(lease):
             df._tamar_cache_lease = CacheLease(children=[existing, lease])
     return df
 
@@ -117,7 +130,8 @@ def scope_caches(out: DataFrame, *cached: DataFrame) -> DataFrame:
     for d in (out, *cached):
         lease = getattr(d, "_tamar_cache_lease", None)
         if lease is not None:
-            if all(lease is not c for c in children):
+            if not any(c.covers(lease) for c in children):
+                children = [c for c in children if not lease.covers(c)]
                 children.append(lease)
         elif d is not out:
             direct.append(d._jdf)

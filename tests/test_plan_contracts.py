@@ -719,9 +719,14 @@ def test_attach_lease_folds_two_leased_sources(spark):
     derived = a.union(b)
     derived = attach_lease(derived, a)
     derived = attach_lease(derived, b)  # must FOLD, not overwrite a's lease
-    # re-attaching an already-held lease is a no-op (no infinite nesting)
+    # re-attaching a lease the fold already holds TRANSITIVELY is a true
+    # no-op (r12 ADVICE: covers() membership, not identity) — the fold
+    # object must not grow another nesting level per repeated attach
+    fold = derived._tamar_cache_lease
     derived = attach_lease(derived, a)
-    del a, b
+    derived = attach_lease(derived, b)
+    assert derived._tamar_cache_lease is fold, "re-attach wrapped a new fold"
+    del fold, a, b
     gc.collect()
     assert len(registry() - before) == 2, "attach_lease dropped a source's chain"
     del derived
