@@ -70,6 +70,7 @@ __all__ = [
     "parse_jpeg",
     "parse_png",
     "parse_ppm",
+    "pcm_stats",
     "resize_images",
     "sample_frames",
 ]
@@ -1430,16 +1431,17 @@ def make_wav(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def _parse_wav(buf: bytes):
-    """Walk RIFF chunk structure and return ``(sample_rate, n_channels,
-    bits_per_sample, n_samples)`` for PCM WAV, or ``None`` for anything
-    else.  Chunk-walking (not fixed 44-byte offsets) so extra chunks
-    (LIST/INFO, fact) and word-alignment padding are handled per spec."""
+def _walk_wav(buf: bytes):
+    """Walk RIFF chunk structure and return ``(audio_fmt, n_channels,
+    sample_rate, bits_per_sample, data_off, data_size)``, or ``None``
+    for a non-RIFF/WAVE payload.  Chunk-walking (not fixed 44-byte
+    offsets) so extra chunks (LIST/INFO, fact) and word-alignment
+    padding are handled per spec."""
     import struct
 
     if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
         return None
-    pos, fmt, data_size = 12, None, None
+    pos, fmt, data = 12, None, None
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         csize = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
@@ -1449,11 +1451,20 @@ def _parse_wav(buf: bytes):
             bps = struct.unpack("<H", body[14:16])[0]
             fmt = (audio_fmt, ch, sr, bps)
         elif cid == b"data":
-            data_size = csize
+            data = (pos + 8, csize)
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
-    if fmt is None or data_size is None or fmt[0] != 1:  # PCM only
+    if fmt is None or data is None:
         return None
-    _, ch, sr, bps = fmt
+    return (*fmt, *data)
+
+
+def _parse_wav(buf: bytes):
+    """Header meta ``(sample_rate, n_channels, bits_per_sample,
+    n_samples)`` for PCM WAV via the RIFF chunk walk, or ``None``."""
+    meta = _walk_wav(buf)
+    if meta is None or meta[0] != 1:  # PCM only
+        return None
+    _, ch, sr, bps, _, data_size = meta
     block = ch * (bps // 8)
     if block == 0 or sr == 0:
         return None
@@ -1526,6 +1537,82 @@ def decode_audio(
 
     return df.select(id_col, payload_col).mapInPandas(
         decode, schema=_AUDIO_SCHEMA
+    )
+
+
+_PCM_STATS_SCHEMA = (
+    "id long, n_samples bigint, peak_abs int, clip_frac double,"
+    " rms double, duration_ms double"
+)
+
+
+def pcm_stats(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """Sample-level PCM features through the RIFF data chunk (r13 —
+    audio analysis previously stopped at header metadata): parse each
+    payload's chunk structure with the same walk ``decode_audio`` uses,
+    then read the 16-bit little-endian samples and emit
+    ``(n_samples, peak_abs, clip_frac, rms, duration_ms)``.
+
+    Determinism across engines: ``peak_abs``/``clip_frac`` are integer-
+    derived; ``rms`` is ``sqrt(sum(s²)/n)`` with the sum of squares
+    accumulated EXACTLY in int64 (max |s|² ≈ 2³⁰, so corpora of billions
+    of samples per doc stay exact) — both engines then perform the same
+    two IEEE operations on the same integers, so the double is
+    bit-identical with no rounding step.  Clipping counts samples at
+    full scale (|s| ≥ 32767).  Multi-channel data is analyzed
+    interleaved (all channels pooled); ``duration_ms`` uses frames =
+    data/block like ``decode_audio``.  Non-PCM or non-16-bit payloads
+    raise ``NotImplementedError`` loudly.
+
+    Scale: one Arrow-batched ``mapInPandas`` stage, no shuffle — the
+    same bounded-decode plan shape as the image rows; cost ∝ sample
+    bytes and partitions embarrassingly."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, peaks, clips, rmss, durs = [], [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload or b"")
+                meta = _walk_wav(buf)
+                if meta is None or meta[0] != 1:
+                    raise NotImplementedError(
+                        "audio container not supported (RIFF/WAV PCM only)"
+                    )
+                _, ch, sr, bps, off, size = meta
+                if bps != 16:
+                    raise NotImplementedError(
+                        "pcm_stats reads 16-bit PCM only"
+                    )
+                block = ch * 2
+                n_vals = size // 2
+                if sr == 0 or block == 0 or n_vals == 0:
+                    raise ValueError("empty or malformed PCM data chunk")
+                s = np.frombuffer(
+                    buf[off : off + n_vals * 2], dtype="<i2"
+                ).astype(np.int64)
+                sum_sq = int(np.sum(s * s))  # exact: int64 all the way
+                ids.append(rid)
+                ns.append(n_vals)
+                peaks.append(int(np.abs(s).max()))
+                clips.append(int((np.abs(s) >= 32767).sum()) / n_vals)
+                rmss.append(float(np.sqrt(float(sum_sq) / n_vals)))
+                durs.append((size // block) * 1000.0 / sr)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "peak_abs": pd.Series(peaks, dtype="int32"),
+                    "clip_frac": pd.Series(clips, dtype="float64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "duration_ms": pd.Series(durs, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stats, schema=_PCM_STATS_SCHEMA
     )
 
 

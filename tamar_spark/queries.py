@@ -1576,6 +1576,83 @@ def audio_wav_meta(spark, sf_dir):
 
 
 @query(
+    "audio_pcm_stats",
+    """
+WITH idx AS (
+  SELECT doc_id, text, CAST(floor(length(text) / 2) AS BIGINT) AS n
+  FROM documents WHERE length(text) >= 2
+), raw AS (
+  SELECT doc_id, n, k,
+         ascii(substr(text, CAST(2 * k + 1 AS BIGINT), 1))
+         + 256 * (ascii(substr(text, CAST(2 * k + 2 AS BIGINT), 1))
+                  + CASE WHEN k % 2 = 1 THEN 128 ELSE 0 END) AS u
+  FROM idx, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS k) t
+), v AS (
+  SELECT doc_id, n, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM raw
+)
+SELECT doc_id,
+       CAST(any_value(n) AS BIGINT) AS n_samples,
+       CAST(max(abs(s)) AS INT) AS peak_abs,
+       CAST(sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END) AS DOUBLE)
+         / any_value(n) AS clip_frac,
+       sqrt(CAST(sum(s * s) AS DOUBLE) / any_value(n)) AS rms,
+       any_value(n) * 1000.0 / 8000 AS duration_ms
+FROM v GROUP BY doc_id
+""",
+)
+def audio_pcm_stats(spark, sf_dir):
+    """Sample-level audio features through the REAL RIFF data chunk (r13
+    — audio_wav_meta stopped at the header; this reads the samples):
+    each document's utf-8 bytes become signed 16-bit little-endian PCM
+    — with the HIGH byte of every odd sample XOR 0x80 so the corpus
+    carries genuinely negative samples (pure ASCII high bytes are < 128,
+    which would leave the sign bit untouched and the signedness path
+    untested) — wrapped by ``make_wav`` and re-parsed on the executor by
+    :func:`tamar_spark.functions.multimodal.pcm_stats`: chunk walk, data
+    extraction, int16 interpretation, then n_samples / peak / clipping
+    fraction / RMS / duration.  The oracle rebuilds the identical sample
+    stream arithmetically (ASCII fixture: chars == bytes; ascii char ^
+    0x80 == +128 for bytes < 128; two's-complement via the u−65536
+    fold).  RMS is engine-stable because the sum of squares is EXACT
+    (integer) on both sides and the final divide+sqrt are two correctly-
+    rounded IEEE ops on identical inputs — no rounding needed.  The
+    fixture never reaches full scale so ``clip_frac`` is 0 here; the
+    threshold path is pinned by unit tests with synthetic extremes.
+
+    Scale: same shape as the image rows — one Arrow-batched
+    ``mapInPandas`` stage, no shuffle, cost ∝ sample bytes (reference
+    parity: the map/process operator family, src/lib.rs:127-174)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from tamar_spark.functions import multimodal as M
+
+    def _to_wav(texts):
+        def f(t):
+            b = bytearray((t or "").encode("utf-8"))
+            for i in range(3, len(b), 4):  # high byte of every odd sample
+                b[i] ^= 0x80
+            return M.make_wav(bytes(b))
+
+        return texts.map(f)
+
+    to_wav = pandas_udf(_to_wav, "binary")
+
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = docs.filter(F.length("text") >= 2).select(
+        F.col("doc_id").alias("id"), to_wav(F.col("text")).alias("payload")
+    )
+    return M.pcm_stats(wavs).select(
+        F.col("id").alias("doc_id"),
+        "n_samples",
+        "peak_abs",
+        "clip_frac",
+        "rms",
+        "duration_ms",
+    )
+
+
+@query(
     "image_bmp_pixels",
     """
 SELECT doc_id,

@@ -1649,6 +1649,59 @@ def test_wav_decode_real_and_adversarial(spark):
     assert M.decode_audio(bad, fake=True).count() == 1
 
 
+def test_pcm_stats_features_and_adversarial(spark):
+    """pcm_stats (r13): sample-level features through the RIFF data
+    chunk must match hand-computed values — including the clipping
+    threshold (|s| ≥ 32767 counts -32768, -32767, and 32767), exact
+    integer sum-of-squares RMS, and interleaved multi-channel pooling —
+    and must reject non-PCM and non-16-bit payloads loudly."""
+    import math
+    import struct
+
+    import pytest
+    from pyspark.sql import Row
+
+    from tamar_spark.functions import multimodal as M
+
+    # synthetic extremes: full-scale negative, full-scale positive,
+    # one-off-full-scale, and a zero → 3 of 4 samples clip
+    samples = [-32768, 32767, -32767, 0]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav1 = M.make_wav(data)
+    # stereo: pooled interleaved stats over both channels
+    st_samples = [100, -200, 300, -400]
+    wav2 = M.make_wav(
+        b"".join(struct.pack("<h", s) for s in st_samples), n_channels=2
+    )
+    df = spark.createDataFrame(
+        [Row(id=1, payload=bytearray(wav1)), Row(id=2, payload=bytearray(wav2))]
+    )
+    rows = {r.id: r for r in M.pcm_stats(df).collect()}
+    assert rows[1].n_samples == 4 and rows[1].peak_abs == 32768
+    assert rows[1].clip_frac == 0.75
+    assert rows[1].rms == math.sqrt(
+        float(sum(s * s for s in samples)) / 4
+    )
+    assert rows[1].duration_ms == 4 * 1000.0 / 8000
+    assert rows[2].n_samples == 4 and rows[2].peak_abs == 400
+    assert rows[2].clip_frac == 0.0
+    # stereo frames = 2 → duration over frames, stats over all values
+    assert rows[2].duration_ms == 2 * 1000.0 / 8000
+
+    # 8-bit PCM and float WAV must raise loudly
+    wav8 = M.make_wav(bytes(8), bits=8)
+    bad = spark.createDataFrame([Row(id=9, payload=bytearray(wav8))])
+    with pytest.raises(Exception, match="16-bit"):
+        M.pcm_stats(bad).collect()
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    nb = b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+    nb += b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    non_pcm = b"RIFF" + struct.pack("<I", 4 + len(nb)) + b"WAVE" + nb
+    bad = spark.createDataFrame([Row(id=9, payload=bytearray(non_pcm))])
+    with pytest.raises(Exception, match="not supported"):
+        M.pcm_stats(bad).collect()
+
+
 def test_salted_sessions_match_plain_session_agg(spark, sf_dir):
     """The salted two-phase session plan (sessionize per (key, time-bucket
     salt), merge boundary-straddling sub-sessions) must be indistinguishable
