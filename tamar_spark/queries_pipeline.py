@@ -12,6 +12,11 @@ corpus pipeline runs at 100 TB:
   corpus is TBs), so its distinct-shingle set is broadcast and the train
   side never shuffles for the probe — one map-side hash join plus a
   doc_id-keyed aggregate.
+- **html_extract** — main-text extraction from HTML (the WET-style first
+  stage of every crawl pipeline): script/style-first removal, structural
+  boilerplate drop, paragraph-keep, inline-tag strip, single-pass entity
+  decode — all pure codegen string expressions (functions/text.py), proved
+  by a self-verifying synthesis round trip against the original column.
 - **repetition_filters** — Gopher-style repetition heuristics (Rae et al.
   2021 table A1): top-word fraction and duplicate-trigram fraction.  Both
   are explode → two-level doc_id-keyed aggregates: every shuffle is on
@@ -192,6 +197,103 @@ def repetition_filters(spark, sf_dir):
             F.round(dup_frac, 4).alias("dup_trigram_frac"),
             ((top_frac <= 0.2) & (dup_frac <= 0.6)).alias("keep"),
         )
+    )
+
+
+_HTML_SQL = """
+WITH ex AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           substr(text, 1, CAST(floor(length(text) / 2) AS BIGINT))
+           || ' ' ||
+           substr(text, CAST(floor(length(text) / 2) AS BIGINT) + 1)
+           || ' fin&ish &#xZZ; ok',
+           '\\s+', ' ', 'g')) AS expected
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(expected) AS BIGINT) AS n_chars,
+       sha256(expected) AS extract_sha
+FROM ex
+"""
+
+
+@query("html_extract", _HTML_SQL)
+def html_extract(spark, sf_dir):
+    """HTML main-text extraction (r13 — the first stage of every real
+    pretraining pipeline, previously the one text-analysis gap): each
+    document is wrapped in a deterministic page — head/title, an inline
+    ``<style>``, a BODY ``<script>`` whose string literal contains
+    ``"<p>oops</p>"`` (markup-looking character data that must never
+    fabricate a paragraph), nav/header/footer/aside boilerplate, a
+    link-cluster ``<div>`` with no paragraph content, and the document
+    text split across two ``<p>`` blocks with its ``e``/``o``
+    characters entity-encoded (``&#101;``/``&#111;``) plus a
+    ``<b>fin&amp;ish</b> &#xZZ; ok`` tail — then
+    :func:`tamar_spark.functions.text.html_main_text` extracts the
+    content back in pure codegen: script/style first, structural
+    boilerplate, paragraph-keep, inline-tag strip, entity decode
+    (``&amp;`` last), whitespace collapse.
+
+    Self-verifying round trip (the image_bmp_pixels pattern): the
+    oracle never runs the extraction — it reconstructs the EXPECTED
+    text arithmetically from the original column (two halves rejoined,
+    the decoded tail appended, same collapse+trim), so the sha256 only
+    matches if every stage inverted the synthesis exactly: a missed
+    script strip leaks ``oops``, a broken entity table leaves
+    ``&#101;`` behind, a dropped paragraph loses half the text, and a
+    decoded-anyway malformed ``&#xZZ;`` shifts the tail.  ASCII
+    fixture assumptions: chars == bytes and no literal ``&``/``<`` in
+    the corpus (stated, as in image_png_pixels).
+
+    Scale: synthesis + extraction are one scan of string expressions
+    inside WholeStageCodegen — zero shuffles, zero joins, zero Python;
+    cost ∝ bytes, exactly how a WET-extraction stage should look at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    l2 = F.floor(F.length("text") / F.lit(2)).cast("int")
+    t = F.col("text")
+    p1 = t.substr(F.lit(1), l2)
+    p2 = t.substr(l2 + F.lit(1), F.length("text"))
+
+    def enc(c):
+        return F.replace(
+            F.replace(c, F.lit("e"), F.lit("&#101;")),
+            F.lit("o"),
+            F.lit("&#111;"),
+        )
+
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit("</title><style>p{margin:0}</style></head><body>"),
+        F.lit('<script>var x = "<p>oops</p>";</script>'),
+        F.lit(
+            '<nav><ul><li><a href="/">Home</a></li>'
+            '<li><a href="/about">About</a></li></ul></nav>'
+        ),
+        F.lit("<header><h1>Doc "),
+        did,
+        F.lit('</h1></header><div id="main"><p class="lead">'),
+        enc(p1),
+        F.lit(
+            '</p><div class="related"><a href="/r1">Related one</a> '
+            '<a href="/r2">Related two</a></div><p>'
+        ),
+        enc(p2),
+        F.lit(" <b>fin&amp;ish</b> &#xZZ; ok</p>"),
+        F.lit(
+            "</div><aside>Ads here</aside>"
+            "<footer>&copy; 2024 Example</footer></body></html>"
+        ),
+    )
+    return docs.select(
+        "doc_id", T.html_main_text(html).alias("_t")
+    ).select(
+        "doc_id",
+        F.length("_t").cast("bigint").alias("n_chars"),
+        F.sha2(F.col("_t"), 256).alias("extract_sha"),
     )
 
 

@@ -2649,6 +2649,55 @@ def test_ivfpq_trained_centroids_recall_and_probe_contract(spark):
     assert a == b
 
 
+def test_html_main_text_adversarial(spark):
+    """html_main_text (r13) must survive the classic extraction traps:
+    markup-looking strings inside script character data, nested inline
+    tags, attribute-bearing paragraph tags, malformed/unknown entities
+    passing through VERBATIM, double-encoded entities decoding exactly
+    one level (&amp;lt; → &lt;, never <), boilerplate containers
+    dropped wholesale, and content outside <p> blocks excluded."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import html_main_text
+
+    cases = [
+        # script string data must not fabricate paragraphs
+        ('<body><script>var p = "<p>evil</p>";</script>'
+         "<p>real text</p></body>", "real text"),
+        # nested inline tags strip; attributes on <p> handled
+        ('<p id="a" class="b c">one <b>two <i>three</i></b> four</p>',
+         "one two three four"),
+        # malformed + unknown entities pass through; double-encoded
+        # decodes one level only
+        ("<p>&#xZZ; &unknown; &amp;lt; &lt;ok&gt;</p>",
+         "&#xZZ; &unknown; &lt; <ok>"),
+        # boilerplate containers vanish with their content
+        ("<head><title>T</title></head><nav><p>menu</p></nav>"
+         "<aside><p>ads</p></aside><footer><p>legal</p></footer>"
+         "<p>body</p>", "body"),
+        # bare divs and link clusters are not paragraphs
+        ('<div><a href="/x">link one</a> <a href="/y">two</a></div>'
+         "<p>kept</p><div>stray div text</div>", "kept"),
+        # style blocks with selector braces; multiple paragraphs join
+        ("<style>p{color:red}</style><p>first</p>\n<p>second</p>",
+         "first second"),
+        # case-insensitive tags, whitespace collapse across lines
+        ("<P>alpha\n   beta</P><SCRIPT>x<p>no</p></SCRIPT>",
+         "alpha beta"),
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, html=h) for i, (h, _) in enumerate(cases)]
+    )
+    got = {
+        r.id: r.out
+        for r in df.select(
+            "id", html_main_text(F.col("html")).alias("out")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_lang_segments_tile_and_alternate(spark, sf_dir):
     """The zero-shuffle array-fold segmentation must produce, per doc,
     segments that (a) tile [0, n_sentences) exactly — contiguous, ordered,
