@@ -438,6 +438,22 @@ def containment_pairs(
     return scope_caches(verified.unionByName(direct), sh, stats, scored)
 
 
+def minhash_coeffs(num_perm: int):
+    """The shared deterministic universal-hash family: ``(p, [(a_i, b_i)])``
+    with ``p = 2³¹-1`` and constants from a fixed-seed PRNG, so batch
+    signatures (:func:`minhash_signatures`) and the streaming per-row fold
+    (streaming/dedup.py) agree bit-for-bit across runs, engines, and
+    cluster sizes.  The first k pairs are a prefix of the first k' > k
+    pairs, so different ``num_perm`` choices share their leading hashes."""
+    import random
+
+    p = 2147483647  # 2^31 - 1 (Mersenne prime)
+    rng = random.Random(0x5EED)
+    return p, [
+        (rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -460,11 +476,7 @@ def minhash_signatures(
     clusters.  Operands stay < 2⁶² — safe under ANSI overflow checking.
     One shuffle on ``id_col``; map-side partial ``min`` per permutation.
     """
-    import random
-
-    p = 2147483647  # 2^31 - 1 (Mersenne prime)
-    rng = random.Random(0x5EED)
-    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_perm)]
+    p, coeffs = minhash_coeffs(num_perm)
     if sh is None:
         sh = shingles(df, text_col, id_col, n)
     sh = sh.withColumn("x", F.pmod(F.xxhash64(F.col("shingle")), F.lit(p)))

@@ -2339,6 +2339,99 @@ def streaming_dedup(spark, sf_dir):
     return _run_to_memory(dedup)
 
 
+@query(
+    "streaming_dedup_minhash",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), mx AS (SELECT max(doc_id) AS mid FROM documents)
+SELECT doc_id_1, doc_id_2,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_1
+JOIN sizes sb ON sb.doc_id = doc_id_2
+CROSS JOIN mx
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+  AND doc_id_2 - doc_id_1 <= 3600
+  AND doc_id_2 < mid - 60
+""",
+)
+def streaming_dedup_minhash(spark, sf_dir):
+    """Streaming NEAR-dup dedup (r13 — the one dedup-family member that
+    had no live variant): the MinHash/LSH signature store as streaming
+    state on ``applyInPandasWithState``, keyed by LSH band bucket
+    (streaming/dedup.py; the reference's keyed process_state substrate,
+    src/lib.rs:323-361).  Documents stream in with a synthetic event
+    time (epoch 2024-01-01 + doc_id seconds — the fixture has no
+    ingest timestamp), signatures and band keys are computed per-row in
+    pure codegen (one aggregate fold, no groupBy — streaming-safe), and
+    each band-bucket group buffers in-window documents, emits exact-
+    Jaccard-verified pairs once the watermark seals the later document,
+    and deduplicates across bands via the canonical (first-colliding)
+    band — exactly-once with a single stateful operator.
+
+    The eviction contract makes state WINDOW-bounded, not corpus-
+    bounded: documents pair only within 3600 s of each other, so each
+    bucket retains ≈ window × per-bucket rate.  At sf0.1 the window
+    genuinely excludes 18 of 256 true pairs (ids > 3600 apart) and the
+    10-minute-equivalent finality trims the tail — both conditions
+    reproduced in the oracle as pure doc_id arithmetic (ts is an
+    id-affine function), on top of the batch family's exact-Jaccard
+    all-pairs SQL at threshold 0.5.  The 64-perm/16-band family is the
+    measured-recall-1.0 operating point of dedup_minhash_lsh on this
+    corpus, and verification is exact, so LSH recall is the only
+    approximation and it is measured, not hoped.
+
+    Scale: candidate generation is an equi-shuffle on (band, bucket);
+    state per bucket is window-bounded; quiet buckets flush via
+    event-time timers and self-clean at window expiry (the
+    sessions/CEP mechanism).  Stream-batch signature parity is pinned
+    by test (same hash family via minhash_coeffs)."""
+    import os
+
+    from tamar_spark.streaming.dedup import (
+        attach_minhash_bands,
+        minhash_dedup_streaming,
+    )
+
+    prep_session(spark)
+    # the stateful op instantiates state stores per shuffle partition per
+    # micro-batch; size to in-flight state like the other streaming rows
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        schema = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+            )
+            .withWatermark("ts", "60 seconds")
+            .select("doc_id", "ts", "text")
+        )
+        out = minhash_dedup_streaming(
+            attach_minhash_bands(sdf),
+            threshold=0.5,
+            window_us=3600 * 1_000_000,
+        )
+        return _run_to_memory(out)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 # Extended inventory (TPC-H-shaped joins/aggregates, scalar-function library,
 # embedding near-dup) registers itself into QUERIES/ORACLES on import.
 from tamar_spark import queries_tpch as _queries_tpch  # noqa: E402,F401

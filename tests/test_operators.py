@@ -2649,6 +2649,49 @@ def test_ivfpq_trained_centroids_recall_and_probe_contract(spark):
     assert a == b
 
 
+def test_streaming_minhash_bands_match_batch_family(spark, sf_dir):
+    """The streaming per-row signature fold (one aggregate expression, no
+    groupBy — streaming-safe) must produce EXACTLY the batch pipeline's
+    band bucket keys (shingles → xxhash64 → shared universal-hash family
+    → per-band xxhash64): stream and batch signatures come from the same
+    minhash_coeffs constants, so an index built by either side is usable
+    by the other.  Also pins that the carried shingle sets equal the
+    batch shingle table per doc."""
+    from tamar_spark.operators import dedup as D
+    from tamar_spark.operators.dedup import _band_keys
+    from tamar_spark.streaming.dedup import attach_minhash_bands
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    sig = D.minhash_signatures(docs, num_perm=64)
+    batch = {
+        r.doc_id: list(r.bands)
+        for r in sig.select("doc_id", _band_keys(4, 16).alias("bands")).collect()
+    }
+    stream_expr = {
+        r.doc_id: list(r.bands)
+        for r in attach_minhash_bands(docs).select("doc_id", "bands").collect()
+    }
+    assert stream_expr == batch
+
+    batch_sh = {
+        r.doc_id: frozenset(x[0] for x in r.sh)
+        for r in D.shingles(docs)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.struct("h")).alias("sh"))
+        .collect()
+    }
+    carried = {
+        r.doc_id: frozenset(int(x) for x in r.shingles)
+        for r in attach_minhash_bands(docs).select("doc_id", "shingles").collect()
+    }
+    assert carried == batch_sh
+
+
 def test_html_main_text_adversarial(spark):
     """html_main_text (r13) must survive the classic extraction traps:
     markup-looking strings inside script character data, nested inline
