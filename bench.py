@@ -184,6 +184,14 @@ EXTENDED = [
     "embed_ivf_trained_topk",
     # round-12 additions
     "embed_ivfpq_trained_topk",
+    # round-13 additions: the codegen-cheap new rows.  image_jpeg_rst_
+    # roundtrip (~25 s/sf0.1 pure-Python entropy coding, same class as
+    # image_jpeg_roundtrip) and streaming_dedup_minhash (~45 s/sf0.1:
+    # exact in-stream verification pays a 16-band payload routing +
+    # per-bucket state commit) are deliberately NOT headline — measured
+    # and recorded in BASELINE.md, driver-checked at sf0.01
+    "html_extract",
+    "audio_pcm_stats",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED
