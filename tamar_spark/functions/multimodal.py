@@ -1059,6 +1059,7 @@ def mjpeg_frame_pixel_check(
     every_n: int = 4,
     quality: int = 99,
     max_err: int = 12,
+    restart_interval: int = 0,
 ) -> DataFrame:
     """End-to-end MJPEG PIXEL decode (r12 — composes the two real video
     pieces that previously stopped at frame boundaries): each row's
@@ -1073,8 +1074,13 @@ def mjpeg_frame_pixel_check(
     ``(id, frame_idx, width, height, n_channels, decode_ok)``.
     ``decode_ok`` additionally requires the splitter to have recovered
     exactly the constructed frame count — a miscounted split shifts
-    every downstream comparison and fails the bound.  One Arrow-batched
-    ``mapInPandas`` stage, no shuffle."""
+    every downstream comparison and fails the bound.
+    ``restart_interval`` (r13) synthesizes each frame with the DRI/RSTn
+    restart protocol real camera MJPEG carries — the structural splitter
+    skips RSTn as standalone markers and the entropy decoder resyncs at
+    them, so the full camera-shaped composition is exercised end to end
+    (pinned by ``test_mjpeg_restart_stream_composition``).  One
+    Arrow-batched ``mapInPandas`` stage, no shuffle."""
     import numpy as np
 
     frame_bytes = frame_rows * 24  # 8 px/row RGB
@@ -1092,7 +1098,13 @@ def mjpeg_frame_pixel_check(
                     for k in range(n_frames)
                 ]
                 stream = b"".join(
-                    make_jpeg(c, width=8, quality=quality) for c in chunks
+                    make_jpeg(
+                        c,
+                        width=8,
+                        quality=quality,
+                        restart_interval=restart_interval,
+                    )
+                    for c in chunks
                 )
                 bounds = list(_iter_jpeg_frames(stream))
                 split_ok = len(bounds) == n_frames

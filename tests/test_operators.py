@@ -1649,6 +1649,48 @@ def test_wav_decode_real_and_adversarial(spark):
     assert M.decode_audio(bad, fake=True).count() == 1
 
 
+def test_mjpeg_restart_stream_composition(spark):
+    """Camera-shaped MJPEG end to end (r13): frames encoded WITH restart
+    intervals, concatenated, re-split by the structural walker (RSTn are
+    standalone markers the split must skip, and each frame's DRI segment
+    must not desync the segment walk), then entropy-decoded with the
+    restart protocol — every sampled frame inside the bound.  This is
+    the composition video_frame_pixels' 100 TB claim rides on; the
+    registered query keeps the restart-free synthesis so its driver
+    ledger row stays comparable across rounds, and this test pins the
+    restart-bearing variant through the same DataFrame kernel."""
+    import random
+
+    from pyspark.sql import Row
+
+    from tamar_spark.functions import multimodal as M
+
+    rng = random.Random(23)
+    texts = [
+        "".join(chr(rng.randrange(32, 127)) for _ in range(n))
+        for n in (192, 600, 1537, 3000)
+    ]
+    # driver-side structural check: splitter recovers restart streams
+    pay = texts[2].encode()
+    chunks = [pay[k * 192 : (k + 1) * 192] for k in range(len(pay) // 192)]
+    stream = b"".join(
+        M.make_jpeg(c, width=8, quality=99, restart_interval=2) for c in chunks
+    )
+    bounds = list(M._iter_jpeg_frames(stream))
+    assert len(bounds) == len(chunks)
+    # and every split frame decodes with predictor resets intact
+    for (s, e), c in zip(bounds, chunks):
+        w, h, nch, px = M.parse_jpeg(stream[s:e])
+        assert (w, h, nch) == (8, 8, 3)
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    out = M.mjpeg_frame_pixel_check(df, restart_interval=2).collect()
+    assert len(out) == sum((len(t) // 192 + 3) // 4 for t in texts)
+    assert all(r.decode_ok for r in out)
+
+
 def test_pcm_stats_features_and_adversarial(spark):
     """pcm_stats (r13): sample-level features through the RIFF data
     chunk must match hand-computed values — including the clipping
