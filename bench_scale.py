@@ -278,6 +278,51 @@ def main() -> None:
             s = s.unionByName(p)
         return _cep_over(s.withWatermark("ts", "10 minutes"))
 
+    def stream_minhash(k):
+        # streaming_dedup_minhash's state-bound claim (r13): copy i shifts
+        # doc_id by i×10⁶, and ts is id-affine, so replicas sit ~10⁶ s
+        # apart — far outside the 3600 s pairing window.  Per-bucket
+        # in-window occupancy is therefore CONSTANT as the corpus grows
+        # (the eviction contract), pair output grows linearly (each
+        # replica's internal pairs; only the last replica loses the
+        # finality tail), and the sorted-buffer pair walk breaks at the
+        # window edge — near-linear wall growth here is the evidence that
+        # no per-bucket quadratic term survives volume scaling.
+        import os
+
+        from tamar_spark.queries import _run_to_memory
+        from tamar_spark.streaming.dedup import (
+            attach_minhash_bands,
+            minhash_dedup_streaming,
+        )
+
+        schema = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(SF_DIR)
+            .select("doc_id", "text")
+        )
+        parts = [
+            raw.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                "text",
+            )
+            for i in range(k)
+        ]
+        s = parts[0]
+        for p in parts[1:]:
+            s = s.unionByName(p)
+        s = s.withColumn(
+            "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+        ).withWatermark("ts", "60 seconds")
+        out = minhash_dedup_streaming(
+            attach_minhash_bands(s), threshold=0.5, window_us=3600 * 1_000_000
+        )
+        return _run_to_memory(out)
+
     # hot-shingle corpus: small base (sf0.01) because the uncapped contrast
     # is intentionally quadratic
     documents = load_table(spark, "/root/testdata/sf0.01", "documents")
@@ -510,6 +555,7 @@ def main() -> None:
         ("stream_session_process", stream_session_process),
         ("stream_cep_funnel", stream_cep_funnel),
         ("stream_cep_funnel_volume", stream_cep_funnel_volume),
+        ("stream_minhash", stream_minhash),
     ]:
         scales = (
             [1, 4, 16]
@@ -519,6 +565,10 @@ def main() -> None:
                 "stream_cep_funnel",
                 "stream_cep_funnel_volume",
             )
+            # heavier per-unit (exact in-stream verification): 1/2/4 spans
+            # the linearity question without a 12-minute 16x cell
+            else [1, 2, 4]
+            if name == "stream_minhash"
             else SCALES
         )
         times = []

@@ -223,10 +223,14 @@ def minhash_dedup_streaming(
                     continue
                 if tj < prev_wm_us:
                     continue  # this doc's pairs emitted in an earlier batch
-                for i in range(j):
+                # walk earlier docs newest-first and STOP at the window
+                # edge (the buffer is ts-sorted): pair work per doc is
+                # bounded by the in-window neighborhood even when one
+                # micro-batch delivers far more than a window's worth
+                for i in range(j - 1, -1, -1):
                     idi, (ti, shi, bdi) = order[i]
                     if tj - ti > window_us:
-                        continue
+                        break
                     # canonical band: exactly one bucket group emits a pair
                     first = next(
                         (b for b in range(len(bdi)) if bdi[b] == bdj[b]),
