@@ -931,3 +931,95 @@ def test_streaming_cep_funnel_nstep_random_soup_matches_batch(spark, tmp_path):
         )
         assert got == want, f"seed {seed}: {got} != {want}"
         assert len(want) >= 3, "planted funnels missing: comparison is vacuous"
+
+
+def test_streaming_minhash_dedup_multibatch_semantics(spark, tmp_path):
+    """Cross-micro-batch semantics of the streaming MinHash/LSH dedup
+    (streaming/dedup.py), pinned on hand-built batches
+    (maxFilesPerTrigger=1, 10-min watermark delay, 60-min pairing
+    window) — the driver oracle runs a single AvailableNow batch, so the
+    batch-boundary machinery (prev-watermark emission guard, event-time
+    timers, window exclusion against BUFFERED docs, no-flush) needs its
+    own pin:
+
+    - docs 1+2 (identical text, 5 min apart) arrive in batch 1 and are
+      sealed by batch 2's watermark — their pair emits exactly ONCE even
+      though the bucket groups are re-invoked in batch 2 and again by the
+      final timer flush, and even though identical texts collide in all
+      16 bands (canonical-band exactly-once);
+    - doc 3 (same text) arrives LATE in batch 2 at t=62 min: it pairs
+      with doc 2 (57-min gap, in-window) but NOT with doc 1 (62-min gap
+      exceeds the window) — the window applies to buffered state from an
+      earlier batch, not just same-batch neighbors;
+    - docs 7+8 (another text, split across the two batches, 6-min gap)
+      pair once sealed — the state store carried doc 7 across the
+      boundary;
+    - docs 91+92 (7-min gap) sit inside the final 10-min watermark
+      horizon — never emitted (the reference's no-flush,
+      src/lib.rs:1316-1345)."""
+    import time as _time
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    A = "alpha beta gamma delta epsilon"
+    B = "one two three four five"
+    C = "red green blue yellow purple"
+    D = "dog cat bird fish mouse"
+    E = "sun moon star cloud rain"
+
+    def rows(*docs):
+        return pd.DataFrame(
+            {
+                "doc_id": [i for i, *_ in docs],
+                "text": [t for _, t, _m in docs],
+                "ts": [base + pd.Timedelta(minutes=m) for *_, m in docs],
+            }
+        )
+
+    src = tmp_path / "mh_src"
+    src.mkdir()
+    batch1 = rows(
+        (1, A, 0), (2, A, 5), (5, B, 0), (7, C, 55),
+        (90, D, 70),  # pushes the batch-2 watermark to t=60
+    )
+    batch2 = rows(
+        (3, A, 62), (8, C, 61),
+        (92, E, 193), (91, E, 200),  # unsealed pair: final wm = 190
+    )
+    for name, pdf in (("a", batch1), ("b", batch2)):
+        pdf.to_parquet(src / f"{name}.parquet", coerce_timestamps="us")
+        _time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    from tamar_spark.streaming.dedup import (
+        attach_minhash_bands,
+        minhash_dedup_streaming,
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    out = minhash_dedup_streaming(
+        attach_minhash_bands(sdf), threshold=0.5, window_us=60 * 60 * 1_000_000
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mh_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "mh_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.doc_id_1, r.doc_id_2, r.jaccard)
+        for r in spark.table("mh_dedup_out").collect()
+    )
+    assert got == [
+        (1, 2, 1.0),   # batch-1 pair, sealed by batch 2's watermark
+        (2, 3, 1.0),   # late arrival pairs with buffered in-window state
+        (7, 8, 1.0),   # pair split across the batch boundary
+    ], got
