@@ -192,6 +192,7 @@ EXTENDED = [
     # and recorded in BASELINE.md, driver-checked at sf0.01
     "html_extract",
     "audio_pcm_stats",
+    "audio_silence_segments",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

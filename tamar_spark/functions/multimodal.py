@@ -70,6 +70,7 @@ __all__ = [
     "parse_jpeg",
     "parse_png",
     "parse_ppm",
+    "pcm_silence_segments",
     "pcm_stats",
     "resize_images",
     "sample_frames",
@@ -1625,6 +1626,84 @@ def pcm_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         stats, schema=_PCM_STATS_SCHEMA
+    )
+
+
+_SILENCE_SCHEMA = (
+    "id long, seg_idx int, start_sample bigint, n_samples bigint,"
+    " duration_ms double"
+)
+
+
+def pcm_silence_segments(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    thresh: int = 0,
+    min_len: int = 10,
+) -> DataFrame:
+    """Silence/activity segmentation over 16-bit PCM — the VAD-style
+    preprocessing stage a speech corpus pipeline runs before transcribe/
+    align (r13): parse the RIFF data chunk (same walk as
+    :func:`pcm_stats`), mark samples with ``|s| <= thresh`` silent, and
+    emit one row per MAXIMAL silent run of at least ``min_len`` samples:
+    ``(id, seg_idx, start_sample, n_samples, duration_ms)`` with
+    ``seg_idx`` numbering a document's runs in stream order.
+
+    Run detection is vectorized gaps-and-islands over the boolean mask
+    (numpy diff on the padded mask — no Python per-sample loop), so cost
+    ∝ sample bytes; one Arrow-batched ``mapInPandas`` stage, no shuffle,
+    the same bounded-decode plan shape as the other media rows.
+    Non-PCM / non-16-bit payloads raise loudly (the :func:`pcm_stats`
+    contract).  Duration uses the fmt-chunk sample rate."""
+    import numpy as np
+
+    def segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, lens, durs = [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload or b"")
+                meta = _walk_wav(buf)
+                if meta is None or meta[0] != 1:
+                    raise NotImplementedError(
+                        "audio container not supported (RIFF/WAV PCM only)"
+                    )
+                _, ch, sr, bps, off, size = meta
+                if bps != 16:
+                    raise NotImplementedError(
+                        "pcm_silence_segments reads 16-bit PCM only"
+                    )
+                n_vals = size // 2
+                if sr == 0 or n_vals == 0:
+                    raise ValueError("empty or malformed PCM data chunk")
+                s = np.frombuffer(buf[off : off + n_vals * 2], dtype="<i2")
+                quiet = np.abs(s.astype(np.int32)) <= thresh
+                # maximal-run boundaries: transitions of the padded mask
+                edges = np.diff(np.r_[False, quiet, False].astype(np.int8))
+                run_starts = np.flatnonzero(edges == 1)
+                run_ends = np.flatnonzero(edges == -1)
+                k = 0
+                for a, b in zip(run_starts, run_ends):
+                    if b - a < min_len:
+                        continue
+                    ids.append(rid)
+                    idxs.append(k)
+                    starts.append(int(a))
+                    lens.append(int(b - a))
+                    durs.append((b - a) * 1000.0 / sr)
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "seg_idx": pd.Series(idxs, dtype="int32"),
+                    "start_sample": pd.Series(starts, dtype="int64"),
+                    "n_samples": pd.Series(lens, dtype="int64"),
+                    "duration_ms": pd.Series(durs, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        segs, schema=_SILENCE_SCHEMA
     )
 
 

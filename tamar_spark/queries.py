@@ -1653,6 +1653,87 @@ def audio_pcm_stats(spark, sf_dir):
 
 
 @query(
+    "audio_silence_segments",
+    """
+WITH d AS (
+  SELECT doc_id, CAST(floor(length(text) / 2) AS BIGINT) AS n
+  FROM documents WHERE length(text) >= 2
+), blocks AS (
+  SELECT doc_id, b,
+         CAST(25 * b AS BIGINT) AS start_sample,
+         least(CAST(25 AS BIGINT), n - 25 * b) AS seg_len
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(n / 25.0) AS BIGINT) - 1)) AS b
+  ) t
+  WHERE b % 2 = 0
+)
+SELECT doc_id,
+       CAST(b // 2 AS INT) AS seg_idx,
+       start_sample,
+       seg_len AS n_samples,
+       seg_len * 1000.0 / 8000 AS duration_ms
+FROM blocks WHERE seg_len >= 10
+""",
+)
+def audio_silence_segments(spark, sf_dir):
+    """Silence/activity segmentation over real PCM (r13 — the VAD-style
+    stage a speech pipeline runs before transcribe/align): the synthesis
+    zeroes alternating 25-sample blocks of each document's signed PCM
+    stream (the remaining samples keep |s| ≥ 32 — ASCII low bytes — so
+    silent and active regions are unambiguous), then
+    :func:`tamar_spark.functions.multimodal.pcm_silence_segments` walks
+    the RIFF data chunk on the executor and detects MAXIMAL silent runs
+    (|s| ≤ 0, ≥ 10 samples) with vectorized gaps-and-islands over the
+    sample mask.  One row per detected segment with stream-order
+    numbering.
+
+    The oracle reconstructs the expected segments arithmetically from
+    the known mask (even blocks, tail-clipped, short-tail dropped), so
+    the hash only matches if the chunk walk, int16 interpretation, run
+    detection, minimum-length rule, and numbering all agree — a
+    detector that merges runs across an active block, misses a
+    boundary, or numbers dropped tails wrongly diverges.  ASCII fixture
+    assumption (chars == bytes) as in audio_pcm_stats.
+
+    Scale: one Arrow-batched ``mapInPandas`` stage, no shuffle; cost ∝
+    sample bytes (reference parity: the map/process operator family,
+    src/lib.rs:127-174)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from tamar_spark.functions import multimodal as M
+
+    def _to_wav(texts):
+        def f(t):
+            b = bytearray((t or "").encode("utf-8"))
+            for i in range(3, len(b), 4):  # signedness, as audio_pcm_stats
+                b[i] ^= 0x80
+            arr = np.frombuffer(bytes(b), dtype=np.uint8).copy()
+            n = len(arr) // 2
+            k = np.arange(n)
+            silent = (k // 25) % 2 == 0
+            arr[2 * k[silent]] = 0
+            arr[2 * k[silent] + 1] = 0
+            return M.make_wav(arr.tobytes())
+
+        return texts.map(f)
+
+    to_wav = pandas_udf(_to_wav, "binary")
+
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = docs.filter(F.length("text") >= 2).select(
+        F.col("doc_id").alias("id"), to_wav(F.col("text")).alias("payload")
+    )
+    return M.pcm_silence_segments(wavs).select(
+        F.col("id").alias("doc_id"),
+        "seg_idx",
+        "start_sample",
+        "n_samples",
+        "duration_ms",
+    )
+
+
+@query(
     "image_bmp_pixels",
     """
 SELECT doc_id,

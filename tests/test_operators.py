@@ -1744,6 +1744,53 @@ def test_pcm_stats_features_and_adversarial(spark):
         M.pcm_stats(bad).collect()
 
 
+def test_pcm_silence_segments_runs_and_edges(spark):
+    """pcm_silence_segments (r13): maximal-run detection must handle the
+    classic edge cases — leading silence, trailing silence (open run at
+    end-of-stream), adjacent runs separated by ONE active sample (no
+    merge), sub-min_len runs dropped, a fully-silent payload as one run,
+    and a nonzero threshold including small-amplitude samples."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from tamar_spark.functions import multimodal as M
+
+    def wav(samples):
+        return bytearray(
+            M.make_wav(b"".join(struct.pack("<h", s) for s in samples))
+        )
+
+    # id 1: [0]*12, 500, [0]*11, 500, [0]*9  → runs at 0(len12) and
+    # 13(len11); the trailing 9-run is sub-min_len
+    s1 = [0] * 12 + [500] + [0] * 11 + [500] + [0] * 9
+    # id 2: fully silent, 40 samples → one run spanning everything
+    s2 = [0] * 40
+    # id 3: no silence at all
+    s3 = [300, -300] * 20
+    # id 4: |s| <= 2 counts as silent at thresh=2
+    s4 = [1, -2, 2, 0, 1, 0, 1, -1, 2, 1, 0, -2] + [900] * 5
+    df = spark.createDataFrame(
+        [
+            Row(id=1, payload=wav(s1)),
+            Row(id=2, payload=wav(s2)),
+            Row(id=3, payload=wav(s3)),
+        ]
+    )
+    got = sorted(
+        (r.id, r.seg_idx, r.start_sample, r.n_samples)
+        for r in M.pcm_silence_segments(df).collect()
+    )
+    assert got == [(1, 0, 0, 12), (1, 1, 13, 11), (2, 0, 0, 40)], got
+
+    df4 = spark.createDataFrame([Row(id=4, payload=wav(s4))])
+    got4 = [
+        (r.seg_idx, r.start_sample, r.n_samples, r.duration_ms)
+        for r in M.pcm_silence_segments(df4, thresh=2, min_len=12).collect()
+    ]
+    assert got4 == [(0, 0, 12, 12 * 1000.0 / 8000)], got4
+
+
 def test_salted_sessions_match_plain_session_agg(spark, sf_dir):
     """The salted two-phase session plan (sessionize per (key, time-bucket
     salt), merge boundary-straddling sub-sessions) must be indistinguishable
