@@ -436,6 +436,30 @@ def test_media_queries_prune_to_used_columns(spark, sf_dir):
         )
 
 
+def test_r13_media_text_rows_are_single_scan_no_exchange(spark, sf_dir):
+    """The r13 pipeline rows' scale contract, pinned: html_extract is a
+    pure-codegen single scan (zero exchanges, zero Python stages), and
+    the two PCM rows are exactly one Arrow synthesis UDF + one
+    mapInPandas stage over a pruned (doc_id, text) scan with zero
+    exchanges — cost ∝ bytes, nothing for a 100 TB scale-up to
+    concentrate."""
+    for name, arrow_stages in (
+        ("html_extract", 0),
+        ("audio_pcm_stats", 1),
+        ("audio_silence_segments", 1),
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = executed_plan(df)
+        assert plan.count("Exchange") == 0, (name, "unexpected shuffle")
+        assert plan.count("ArrowEvalPython") == arrow_stages, name
+        assert plan.count("MapInPandas") == (1 if arrow_stages else 0), name
+        read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+        assert read_schema.count(":") <= 2 and "text" in read_schema, (
+            name,
+            read_schema,
+        )
+
+
 def test_tokenize_pack_encode_stage_is_projection_only(spark, sf_dir):
     """corpus_tokenize_pack (r6 VERDICT task 6): after the vocabulary-
     bounded learn phase (localCheckpointed, not in this plan), the
