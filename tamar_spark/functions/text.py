@@ -175,7 +175,10 @@ def html_main_text(html: Column) -> Column:
 
     1. drop ``<script>``/``<style>`` blocks FIRST (their character data
        may contain markup-looking strings — a ``'<p>'`` inside inline
-       JS must never fabricate a paragraph);
+       JS must never fabricate a paragraph), then HTML comments
+       (``<!-- -->`` may wrap commented-out markup that must not leak
+       into paragraphs; after script removal, so a JS string containing
+       ``-->`` cannot truncate a comment scan);
     2. drop the structural boilerplate containers — ``<head>`` (title
        is chrome, not content), ``<nav>``, ``<header>``, ``<footer>``,
        ``<aside>``;
@@ -193,6 +196,7 @@ def html_main_text(html: Column) -> Column:
     no shuffle, no UDF."""
     c = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(
         c, r"(?is)<(head|nav|header|footer|aside)[^>]*>.*?</\1>", " "
     )

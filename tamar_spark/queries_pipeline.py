@@ -225,7 +225,8 @@ def html_extract(spark, sf_dir):
     document is wrapped in a deterministic page — head/title, an inline
     ``<style>``, a BODY ``<script>`` whose string literal contains
     ``"<p>oops</p>"`` (markup-looking character data that must never
-    fabricate a paragraph), nav/header/footer/aside boilerplate, a
+    fabricate a paragraph), an HTML comment wrapping a commented-out
+    ``<p>ghost paragraph</p>``, nav/header/footer/aside boilerplate, a
     link-cluster ``<div>`` with no paragraph content, and the document
     text split across two ``<p>`` blocks with its ``e``/``o``
     characters entity-encoded (``&#101;``/``&#111;``) plus a
@@ -240,9 +241,10 @@ def html_extract(spark, sf_dir):
     text arithmetically from the original column (two halves rejoined,
     the decoded tail appended, same collapse+trim), so the sha256 only
     matches if every stage inverted the synthesis exactly: a missed
-    script strip leaks ``oops``, a broken entity table leaves
-    ``&#101;`` behind, a dropped paragraph loses half the text, and a
-    decoded-anyway malformed ``&#xZZ;`` shifts the tail.  ASCII
+    script strip leaks ``oops``, a kept comment leaks ``ghost
+    paragraph``, a broken entity table leaves ``&#101;`` behind, a
+    dropped paragraph loses half the text, and a decoded-anyway
+    malformed ``&#xZZ;`` shifts the tail.  ASCII
     fixture assumptions: chars == bytes and no literal ``&``/``<`` in
     the corpus (stated, as in image_png_pixels).
 
@@ -279,7 +281,8 @@ def html_extract(spark, sf_dir):
         enc(p1),
         F.lit(
             '</p><div class="related"><a href="/r1">Related one</a> '
-            '<a href="/r2">Related two</a></div><p>'
+            '<a href="/r2">Related two</a></div>'
+            "<!-- commented-out markup: <p>ghost paragraph</p> --><p>"
         ),
         enc(p2),
         F.lit(" <b>fin&amp;ish</b> &#xZZ; ok</p>"),

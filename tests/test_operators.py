@@ -2816,6 +2816,13 @@ def test_html_main_text_adversarial(spark):
         # case-insensitive tags, whitespace collapse across lines
         ("<P>alpha\n   beta</P><SCRIPT>x<p>no</p></SCRIPT>",
          "alpha beta"),
+        # comments drop with their content — commented-out markup must
+        # not leak paragraphs; a JS string containing '-->' must not
+        # truncate the comment scan (script removal runs first)
+        ("<!-- <p>ghost</p> --><p>kept</p>"
+         '<script>var s = "-->";</script><!-- tail -->', "kept"),
+        # a comment INSIDE a paragraph drops, the paragraph survives
+        ("<p>one <!-- hidden <b>two</b> --> three</p>", "one three"),
     ]
     df = spark.createDataFrame(
         [Row(id=i, html=h) for i, (h, _) in enumerate(cases)]
