@@ -30,6 +30,12 @@ shapes that dominate the engine:
                   walk's input is constant-size, so its wall-clock should
                   stay near-flat while the unbucketed walk grows with the
                   corpus
+- stream_minhash : the streaming MinHash/LSH dedup under window-disjoint
+                  corpus replication (r13) — per-bucket in-window
+                  occupancy constant by the eviction contract, so wall
+                  must grow near-linearly while pair output is exactly
+                  linear (measured 54.5/62.6/64.1 s at 1×/2×/4×,
+                  BASELINE.md)
 
 Near-linear wall-clock growth here means the plans have no super-linear
 step (no cross products, no driver collects, no per-key state blowup) —
