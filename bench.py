@@ -193,6 +193,7 @@ EXTENDED = [
     "html_extract",
     "audio_pcm_stats",
     "audio_silence_segments",
+    "url_canonicalize",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

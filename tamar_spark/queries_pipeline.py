@@ -17,6 +17,9 @@ corpus pipeline runs at 100 TB:
   boilerplate drop, paragraph-keep, inline-tag strip, single-pass entity
   decode — all pure codegen string expressions (functions/text.py), proved
   by a self-verifying synthesis round trip against the original column.
+- **url_canonicalize** — the crawl-dedup key step: case folding, default-
+  port stripping, fragment drop, tracking-param removal, query-param sort —
+  pure codegen, proved against directly-stated expected canonical strings.
 - **repetition_filters** — Gopher-style repetition heuristics (Rae et al.
   2021 table A1): top-word fraction and duplicate-trigram fraction.  Both
   are explode → two-level doc_id-keyed aggregates: every shuffle is on
@@ -297,6 +300,117 @@ def html_extract(spark, sf_dir):
         "doc_id",
         F.length("_t").cast("bigint").alias("n_chars"),
         F.sha2(F.col("_t"), 256).alias("extract_sha"),
+    )
+
+
+_URL_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN 'https://www.example.com/d/' || CAST(doc_id AS VARCHAR)
+                     || '?a=1&b=2'
+         WHEN 1 THEN 'http://example.com/d/' || CAST(doc_id AS VARCHAR)
+                     || '?z=9'
+         ELSE 'https://cdn.example.org/img/' || CAST(doc_id AS VARCHAR)
+              || '.png'
+       END AS canon_url,
+       CASE doc_id % 3
+         WHEN 0 THEN 'www.example.com'
+         WHEN 1 THEN 'example.com'
+         ELSE 'cdn.example.org'
+       END AS host,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS INT)
+         AS n_params
+FROM documents
+"""
+
+
+@query("url_canonicalize", _URL_SQL)
+def url_canonicalize(spark, sf_dir):
+    """URL canonicalization — the crawl-dedup key step every web-corpus
+    pipeline runs before exact/near dedup (two fetches of one resource
+    must collapse to one key): lowercase scheme and host, strip the
+    scheme's DEFAULT port only (``:443`` for https, ``:80`` for http —
+    a non-default port is meaningful and survives), drop the fragment,
+    remove tracking parameters (``utm_*``, ``fbclid``, ``gclid``), sort
+    the surviving query parameters (param order is transport noise),
+    and normalize an empty path to ``/``.  All pure codegen: regexp
+    part extraction + an array filter/sort over the split query string
+    — no UDF, cost ∝ bytes.
+
+    The fixture has no URL column, so each document synthesizes one of
+    three deterministic dirty shapes by ``doc_id % 3`` — uppercase
+    scheme/host with default port, tracking params out of order, and a
+    fragment (``HTTPS://Www.Example.com:443/...?utm_campaign=z&b=2&a=1
+    #top``); a no-port no-query variant; and a subdomain asset URL with
+    only a fragment.  The oracle states the expected canonical string
+    per shape directly (never re-running the canonicalizer), so the
+    hash only matches if case folding, default-port stripping,
+    tracking-param removal, param sort, fragment drop, and the
+    empty-query rule all land exactly.
+
+    Scale: one WholeStageCodegen scan, zero shuffles — the same
+    plan-shape class as html_extract; at 100 TB this runs as a
+    projection inside the crawl-ingest pipeline, feeding dedup_exact on
+    ``canon_url``."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://Www.Example.com:443/d/"),
+                did,
+                F.lit("?utm_campaign=z&b=2&a=1#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://EXAMPLE.com:80/d/"),
+                did,
+                F.lit("?z=9&utm_source=news"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.Example.org/img/"), did, F.lit(".png#frag")
+            )
+        )
+    )
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    host = (
+        F.when(
+            scheme == "https", F.regexp_replace(hostport, r":443$", "")
+        )
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    raw_path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    qstr = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qstr, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid="),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        canon.alias("canon_url"),
+        host.alias("host"),
+        F.size(params).cast("int").alias("n_params"),
     )
 
 
