@@ -23,6 +23,10 @@ __all__ = [
     "fingerprint",
     "html_main_text",
     "HTML_ENTITIES",
+    "canonical_url",
+    "url_host",
+    "url_query_params",
+    "URL_TRACKING_PREFIXES",
     "lang_score",
     "lang_id",
     "quality_score",
@@ -206,6 +210,78 @@ def html_main_text(html: Column) -> Column:
     for ent, ch in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# query parameters dropped by canonical_url — the tracker prefixes every
+# crawl canonicalizer strips (public convention: UTM campaign tags plus
+# the Facebook/Google click ids)
+URL_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the crawl-dedup key
+    (two fetches of one resource must collapse to one key), entirely in
+    codegen expressions:
+
+    - scheme and host lowercase (the case-insensitive URL parts; path
+      and query stay case-sensitive per RFC 3986);
+    - the scheme's DEFAULT port stripped (``:443`` for https, ``:80``
+      for http) — a NON-default port is meaningful and survives;
+    - fragment dropped (client-side only, never sent to the server);
+    - tracking parameters removed (:data:`URL_TRACKING_PREFIXES`);
+    - surviving query parameters sorted (order is transport noise) and
+      the ``?`` dropped entirely when none survive;
+    - an empty path normalized to ``/``.
+
+    Percent-encoding normalization and dot-segment resolution are out
+    of scope (the fixture synthesizes neither); both would slot into
+    the same expression chain."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    raw_path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    params = url_query_params(url)
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_query_params(url: Column) -> Column:
+    """The non-tracking query parameters of ``url`` as an unsorted array
+    of ``key=value`` strings (empty array when none survive)."""
+    qstr = F.regexp_extract(url, r"\?([^#]*)", 1)
+
+    def keep(p):
+        cond = p != ""
+        for prefix in URL_TRACKING_PREFIXES:
+            cond = cond & ~p.startswith(prefix)
+        return cond
+
+    return F.filter(F.split(qstr, "&"), keep)
+
+
+def url_host(url: Column) -> Column:
+    """The canonical (lowercased, default-port-stripped) host of ``url``
+    — the grouping key for per-domain crawl statistics."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    return (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
 
 
 def bpe_ish_token_count(text: Column) -> Column:

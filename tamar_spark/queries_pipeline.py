@@ -333,9 +333,12 @@ def url_canonicalize(spark, sf_dir):
     a non-default port is meaningful and survives), drop the fragment,
     remove tracking parameters (``utm_*``, ``fbclid``, ``gclid``), sort
     the surviving query parameters (param order is transport noise),
-    and normalize an empty path to ``/``.  All pure codegen: regexp
-    part extraction + an array filter/sort over the split query string
-    — no UDF, cost ∝ bytes.
+    and normalize an empty path to ``/``.  All pure codegen
+    (:func:`tamar_spark.functions.text.canonical_url` — regexp part
+    extraction + an array filter/sort over the split query string, no
+    UDF, cost ∝ bytes); edge cases the synthesis cannot reach
+    (non-default ports surviving, tracker-only queries, userinfo) are
+    pinned by the kernel's unit test.
 
     The fixture has no URL column, so each document synthesizes one of
     three deterministic dirty shapes by ``doc_id % 3`` — uppercase
@@ -377,40 +380,11 @@ def url_canonicalize(spark, sf_dir):
             )
         )
     )
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
-    host = (
-        F.when(
-            scheme == "https", F.regexp_replace(hostport, r":443$", "")
-        )
-        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
-        .otherwise(hostport)
-    )
-    raw_path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
-    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
-    qstr = F.regexp_extract(url, r"\?([^#]*)", 1)
-    params = F.filter(
-        F.split(qstr, "&"),
-        lambda p: (p != "")
-        & ~p.startswith("utm_")
-        & ~p.startswith("fbclid=")
-        & ~p.startswith("gclid="),
-    )
-    canon_q = F.array_join(F.array_sort(params), "&")
-    canon = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
-            F.lit("")
-        ),
-    )
     return docs.select(
         "doc_id",
-        canon.alias("canon_url"),
-        host.alias("host"),
-        F.size(params).cast("int").alias("n_params"),
+        T.canonical_url(url).alias("canon_url"),
+        T.url_host(url).alias("host"),
+        F.size(T.url_query_params(url)).cast("int").alias("n_params"),
     )
 
 

@@ -2781,6 +2781,40 @@ def test_streaming_minhash_bands_match_batch_family(spark, sf_dir):
     assert carried == batch_sh
 
 
+def test_canonical_url_edge_cases(spark):
+    """canonical_url (r13) beyond the registered synthesis's three
+    shapes: NON-default ports must survive (8443 on https, 443 on http
+    — the default strip is scheme-aware), tracker-only queries drop the
+    '?' entirely, already-canonical URLs are fixed points, param sort
+    is lexicographic on the full key=value string, and path/query case
+    is preserved while scheme/host fold."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTPS://Ex.COM:443/a?b=2&a=1#f", "https://ex.com/a?a=1&b=2"),
+        ("https://ex.com:8443/a", "https://ex.com:8443/a"),  # non-default
+        ("http://ex.com:443/a", "http://ex.com:443/a"),      # not http's default
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("https://ex.com/?utm_source=x&utm_medium=y", "https://ex.com/"),
+        ("https://ex.com", "https://ex.com/"),                # empty path
+        ("https://ex.com/A/B?Q=V#frag", "https://ex.com/A/B?Q=V"),
+        ("https://ex.com/p?b=1&a=2&fbclid=abc&gclid=z",
+         "https://ex.com/p?a=2&b=1"),
+        ("https://ex.com/p?a=10&a=2", "https://ex.com/p?a=10&a=2"),
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, url=u) for i, (u, _) in enumerate(cases)]
+    )
+    got = {
+        r.id: r.c
+        for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_html_main_text_adversarial(spark):
     """html_main_text (r13) must survive the classic extraction traps:
     markup-looking strings inside script character data, nested inline
