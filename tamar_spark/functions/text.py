@@ -233,9 +233,11 @@ def canonical_url(url: Column) -> Column:
       the ``?`` dropped entirely when none survive;
     - an empty path normalized to ``/``.
 
-    Percent-encoding normalization and dot-segment resolution are out
-    of scope (the fixture synthesizes neither); both would slot into
-    the same expression chain."""
+    Percent-encoding normalization, dot-segment resolution, and
+    userinfo handling (``user:pass@host`` is case-sensitive, so the
+    host fold would need to split at ``@`` first) are out of scope —
+    the fixture synthesizes none of them; each would slot into the
+    same expression chain."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
     host = (

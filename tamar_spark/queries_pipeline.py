@@ -337,8 +337,8 @@ def url_canonicalize(spark, sf_dir):
     (:func:`tamar_spark.functions.text.canonical_url` — regexp part
     extraction + an array filter/sort over the split query string, no
     UDF, cost ∝ bytes); edge cases the synthesis cannot reach
-    (non-default ports surviving, tracker-only queries, userinfo) are
-    pinned by the kernel's unit test.
+    (non-default ports surviving, tracker-only queries, empty paths)
+    are pinned by the kernel's unit test.
 
     The fixture has no URL column, so each document synthesizes one of
     three deterministic dirty shapes by ``doc_id % 3`` — uppercase
