@@ -2815,6 +2815,46 @@ def test_canonical_url_edge_cases(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_canonical_url_is_idempotent(spark):
+    """A canonicalizer must be a projection: canonical(canonical(u)) ==
+    canonical(u), or downstream dedup keys depend on how many times a
+    pipeline stage ran.  Deterministic fuzz over the supported URL
+    grammar (schemes × host cases × ports × paths × params incl.
+    trackers × fragments): one DataFrame pass computes canonical and
+    re-canonical side by side and they must match on every row."""
+    import random
+
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import canonical_url
+
+    rng = random.Random(29)
+    schemes = ["http", "HTTPS", "https", "HTTP"]
+    hosts = ["Ex.COM", "a.b.example.org", "WWW.Example.com", "xn--bcher-kva.ch"]
+    ports = ["", ":80", ":443", ":8080", ":8443"]
+    paths = ["", "/", "/a", "/A/b.c", "/p%20q", "/d/42"]
+    params = ["a=1", "B=2", "utm_source=x", "z=9&a=1", "fbclid=f", "gclid=g",
+              "q=a%26b", "utm_medium=m&k=v"]
+    frags = ["", "#f", "#Sec-2"]
+    urls = []
+    for _ in range(200):
+        q = "&".join(
+            rng.sample(params, rng.randrange(0, 3))
+        )
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(paths)
+            + (("?" + q) if q else "") + rng.choice(frags)
+        )
+    df = spark.createDataFrame([Row(id=i, url=u) for i, u in enumerate(urls)])
+    once = canonical_url(F.col("url"))
+    out = df.select("id", "url", once.alias("c1")).withColumn(
+        "c2", canonical_url(F.col("c1"))
+    )
+    bad = out.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, [(r.url, r.c1, r.c2) for r in bad[:5]]
+
+
 def test_html_main_text_adversarial(spark):
     """html_main_text (r13) must survive the classic extraction traps:
     markup-looking strings inside script character data, nested inline
