@@ -1603,6 +1603,10 @@ def pcm_stats(
                 n_vals = size // 2
                 if sr == 0 or block == 0 or n_vals == 0:
                     raise ValueError("empty or malformed PCM data chunk")
+                if off + size > len(buf):
+                    # declared-size trust would silently compute stats
+                    # over fewer samples than n_samples reports
+                    raise ValueError("truncated WAV data chunk")
                 s = np.frombuffer(
                     buf[off : off + n_vals * 2], dtype="<i2"
                 ).astype(np.int64)
@@ -1676,6 +1680,8 @@ def pcm_silence_segments(
                 n_vals = size // 2
                 if sr == 0 or n_vals == 0:
                     raise ValueError("empty or malformed PCM data chunk")
+                if off + size > len(buf):
+                    raise ValueError("truncated WAV data chunk")
                 s = np.frombuffer(buf[off : off + n_vals * 2], dtype="<i2")
                 quiet = np.abs(s.astype(np.int32)) <= thresh
                 # maximal-run boundaries: transitions of the padded mask

@@ -26,6 +26,7 @@ __all__ = [
     "canonical_url",
     "url_host",
     "url_query_params",
+    "URL_TRACKING_KEYS",
     "URL_TRACKING_PREFIXES",
     "lang_score",
     "lang_id",
@@ -204,7 +205,12 @@ def html_main_text(html: Column) -> Column:
     c = F.regexp_replace(
         c, r"(?is)<(head|nav|header|footer|aside)[^>]*>.*?</\1>", " "
     )
-    paras = F.regexp_extract_all(c, F.lit(r"(?is)<p[^>]*>(.*?)</p>"), 1)
+    # the tag-name boundary matters: a bare <p[^>]*> would also match
+    # <pre>/<param>/<picture> openers and leak preformatted content into
+    # the extracted text (r13 review finding)
+    paras = F.regexp_extract_all(
+        c, F.lit(r"(?is)<p(?:\s[^>]*)?>(.*?)</p\s*>"), 1
+    )
     t = F.array_join(paras, " ")
     t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
     for ent, ch in HTML_ENTITIES:
@@ -212,10 +218,13 @@ def html_main_text(html: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
-# query parameters dropped by canonical_url — the tracker prefixes every
-# crawl canonicalizer strips (public convention: UTM campaign tags plus
-# the Facebook/Google click ids)
-URL_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+# query parameters dropped by canonical_url — the tracker families every
+# crawl canonicalizer strips (public convention): UTM campaign tags match
+# by key PREFIX (utm_source, utm_medium, ...), the Facebook/Google click
+# ids by exact KEY (with or without a value — a bare '?fbclid' must drop
+# the same as '?fbclid=abc'; r13 review finding)
+URL_TRACKING_PREFIXES = ("utm_",)
+URL_TRACKING_KEYS = ("fbclid", "gclid")
 
 
 def canonical_url(url: Column) -> Column:
@@ -238,21 +247,13 @@ def canonical_url(url: Column) -> Column:
     host fold would need to split at ``@`` first) are out of scope —
     the fixture synthesizes none of them; each would slot into the
     same expression chain."""
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
-    host = (
-        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
-        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
-        .otherwise(hostport)
-    )
-    raw_path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
-    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
-    params = url_query_params(url)
-    canon_q = F.array_join(F.array_sort(params), "&")
+    path_raw = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    canon_q = F.array_join(F.array_sort(url_query_params(url)), "&")
     return F.concat(
-        scheme,
+        _url_scheme(url),
         F.lit("://"),
-        host,
+        url_host(url),
         path,
         F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
             F.lit("")
@@ -260,15 +261,25 @@ def canonical_url(url: Column) -> Column:
     )
 
 
+def _url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+
+
 def url_query_params(url: Column) -> Column:
     """The non-tracking query parameters of ``url`` as an unsorted array
-    of ``key=value`` strings (empty array when none survive)."""
-    qstr = F.regexp_extract(url, r"\?([^#]*)", 1)
+    of ``key=value`` strings (empty array when none survive).  The
+    query is everything between the FIRST ``?`` that precedes any ``#``
+    and the fragment — a ``?`` inside the fragment is fragment text,
+    not a query (r13 review finding: an unanchored ``\\?([^#]*)`` match
+    resurrected in-fragment text as parameters)."""
+    qstr = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
 
     def keep(p):
         cond = p != ""
         for prefix in URL_TRACKING_PREFIXES:
             cond = cond & ~p.startswith(prefix)
+        for key in URL_TRACKING_KEYS:
+            cond = cond & (p != key) & ~p.startswith(key + "=")
         return cond
 
     return F.filter(F.split(qstr, "&"), keep)
@@ -276,8 +287,10 @@ def url_query_params(url: Column) -> Column:
 
 def url_host(url: Column) -> Column:
     """The canonical (lowercased, default-port-stripped) host of ``url``
-    — the grouping key for per-domain crawl statistics."""
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    — the grouping key for per-domain crawl statistics, and the host
+    component :func:`canonical_url` assembles (one source of truth for
+    the scheme-aware default-port rule)."""
+    scheme = _url_scheme(url)
     hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
     return (
         F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))

@@ -65,6 +65,20 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["attach_minhash_bands", "minhash_dedup_streaming"]
 
 
+def _round_half_up(x: float, digits: int = 4) -> float:
+    """HALF_UP rounding on the double's shortest decimal representation
+    — the semantics Spark's ``F.round`` (BigDecimal of the double) and
+    DuckDB's ``round`` apply.  Python's builtin ``round`` is banker's
+    (ties to even), and exact binary ties DO occur here: Jaccard values
+    with power-of-two unions are dyadic, e.g. 17/32 = 0.53125 rounds to
+    0.5313 under HALF_UP but 0.5312 under the builtin — a latent
+    oracle-hash divergence on any corpus where such a pair appears."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def attach_minhash_bands(
     sdf: DataFrame,
     text_col: str = "text",
@@ -214,10 +228,11 @@ def minhash_dedup_streaming(
                 if tj >= wm_us:
                     # unsealed: drives a timer if an in-window earlier
                     # partner exists, so the pair emits on watermark
-                    # advance even if this bucket sees no more data
-                    if any(
-                        tj - order[i][1][0] <= window_us for i in range(j)
-                    ):
+                    # advance even if this bucket sees no more data.
+                    # The buffer is ts-sorted, so the immediate
+                    # predecessor has the smallest gap — one O(1) probe,
+                    # not a buffer scan (r13 review finding)
+                    if j > 0 and tj - order[j - 1][1][0] <= window_us:
                         if next_seal_us is None or tj < next_seal_us:
                             next_seal_us = tj
                     continue
@@ -245,7 +260,7 @@ def minhash_dedup_streaming(
                     jac = inter / union
                     if jac >= threshold:
                         a, b = (idi, idj) if idi < idj else (idj, idi)
-                        out_rows.append((a, b, round(jac, 4)))
+                        out_rows.append((a, b, _round_half_up(jac)))
             # eviction contract: a doc older than (watermark - window)
             # can never pair with an admissible future row (future event
             # times are >= watermark, so the gap would exceed the window)

@@ -1730,6 +1730,15 @@ def test_pcm_stats_features_and_adversarial(spark):
     # stereo frames = 2 → duration over frames, stats over all values
     assert rows[2].duration_ms == 2 * 1000.0 / 8000
 
+    # a truncated data chunk (declared size exceeds the buffer) must
+    # raise rather than silently compute stats over fewer samples
+    trunc = bytearray(M.make_wav(bytes(40)))[:-10]
+    bad = spark.createDataFrame([Row(id=9, payload=trunc)])
+    with pytest.raises(Exception, match="truncated WAV"):
+        M.pcm_stats(bad).collect()
+    with pytest.raises(Exception, match="truncated WAV"):
+        M.pcm_silence_segments(bad).collect()
+
     # 8-bit PCM and float WAV must raise loudly
     wav8 = M.make_wav(bytes(8), bits=8)
     bad = spark.createDataFrame([Row(id=9, payload=bytearray(wav8))])
@@ -2803,6 +2812,13 @@ def test_canonical_url_edge_cases(spark):
         ("https://ex.com/p?b=1&a=2&fbclid=abc&gclid=z",
          "https://ex.com/p?a=2&b=1"),
         ("https://ex.com/p?a=10&a=2", "https://ex.com/p?a=10&a=2"),
+        # r13 review findings: a '?' inside the fragment is fragment
+        # text, never a query; bare (valueless) click-ids drop like
+        # their valued forms — but 'fbclid2=x' is a DIFFERENT key
+        ("https://ex.com/p#sec?x=1", "https://ex.com/p"),
+        ("https://ex.com/p?fbclid&a=1", "https://ex.com/p?a=1"),
+        ("https://ex.com/p?gclid", "https://ex.com/p"),
+        ("https://ex.com/p?fbclid2=x", "https://ex.com/p?fbclid2=x"),
     ]
     df = spark.createDataFrame(
         [Row(id=i, url=u) for i, (u, _) in enumerate(cases)]
@@ -2813,6 +2829,27 @@ def test_canonical_url_edge_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_streaming_dedup_rounding_matches_engines():
+    """r13 review finding: Python's builtin round is banker's (ties to
+    even) while Spark F.round and DuckDB round are HALF_UP on the
+    double's decimal form — and exact binary ties DO occur for Jaccard
+    with power-of-two unions.  The handler's _round_half_up must match
+    the engines on those ties (where the builtin diverges)."""
+    import duckdb
+
+    from tamar_spark.streaming.dedup import _round_half_up
+
+    for num in (17, 21, 25, 29):
+        x = num / 32  # dyadic: exactly representable, a true .xxxx5 tie
+        want = duckdb.sql(f"select round({num}/32.0, 4)").fetchone()[0]
+        assert _round_half_up(x) == want, (num, _round_half_up(x), want)
+        assert round(x, 4) != want  # the builtin would have diverged
+    # non-tie values agree with the builtin too
+    assert _round_half_up(1 / 3) == 0.3333
+    assert _round_half_up(2 / 3) == 0.6667
+    assert _round_half_up(1.0) == 1.0
 
 
 def test_canonical_url_is_idempotent(spark):
@@ -2897,6 +2934,10 @@ def test_html_main_text_adversarial(spark):
          '<script>var s = "-->";</script><!-- tail -->', "kept"),
         # a comment INSIDE a paragraph drops, the paragraph survives
         ("<p>one <!-- hidden <b>two</b> --> three</p>", "one three"),
+        # r13 review finding: <pre>/<param>/<picture> are NOT paragraph
+        # openers — preformatted content must not leak into main text
+        ("<pre>var x = 1;</pre><p>hello</p><param name=\"a\">",
+         "hello"),
     ]
     df = spark.createDataFrame(
         [Row(id=i, html=h) for i, (h, _) in enumerate(cases)]
