@@ -1023,3 +1023,111 @@ def test_streaming_minhash_dedup_multibatch_semantics(spark, tmp_path):
         (2, 3, 1.0),   # late arrival pairs with buffered in-window state
         (7, 8, 1.0),   # pair split across the batch boundary
     ], got
+
+
+def test_streaming_minhash_dedup_slicing_independence(spark, tmp_path):
+    """THE claimed streaming property, randomized: the emitted pair set
+    must be independent of micro-batch slicing and equal to an
+    independently computed batch expectation (word-3-gram Jaccard ≥ 0.5
+    among band-colliding pairs, within the pairing window, later doc
+    sealed by the final watermark).  A synthetic corpus with planted
+    dup groups is split into three files at RANDOM cut points per seed
+    (maxFilesPerTrigger=1 → three micro-batches with different
+    watermark trajectories each time); the expectation is computed
+    driver-side from the batch band keys + python shingle sets, never
+    from the streaming code under test."""
+    import random
+    import time as _time
+
+    from tamar_spark.streaming.dedup import (
+        attach_minhash_bands,
+        minhash_dedup_streaming,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    window_us = 45 * 60 * 1_000_000  # 45-min pairing window
+    delay_min = 10
+
+    for seed in (3, 7, 11):
+        rng = random.Random(seed)
+        rows = []
+        for d in range(36):
+            if d % 6 == 5:  # every 6th doc duplicates its predecessor
+                text = rows[-1][1]
+            else:
+                text = " ".join(rng.choice(words) for _ in range(8))
+            # jittered minutes: dups land 2-70 min after their source so
+            # some pairs fall OUTSIDE the window, others inside
+            ts = base + pd.Timedelta(minutes=d * 7 + rng.randrange(0, 60))
+            rows.append((d, text, ts))
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+
+        # independent expectation: batch band keys + python shingle sets
+        bands = {
+            r.doc_id: tuple(r.bands)
+            for r in attach_minhash_bands(
+                spark.createDataFrame(pdf[["doc_id", "text"]])
+            ).collect()
+        }
+
+        def shingle_set(t):
+            w = t.split(" ")
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        sh = {d: shingle_set(t) for d, t, _ in rows}
+        ts_us = {d: int(ts.value // 1000) for d, _, ts in rows}
+        final_wm_us = (max(ts_us.values()) // 1000 - delay_min * 60_000) * 1000
+        want = set()
+        for j in range(36):
+            for i in range(j):
+                a, b = rows[i][0], rows[j][0]
+                lo, hi = (a, b) if ts_us[a] <= ts_us[b] else (b, a)
+                if ts_us[hi] - ts_us[lo] > window_us:
+                    continue
+                if ts_us[hi] >= final_wm_us:
+                    continue  # never sealed: no-flush
+                if not any(x == y for x, y in zip(bands[a], bands[b])):
+                    continue  # no LSH collision: stream can't see the pair
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                if union and inter / union >= 0.5:
+                    want.add((min(a, b), max(a, b)))
+        assert len(want) >= 3, f"seed {seed}: planted dups missing"
+
+        src = tmp_path / f"mh_slice_{seed}"
+        src.mkdir()
+        cuts = sorted(rng.sample(range(1, 35), 2))
+        for name, part in zip(
+            "abc", (pdf[: cuts[0]], pdf[cuts[0] : cuts[1]], pdf[cuts[1] :])
+        ):
+            part.to_parquet(src / f"{name}.parquet", coerce_timestamps="us")
+            _time.sleep(1.05)
+
+        schema = spark.read.parquet(str(src)).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", f"{delay_min} minutes")
+        )
+        out = minhash_dedup_streaming(
+            attach_minhash_bands(sdf), threshold=0.5, window_us=window_us
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"mh_slice_out_{seed}")
+            .option("checkpointLocation", str(tmp_path / f"mh_slice_chk_{seed}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got_rows = spark.table(f"mh_slice_out_{seed}").collect()
+        got = {(r.doc_id_1, r.doc_id_2) for r in got_rows}
+        assert len(got) == len(got_rows), f"seed {seed}: duplicate emission"
+        assert got == want, (
+            f"seed {seed}: extra={got - want} missing={want - got}"
+        )
