@@ -32,10 +32,16 @@ shapes that dominate the engine:
                   corpus
 - stream_minhash : the streaming MinHash/LSH dedup under window-disjoint
                   corpus replication (r13) — per-bucket in-window
-                  occupancy constant by the eviction contract, so wall
-                  must grow near-linearly while pair output is exactly
-                  linear (measured 54.5/62.6/64.1 s at 1×/2×/4×,
-                  BASELINE.md)
+                  occupancy constant by the eviction contract; PAIR
+                  OUTPUT is the linearity evidence here (exactly linear:
+                  238/476/952 at 1×/2×/4×).  The measured wall clock
+                  (54.5/62.6/64.1 s) is dominated by fixed micro-batch/
+                  state-store machinery at these volumes, so it bounds
+                  super-linear blowup only loosely — it cannot
+                  discriminate linear from mildly super-linear per-unit
+                  cost (r13 ADVICE); the structural guarantees (sorted-
+                  buffer walk breaks at the window edge, eviction
+                  contract) plus linear pair output carry the claim
 
 Near-linear wall-clock growth here means the plans have no super-linear
 step (no cross products, no driver collects, no per-key state blowup) —

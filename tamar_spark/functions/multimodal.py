@@ -1559,6 +1559,21 @@ _PCM_STATS_SCHEMA = (
 )
 
 
+def _exact_sum_sq(s, chunk: int = 1 << 20) -> int:
+    """Exact Σs² for an int64 sample vector of ANY length.  A single
+    ``np.sum(s * s)`` accumulates in int64 and wraps silently past
+    ~2³³ samples (each |s|² ≤ 2³⁰, so 2³³ terms reach the 2⁶³ edge —
+    r13 ADVICE).  Chunked accumulation keeps every numpy partial
+    provably in range — ``np.dot`` over ≤ 2²⁰ samples is ≤ 2⁵⁰ — and
+    the cross-chunk sum is arbitrary-precision Python int, so the
+    result is exact for any document size."""
+    import numpy as np
+
+    return sum(
+        int(np.dot(c, c)) for c in (s[i : i + chunk] for i in range(0, len(s), chunk))
+    )
+
+
 def pcm_stats(
     df: DataFrame, id_col: str = "id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -1570,8 +1585,10 @@ def pcm_stats(
 
     Determinism across engines: ``peak_abs``/``clip_frac`` are integer-
     derived; ``rms`` is ``sqrt(sum(s²)/n)`` with the sum of squares
-    accumulated EXACTLY in int64 (max |s|² ≈ 2³⁰, so corpora of billions
-    of samples per doc stay exact) — both engines then perform the same
+    accumulated EXACTLY via :func:`_exact_sum_sq` (int64 numpy partials
+    bounded at 2⁵⁰ per 2²⁰-sample chunk, Python-int cross-chunk sum —
+    exact at ANY document size, where a flat int64 accumulation wraps
+    past ~2³³ samples) — both engines then perform the same
     two IEEE operations on the same integers, so the double is
     bit-identical with no rounding step.  Clipping counts samples at
     full scale (|s| ≥ 32767).  Multi-channel data is analyzed
@@ -1610,7 +1627,7 @@ def pcm_stats(
                 s = np.frombuffer(
                     buf[off : off + n_vals * 2], dtype="<i2"
                 ).astype(np.int64)
-                sum_sq = int(np.sum(s * s))  # exact: int64 all the way
+                sum_sq = _exact_sum_sq(s)  # exact at any length
                 ids.append(rid)
                 ns.append(n_vals)
                 peaks.append(int(np.abs(s).max()))

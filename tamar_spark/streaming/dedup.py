@@ -286,8 +286,23 @@ def minhash_dedup_streaming(
                 if next_seal_us is not None
                 else cleanup_us
             )
+            # Spark fires an event-time timer on timeoutTimestamp <
+            # watermark (STRICT), and a doc at t_us seals at the first
+            # ms watermark wm with wm*1000 > t_us, i.e. floor(t_us/1000)
+            # + 1 — so the timer must sit at floor(t_us/1000) to fire in
+            # that same batch.  The old floor+1 was one watermark tick
+            # late: a final watermark landing exactly on the sealing
+            # tick (reachable with sub-ms event times; r13 ADVICE)
+            # sealed the doc but never fired the timer, dropping a pair
+            # under AvailableNow.  Firing EARLY is safe — the handler
+            # finds the doc unsealed and just re-registers.  Residual
+            # (unavoidable: setTimeoutTimestamp requires a value past
+            # the current watermark): if registration happens with the
+            # watermark already inside t_us's own millisecond, the clamp
+            # forces the sealing tick itself and the fire is one tick
+            # late again — second-or-coarser event times never hit this.
             gstate.setTimeoutTimestamp(
-                max(t_us // 1000 + 1, gstate.getCurrentWatermarkMs() + 1)
+                max(t_us // 1000, gstate.getCurrentWatermarkMs() + 1)
             )
         if out_rows:
             yield pd.DataFrame(
