@@ -22,8 +22,10 @@ __all__ = [
     "normalize_ws",
     "fingerprint",
     "html_main_text",
+    "decode_numeric_entities",
     "HTML_ENTITIES",
     "canonical_url",
+    "percent_normalize",
     "url_host",
     "url_query_params",
     "URL_TRACKING_KEYS",
@@ -173,7 +175,54 @@ HTML_ENTITIES = (
 )
 
 
-def html_main_text(html: Column) -> Column:
+def decode_numeric_entities(text: Column) -> Column:
+    """Decode arbitrary numeric character references — ``&#NNN;`` and
+    ``&#xHH;``/``&#XHH;`` — to their Unicode code points (r13 VERDICT
+    task 1b: the fixed :data:`HTML_ENTITIES` table is the honest
+    pure-codegen scope, but real pages carry arbitrary references, and
+    a per-match ``chr()`` needs exactly one Arrow-batched stage — the
+    audio rows' plan shape).
+
+    Strict code-point semantics, malformed-verbatim everywhere else
+    (the conservative slice of WHATWG "character reference" handling):
+
+    - decimal ``&#65;`` and hex ``&#x41;``/``&#X41;`` decode for code
+      points 1..0x10FFFF excluding the surrogate block D800-DFFF;
+    - ``&#0;`` (NUL), surrogates, values past 0x10FFFF, and OVERLONG
+      references (more than 7 digits — every valid code point fits)
+      pass through VERBATIM, as do unterminated (``&#65``) and
+      non-numeric (``&#xZZ;``) forms — a malformed reference must
+      never corrupt neighboring text;
+    - the WHATWG windows-1252 remapping of the C1 range is out of
+      scope (documented, not silently approximated).
+
+    Composition rule (same reason :data:`HTML_ENTITIES` keeps ``&amp;``
+    last): run this BEFORE the ``&amp;`` decode, never after — the
+    text of ``&amp;#65;`` contains no ``&#`` until ``&amp;`` collapses,
+    so the literal ``&#65;`` the author wrote survives.
+
+    Scale: one Arrow-batched pandas UDF (vectorized ``re.sub`` per
+    batch), no shuffle; cost ∝ bytes like the codegen stages around
+    it."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    pat = re.compile(r"&#(?:([0-9]{1,7})|[xX]([0-9a-fA-F]{1,7}));")
+
+    def repl(m):
+        cp = int(m.group(1)) if m.group(1) is not None else int(m.group(2), 16)
+        if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            return m.group(0)
+        return chr(cp)
+
+    def _decode(s):
+        return s.map(lambda t: None if t is None else pat.sub(repl, t))
+
+    return pandas_udf(_decode, "string")(text)
+
+
+def html_main_text(html: Column, numeric_entities: bool = False) -> Column:
     """Main-text extraction from HTML — the first stage of every real
     pretraining pipeline (WET-style text harvesting), entirely in
     JVM-side codegen expressions (no Python in the hot path):
@@ -196,9 +245,16 @@ def html_main_text(html: Column) -> Column:
        last), collapse whitespace, trim.
 
     Unknown and malformed entities (``&#xZZ;``, ``&unknown;``) pass
-    through verbatim rather than corrupting neighboring text.  Scale:
-    pure string expressions inside WholeStageCodegen — cost ∝ bytes,
-    no shuffle, no UDF."""
+    through verbatim rather than corrupting neighboring text.  With
+    ``numeric_entities=True``, arbitrary ``&#NNN;``/``&#xHH;``
+    references decode too (:func:`decode_numeric_entities`, one
+    Arrow-batched stage inserted BEFORE the fixed-table chain so the
+    ``&amp;``-last protection still holds for ``&amp;#65;``); the
+    default stays pure codegen.
+
+    Scale: pure string expressions inside WholeStageCodegen — cost ∝
+    bytes, no shuffle; zero Python by default, exactly one Arrow stage
+    with ``numeric_entities=True``."""
     c = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
@@ -213,9 +269,62 @@ def html_main_text(html: Column) -> Column:
     )
     t = F.array_join(paras, " ")
     t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    if numeric_entities:
+        t = decode_numeric_entities(t)
     for ent, ch in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# the RFC 3986 §2.3 unreserved set: characters with IDENTICAL meaning
+# encoded or bare, so canonicalization must decode them (%7E ≡ ~ ≡ %7e);
+# everything else (delimiters, %25 itself) stays encoded — decoding a
+# %2F or %23 would fabricate a path segment or fragment
+_URL_UNRESERVED = (
+    [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+    + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [chr(c) for c in range(ord("0"), ord("9") + 1)]
+    + ["-", ".", "_", "~"]
+)
+
+
+def percent_normalize(url: Column) -> Column:
+    """Percent-encoding normalization per RFC 3986 §6.2.2 (r13 VERDICT
+    task 1a — previously a declared scope line, and the first thing
+    real crawl URLs hit: ``%7E`` vs ``%7e`` vs ``~`` split one resource
+    across three dedup keys), entirely in codegen:
+
+    1. uppercase the hex digits of every valid escape (``%3a`` →
+       ``%3A``) — six lowercase letters × two positions = 12
+       ``regexp_replace`` passes, each anchored to a full two-hex-digit
+       escape so a bare ``%`` is never touched;
+    2. decode the UNRESERVED characters (:data:`_URL_UNRESERVED` —
+       ALPHA / DIGIT / ``-._~``) from their now-uppercase escapes: 66
+       literal ``replace`` passes.  Reserved characters and ``%25``
+       stay encoded — decoding a delimiter would change the URL's
+       structure, exactly what §2.2 forbids.
+
+    Idempotent on RFC-valid input (every ``%`` starts a valid escape):
+    surviving escapes are uppercase non-unreserved, which no pass
+    rewrites.  A MALFORMED bare ``%`` directly before decoded output
+    can be re-read as a new escape by a later pass (pinned by test as
+    documented best-effort) — real URLs and the fixture contain none.
+
+    Scale: a chain of fixed-pattern string passes inside
+    WholeStageCodegen — cost ∝ bytes, no shuffle, no UDF; when several
+    projection consumers share it, whole-stage subexpression
+    elimination evaluates the chain once."""
+    s = url
+    for low in "abcdef":
+        up = low.upper()
+        s = F.regexp_replace(s, f"%([0-9A-Fa-f]){low}", f"%$1{up}")
+        s = F.regexp_replace(s, f"%{low}([0-9A-Fa-f])", f"%{up}$1")
+    # descending by code point: a replacement can only be re-read as a
+    # new escape after a bare '%', and ordering high-to-low closes the
+    # half of those cases where the fabricated escape sorts higher
+    for ch in sorted(_URL_UNRESERVED, key=ord, reverse=True):
+        s = F.replace(s, F.lit("%%%02X" % ord(ch)), F.lit(ch))
+    return s
 
 
 # query parameters dropped by canonical_url — the tracker families every
@@ -240,20 +349,27 @@ def canonical_url(url: Column) -> Column:
     - tracking parameters removed (:data:`URL_TRACKING_PREFIXES`);
     - surviving query parameters sorted (order is transport noise) and
       the ``?`` dropped entirely when none survive;
-    - an empty path normalized to ``/``.
+    - an empty path normalized to ``/``;
+    - percent-encoding normalized FIRST (:func:`percent_normalize`,
+      r14): escape hex uppercased, unreserved characters decoded —
+      ``%7E``/``%7e``/``~`` collapse to one key.  Normalizing the whole
+      string before splitting is safe because delimiters never decode
+      (``%2F``/``%23``/``%3F``/``%26``/``%3D`` are not unreserved), so
+      no pass can fabricate a path boundary, fragment, query, or
+      parameter split.
 
-    Percent-encoding normalization, dot-segment resolution, and
-    userinfo handling (``user:pass@host`` is case-sensitive, so the
-    host fold would need to split at ``@`` first) are out of scope —
-    the fixture synthesizes none of them; each would slot into the
-    same expression chain."""
-    path_raw = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    Dot-segment resolution and userinfo handling (``user:pass@host``
+    is case-sensitive, so the host fold would need to split at ``@``
+    first) remain out of scope — the fixture synthesizes neither; each
+    would slot into the same expression chain."""
+    u = percent_normalize(url)
+    path_raw = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
     path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
-    canon_q = F.array_join(F.array_sort(url_query_params(url)), "&")
+    canon_q = F.array_join(F.array_sort(url_query_params(u)), "&")
     return F.concat(
-        _url_scheme(url),
+        _url_scheme(u),
         F.lit("://"),
-        url_host(url),
+        url_host(u),
         path,
         F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
             F.lit("")

@@ -388,6 +388,124 @@ def url_canonicalize(spark, sf_dir):
     )
 
 
+_CRAWL_TAIL = (
+    " A&#66;C &#x48;i &#X4a; lo&#119; &amp;#65; &#1114112;"
+    " &#xD800; &#0; &#xZZ; ok"
+)
+_CRAWL_TAIL_DECODED = (
+    " ABC Hi J low &#65; &#1114112; &#xD800; &#0; &#xZZ; ok "
+)
+
+_CRAWL_NORM_SQL = f"""
+WITH ex AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           substr(text, 1, CAST(floor(length(text) / 2) AS BIGINT))
+           || '{_CRAWL_TAIL_DECODED}' ||
+           substr(text, CAST(floor(length(text) / 2) AS BIGINT) + 1),
+           '\\s+', ' ', 'g')) AS expected
+  FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN 'https://www.example.com/~docs/d-'
+                     || CAST(doc_id AS VARCHAR) || '?a=%2F&b=B'
+         WHEN 1 THEN 'http://example.com/abc/'
+                     || CAST(doc_id AS VARCHAR) || '?z=z'
+         ELSE 'https://cdn.example.org/img/Img'
+              || CAST(doc_id AS VARCHAR) || '.png'
+       END AS canon_url,
+       CAST(length(expected) AS BIGINT) AS n_chars,
+       sha256(expected) AS text_sha
+FROM ex
+"""
+
+
+@query("crawl_normalize", _CRAWL_NORM_SQL)
+def crawl_normalize(spark, sf_dir):
+    """The two r13-VERDICT crawl-front-end scope closures in one plan
+    (task 1): percent-encoding normalization on the URL side and
+    generic numeric character references on the HTML side — the two
+    forms of transport dirt real crawl data hits immediately that the
+    r13 kernels declared out of scope.
+
+    URL side: three dirty shapes by ``doc_id % 3``, each layering
+    mixed-case percent escapes over the url_canonicalize gauntlet —
+    unreserved escapes that must DECODE across case forms (``%7e`` →
+    ``~``, ``%2d`` → ``-``, ``%62`` → ``b``, ``%42`` → ``B``, ``%49``
+    → ``I``, ``%7A`` → ``z``), a reserved escape that must stay
+    encoded but uppercase (``%2f`` → ``%2F``, never ``/`` — decoding
+    it would fabricate a path segment), plus the r13 layers (default
+    ports, tracking params incl. a bare ``fbclid``, fragments, param
+    sort).  The oracle states the expected canonical STRING per shape
+    — stronger than a hash, and it never runs the canonicalizer.
+
+    HTML side: the document text (two ``<p>`` halves, the html_extract
+    synthesis skeleton) with a tail exercising the generic decoder:
+    decimal/hex/capital-X references that decode (``&#66;``,
+    ``&#x48;``, ``&#X4a;``, ``&#119;``), the ``&amp;#65;`` protection
+    (must yield the LITERAL ``&#65;`` — the numeric stage runs before
+    ``&amp;`` collapses), and the malformed-verbatim set: overlong
+    ``&#1114112;`` (0x110000, past the Unicode ceiling), surrogate
+    ``&#xD800;``, ``&#0;``, non-hex ``&#xZZ;``.  The oracle rebuilds
+    the expected text arithmetically from the original column (decoded
+    tail spliced between the halves), so the sha only matches if every
+    decode and every verbatim pass lands exactly.
+
+    Scale: URL normalization stays pure codegen (12 + 66 fixed string
+    passes, subexpression-eliminated across consumers); the HTML path
+    is the codegen extraction chain plus exactly ONE Arrow-batched
+    stage for the per-match ``chr()`` (the audio rows' plan shape) —
+    no shuffle, no join, cost ∝ bytes.  Chars == bytes fixture
+    assumption as in html_extract."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://Www.Example.com:443/%7edocs/d%2d"),
+                did,
+                F.lit("?b=%42&utm_campaign=z&a=%2f#x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://EXAMPLE.com:80/a%62c/"),
+                did,
+                F.lit("?z=%7A&fbclid"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.Example.org/img/%49mg"),
+                did,
+                F.lit(".png#frag"),
+            )
+        )
+    )
+    l2 = F.floor(F.length("text") / F.lit(2)).cast("int")
+    t = F.col("text")
+    html = F.concat(
+        F.lit("<p>"),
+        t.substr(F.lit(1), l2),
+        F.lit(_CRAWL_TAIL + "</p><p>"),
+        t.substr(l2 + F.lit(1), F.length("text")),
+        F.lit("</p>"),
+    )
+    return docs.select(
+        "doc_id",
+        T.canonical_url(url).alias("canon_url"),
+        T.html_main_text(html, numeric_entities=True).alias("_t"),
+    ).select(
+        "doc_id",
+        "canon_url",
+        F.length("_t").cast("bigint").alias("n_chars"),
+        F.sha2(F.col("_t"), 256).alias("text_sha"),
+    )
+
+
 _BM25_TERMS = ("spark", "join", "window")
 
 _BM25_SQL = """

@@ -1753,6 +1753,31 @@ def test_pcm_stats_features_and_adversarial(spark):
         M.pcm_stats(bad).collect()
 
 
+def test_exact_sum_sq_chunked_accumulation():
+    """_exact_sum_sq (r13 ADVICE): a flat int64 np.sum(s*s) wraps
+    silently past ~2³³ samples; the chunked form must (a) agree with a
+    pure-Python exact sum across chunk boundaries (lengths straddling
+    multiples of the chunk size, including 0 and exact multiples) and
+    (b) keep every numpy partial in range by construction — pinned
+    here by driving the chunk size down to 3 so the boundary walk is
+    actually exercised with full-scale samples."""
+    import numpy as np
+
+    from tamar_spark.functions.multimodal import _exact_sum_sq
+
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 2, 3, 4, 6, 7, 9, 10):
+        s = rng.integers(-32768, 32768, size=n).astype(np.int64)
+        want = sum(int(x) * int(x) for x in s)
+        assert _exact_sum_sq(s, chunk=3) == want, (n, s)
+    # full-scale samples: each chunk partial sits at 3·2³⁰ < 2⁶³ even
+    # at the minimum chunk, and the Python-int total is exact
+    s = np.full(10, -32768, dtype=np.int64)
+    assert _exact_sum_sq(s, chunk=3) == 10 * 32768 * 32768
+    # default chunk path (single partial) agrees too
+    assert _exact_sum_sq(s) == 10 * 32768 * 32768
+
+
 def test_pcm_silence_segments_runs_and_edges(spark):
     """pcm_silence_segments (r13): maximal-run detection must handle the
     classic edge cases — leading silence, trailing silence (open run at
@@ -2950,6 +2975,128 @@ def test_html_main_text_adversarial(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_percent_normalize_adversarial(spark):
+    """percent_normalize (r14) — RFC 3986 §6.2.2 on top of the r13
+    canonicalizer: unreserved escapes decode across EVERY hex case
+    form, reserved escapes stay encoded but uppercase (decoding %2F
+    would fabricate a path segment), invalid escapes (bare '%', one
+    hex digit, non-hex) pass through verbatim, and %25 never decodes
+    (it would re-open a decode pass on whatever follows)."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import percent_normalize
+
+    cases = [
+        ("%7E", "~"), ("%7e", "~"), ("~", "~"),      # three forms, one key
+        ("%41%5a%61%7a%30%39", "AZaz09"),            # alpha/digit bounds
+        ("%2d%2e%5f", "-._"),                        # the four marks
+        ("a%2fb%3Fc%23d", "a%2Fb%3Fc%23d"),          # delimiters: upper, kept
+        ("%25%34", "%254"),                          # %25 kept, %34 decoded
+        ("%3a%3A", "%3A%3A"),                        # hex case fold only
+        ("100% sure", "100% sure"),                  # bare % + non-hex
+        ("%4", "%4"), ("%", "%"), ("%zz", "%zz"),    # truncated/invalid
+        ("%aF%Af%af%AF", "%AF%AF%AF%AF"),            # 0xAF not unreserved
+        # documented best-effort on MALFORMED input: a bare '%' directly
+        # before decoded output re-reads as a new escape ('%'+'2'+'E'
+        # → '.'); RFC-valid URLs (every % starts a valid escape) never
+        # reach this — the idempotence fuzz covers the valid grammar
+        ("%%32%45", "."),
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, s=s) for i, (s, _) in enumerate(cases)]
+    )
+    got = {
+        r.id: r.n
+        for r in df.select(
+            "id", percent_normalize(F.col("s")).alias("n")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_percent_normalize_idempotent_on_valid_urls(spark):
+    """Normalization must be a projection on RFC-valid input: every
+    output escape is uppercase non-unreserved, which no pass rewrites.
+    Deterministic fuzz over valid percent-encoded URLs (every '%'
+    starts a two-hex-digit escape, codes spanning unreserved/reserved
+    × hex cases): normalize twice in one pass, rows must match."""
+    import random
+
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import canonical_url, percent_normalize
+
+    rng = random.Random(41)
+    codes = ["%7e", "%7E", "%2F", "%2f", "%41", "%61", "%30", "%25",
+             "%3A", "%3a", "%2D", "%5f", "%20", "%C3", "%a9"]
+    urls = []
+    for _ in range(200):
+        path = "/" + "".join(
+            rng.choice(codes + ["a", "B", "7", "/"]) for _ in range(8)
+        )
+        q = "q=" + "".join(rng.choice(codes + ["x"]) for _ in range(4))
+        urls.append(f"https://ex.com{path}?{q}")
+    df = spark.createDataFrame([Row(id=i, url=u) for i, u in enumerate(urls)])
+    out = df.select(
+        "id", "url", percent_normalize(F.col("url")).alias("n1")
+    ).withColumn("n2", percent_normalize(F.col("n1"))).withColumn(
+        "c1", canonical_url(F.col("url"))
+    ).withColumn("c2", canonical_url(F.col("c1")))
+    bad = out.filter(
+        (F.col("n1") != F.col("n2")) | (F.col("c1") != F.col("c2"))
+    ).collect()
+    assert not bad, [(r.url, r.n1, r.n2, r.c1, r.c2) for r in bad[:5]]
+
+
+def test_decode_numeric_entities_adversarial(spark):
+    """The generic numeric-reference decoder (r14): decimal, lower/
+    upper hex, and capital-X forms decode to their code points;
+    NUL, surrogates, past-ceiling and overlong (8+ digit) references,
+    unterminated and non-numeric forms pass through VERBATIM; and the
+    &amp;-protection holds through the full html_main_text chain —
+    '&amp;#65;' is the author writing a literal '&#65;', so the
+    numeric stage must run before (never after) the &amp; collapse."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import (
+        decode_numeric_entities,
+        html_main_text,
+    )
+
+    cases = [
+        ("&#65;&#97;", "Aa"),
+        ("&#x41;&#x61;&#X5A;", "AaZ"),
+        ("&#233; caf&#xE9;", "\xe9 caf\xe9"),
+        ("&#128512;", "\U0001F600"),                  # astral plane
+        ("&#1114111;", "\U0010FFFF"),                 # the ceiling decodes
+        ("&#1114112; &#x110000;", "&#1114112; &#x110000;"),  # past it: verbatim
+        ("&#0; &#xD800; &#xDFFF;", "&#0; &#xD800; &#xDFFF;"),
+        ("&#12345678; &#x12345678;", "&#12345678; &#x12345678;"),  # overlong
+        ("&#65 &#; &#x; &#xZZ; &65;", "&#65 &#; &#x; &#xZZ; &65;"),
+        ("a&#65;b&#65;c", "aAbAc"),
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, s=s) for i, (s, _) in enumerate(cases)]
+    )
+    got = {
+        r.id: r.d
+        for r in df.select(
+            "id", decode_numeric_entities(F.col("s")).alias("d")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
+
+    h = spark.createDataFrame(
+        [Row(id=0, html="<p>&amp;#65; &#66; &amp;lt; &#xZZ;</p>")]
+    )
+    [r] = h.select(
+        html_main_text(F.col("html"), numeric_entities=True).alias("t")
+    ).collect()
+    assert r.t == "&#65; B &lt; &#xZZ;", r.t
 
 
 def test_lang_segments_tile_and_alternate(spark, sf_dir):
