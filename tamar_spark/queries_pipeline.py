@@ -506,6 +506,153 @@ def crawl_normalize(spark, sf_dir):
     )
 
 
+_PARA_P = 10
+
+_PARA_FILTER_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT doc_id, CAST((i - 1) // {_PARA_P} AS INT) AS para,
+         w[i] || ' ' || w[i+1] AS bigram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+  WHERE i % {_PARA_P} <> 0
+), cnt AS (
+  SELECT bigram, count(*) AS c FROM bg GROUP BY 1
+), j AS (
+  SELECT bg.doc_id, bg.para, cnt.c FROM bg JOIN cnt USING (bigram)
+), gm AS (
+  SELECT CAST(sum(c) AS DOUBLE) / count(*) AS gmean FROM j
+), fam AS (
+  SELECT doc_id, para, CAST(sum(c) AS DOUBLE) / count(*) AS familiarity
+  FROM j GROUP BY 1, 2
+), kept AS (
+  SELECT doc_id, para FROM fam, gm WHERE familiarity >= 0.9 * gmean
+  UNION ALL
+  SELECT doc_id, CAST((len(w) - 1) // {_PARA_P} AS INT)
+  FROM words WHERE len(w) % {_PARA_P} = 1
+), tok AS (
+  SELECT doc_id, i, w[i] AS tok, CAST((i - 1) // {_PARA_P} AS INT) AS para
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+), agg AS (
+  SELECT t.doc_id, count(*) AS n_after,
+         md5(string_agg(t.tok, ' ' ORDER BY t.i)) AS cleaned_fp
+  FROM tok t JOIN kept k ON t.doc_id = k.doc_id AND t.para = k.para
+  GROUP BY 1
+), nk AS (
+  SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(ceil(len(w.w) / {_PARA_P}.0) AS BIGINT) AS n_paras,
+       CAST(coalesce(nk.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(w.w) AS BIGINT) AS n_before,
+       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+       coalesce(a.cleaned_fp, md5('')) AS cleaned_fp
+FROM words w
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN nk USING (doc_id)
+"""
+
+
+@query("paragraph_filter", _PARA_FILTER_SQL)
+def paragraph_filter(spark, sf_dir):
+    """CCNet-style paragraph-level quality filtering (r13 VERDICT
+    task 6) — the crawl stage between main-text extraction and
+    document dedup: split each document into paragraphs, score each
+    paragraph with the corpus-fit signal, DROP the unfamiliar tail,
+    and reassemble the document with before/after audit columns (the
+    ``dedup_span_rewrite`` output shape, so downstream tooling reads
+    both rewrites identically).
+
+    Semantics (every step deliberately engine-exact):
+
+    - paragraphs are consecutive 10-token chunks (the corpus is
+      single-line, so positional chunking stands in for blank-line
+      splits — a real crawl feeds ``split(text, '\\n\\n')`` into the
+      same plan);
+    - each paragraph scores the ``lm_familiarity`` signal restricted
+      to WITHIN-paragraph bigrams (CCNet scores paragraphs against the
+      corpus LM; here the corpus's own bigram counts are the LM
+      proxy, exactly as in lm_familiarity — integer sums, one IEEE
+      division, bit-identical across engines);
+    - keep a paragraph iff familiarity ≥ 0.9 × the corpus-mean bigram
+      count (drops ~9% of paragraphs on this corpus — the CCNet
+      tail-cut, data-derived so the rule survives any SF); a
+      single-token paragraph (only ever the last chunk) has no
+      bigrams = no evidence → kept;
+    - reassembly preserves token order; ``cleaned_fp`` is the md5 of
+      the rewritten text so the oracle hash pins the exact
+      reconstruction, and ``md5('')`` marks fully-dropped documents.
+
+    Composes three existing kernels (tokenization, bigram familiarity,
+    span reassembly) in ONE lineage — no new algorithm surface.
+
+    Scale: the bigram count table is a mergeable shuffle aggregate and
+    the join back is a bigram-key equi-join (the lm_familiarity shape,
+    with the same count-min/document-frequency-floor escape hatch at
+    100 TB); the corpus mean is a broadcast scalar; paragraph
+    reassembly is per-row array work inside the projection — no
+    token-level shuffle.  doc_id scan feeds both branches; everything
+    else is bounded by paragraphs × bigrams."""
+    P = _PARA_P
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w_arr = T.tokens(F.col("text"))
+    words = docs.select("doc_id", w_arr.alias("_w"))
+    n = F.size("_w")
+
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    bg = words.select(
+        "doc_id",
+        F.explode(F.filter(idx, lambda i: i % P != 0)).alias("i"),
+        "_w",
+    ).select(
+        "doc_id",
+        F.floor((F.col("i") - 1) / P).cast("int").alias("para"),
+        F.concat_ws(
+            " ",
+            F.element_at("_w", F.col("i")),
+            F.element_at("_w", F.col("i") + 1),
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    j = bg.join(cnt, "bigram").select("doc_id", "para", "c")
+    gmean = j.agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("gmean")
+    )
+    kept = (
+        j.groupBy("doc_id", "para")
+        .agg(
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+                "familiarity"
+            )
+        )
+        .crossJoin(F.broadcast(gmean))
+        .filter(F.col("familiarity") >= 0.9 * F.col("gmean"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("para")).alias("_kp"))
+    )
+    out = words.join(kept, "doc_id", "left")
+    kp = F.coalesce(F.col("_kp"), F.expr("array()").cast("array<int>"))
+    n_paras = F.ceil(n / F.lit(float(P)))
+    all_paras = F.sequence(F.lit(0), (n_paras - 1).cast("int"))
+    kept_full = F.filter(
+        all_paras,
+        lambda p: (F.array_position(kp, p) > 0) | ((n - p * P) == 1),
+    )
+    toks_after = F.flatten(
+        F.transform(kept_full, lambda p: F.slice("_w", p * P + 1, P))
+    )
+    return out.select(
+        "doc_id",
+        n_paras.cast("bigint").alias("n_paras"),
+        F.size(kept_full).cast("bigint").alias("n_kept"),
+        n.cast("bigint").alias("n_before"),
+        F.size(toks_after).cast("bigint").alias("n_after"),
+        F.md5(F.concat_ws(" ", toks_after)).alias("cleaned_fp"),
+    )
+
+
 _BM25_TERMS = ("spark", "join", "window")
 
 _BM25_SQL = """

@@ -460,6 +460,43 @@ def test_r13_media_text_rows_are_single_scan_no_exchange(spark, sf_dir):
         )
 
 
+def test_r14_crawl_rows_plan_contract(spark, sf_dir):
+    """The r14 crawl rows' scale contract: crawl_normalize is a single
+    pruned (doc_id, text) scan with ZERO exchanges and exactly ONE
+    Arrow stage (the per-match chr() of the numeric-entity decode —
+    the URL side stays pure codegen even with the r14 percent-
+    normalization chain); url_canonicalize must REMAIN zero-Python
+    after canonical_url grew that chain (the pure-codegen claim is
+    load-bearing in its docstring and BASELINE row)."""
+    for name, arrow_stages in (("crawl_normalize", 1), ("url_canonicalize", 0)):
+        df = QUERIES[name](spark, sf_dir)
+        plan = executed_plan(df)
+        assert plan.count("Exchange") == 0, (name, "unexpected shuffle")
+        assert plan.count("ArrowEvalPython") == arrow_stages, name
+        for node in ("BatchEvalPython", "MapInPandas"):
+            assert node not in plan, (name, node)
+
+
+def test_paragraph_filter_plan_contract(spark, sf_dir):
+    """paragraph_filter's 100 TB shape: the corpus-mean threshold must
+    reach the familiarity filter as a BROADCAST (never a shuffled
+    join), reassembly must stay in the projection (zero Python
+    stages), and the scan must prune to (doc_id, text).  The wide work
+    is the lm_familiarity shape: bigram-key aggregate + join back +
+    doc-keyed aggregates — bounded, but not zero; pin the broadcast
+    and the absence of Python rather than an exchange count AQE is
+    free to rearrange."""
+    df = QUERIES["paragraph_filter"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    read_schemas = [p.split("\n")[0] for p in plan.split("ReadSchema: ")[1:]]
+    assert any("text" in rs and rs.count(":") <= 2 for rs in read_schemas), (
+        read_schemas
+    )
+
+
 def test_tokenize_pack_encode_stage_is_projection_only(spark, sf_dir):
     """corpus_tokenize_pack (r6 VERDICT task 6): after the vocabulary-
     bounded learn phase (localCheckpointed, not in this plan), the
