@@ -34,7 +34,9 @@ shapes that dominate the engine:
                   corpus replication (r13) — per-bucket in-window
                   occupancy constant by the eviction contract; PAIR
                   OUTPUT is the linearity evidence here (exactly linear:
-                  238/476/952 at 1×/2×/4×).  The measured wall clock
+                  232/470/946 at 1×/2×/4× — each non-tail replica adds
+                  its full 238 in-window pairs, the tail its
+                  finality-trimmed 232).  The measured wall clock
                   (54.5/62.6/64.1 s) is dominated by fixed micro-batch/
                   state-store machinery at these volumes, so it bounds
                   super-linear blowup only loosely — it cannot
@@ -595,6 +597,77 @@ def main() -> None:
             spark.catalog.clearCache()
             gc.collect()
         results[name] = times
+
+    # stream_minhash state-constant A/B (r13 VERDICT task 5): the same
+    # 1x stream run with shingle-set state vs signature-only state
+    # (store_shingles=False).  Reports wall plus the state store's own
+    # memoryUsedBytes from the streaming progress — a MEASURED state
+    # delta, not a pickled-payload proxy.  On this short-doc corpus
+    # (~52 shingles/doc vs 64 signature components) the shrink is
+    # modest by construction; the structural point is that the
+    # signature payload is length-INDEPENDENT, so the ratio grows with
+    # document length in a real crawl.
+    def _stream_minhash_state(store_shingles):
+        import json as _json
+        import os
+        import uuid
+
+        from tamar_spark.streaming.dedup import (
+            attach_minhash_bands,
+            minhash_dedup_streaming,
+        )
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        try:
+            schema = spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet")
+            ).schema
+            s = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "documents.parquet")
+                .parquet(SF_DIR)
+                .withColumn(
+                    "ts",
+                    F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+                )
+                .withWatermark("ts", "60 seconds")
+                .select("doc_id", "ts", "text")
+            )
+            out = minhash_dedup_streaming(
+                attach_minhash_bands(s, keep_signature=not store_shingles),
+                threshold=0.5,
+                window_us=3600 * 1_000_000,
+                store_shingles=store_shingles,
+            )
+            name = f"mh_state_{uuid.uuid4().hex[:8]}"
+            t0 = time.perf_counter()
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            wall = round(time.perf_counter() - t0, 2)
+            state_bytes = 0
+            for prog in q.recentProgress:
+                for op in _json.loads(prog.json).get("stateOperators", []):
+                    state_bytes = max(
+                        state_bytes, int(op.get("memoryUsedBytes", 0) or 0)
+                    )
+            n_pairs = spark.table(name).count()
+            return wall, state_bytes, n_pairs
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    w_sh, b_sh, n_sh = _stream_minhash_state(True)
+    w_sig, b_sig, n_sig = _stream_minhash_state(False)
+    assert n_sh == n_sig, (n_sh, n_sig)  # estimator set == exact set (pinned)
+    results["stream_minhash_state_shingles_wall_bytes"] = [w_sh, b_sh]
+    results["stream_minhash_state_sig_wall_bytes"] = [w_sig, b_sig]
+    gc.collect()
 
     # 64x = 32k docs -> ~5e8 raw hot-shingle pairs: the scale where the
     # uncapped join's quadratic term dominates.  Uncapped stops at 16x in

@@ -25,8 +25,12 @@ Architecture (the 100 TB contract):
   within ``window`` of each other, so a bucket's buffer keeps only
   documents with ``ts >= watermark - window`` — retained bytes per
   bucket ≈ window × per-bucket ingest rate (× the 16-band routing
-  fan-out; a production deployment stores signatures plus a doc-store
-  key instead of the shingle sets to shrink the constant).  Without a
+  fan-out).  ``store_shingles=False`` (r14, the production-constant
+  knob) keeps only the 64-long signature instead of the shingle set
+  and verifies by the standard MinHash estimator — ~10× smaller
+  routed payload and state at the cost of estimation error around the
+  threshold (measured on the registered fixture: the estimator-
+  selected pair set EQUALS the exact set, pinned by test).  Without a
   window the signature store grows with the corpus — that variant is
   the batch ``minhash_lsh_join`` against a persisted index, not a
   streaming state store.
@@ -85,6 +89,7 @@ def attach_minhash_bands(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    keep_signature: bool = False,
 ) -> DataFrame:
     """Add ``shingles`` (distinct word n-gram set as int64 ``xxhash64``
     values) and ``bands`` (one LSH bucket key per band) columns to a
@@ -174,9 +179,14 @@ def attach_minhash_bands(
             for b in range(bands)
         ]
     )
-    return sdf.withColumn("shingles", F.col("_mh.sh")).withColumn(
+    out = sdf.withColumn("shingles", F.col("_mh.sh")).withColumn(
         "bands", band_arr
-    ).drop("_mh")
+    )
+    if keep_signature:
+        # the store_shingles=False state variant verifies by signature
+        # instead of shingle sets — expose the permutation minimums
+        out = out.withColumn("sig", F.col("_mh.sig"))
+    return out.drop("_mh")
 
 
 def minhash_dedup_streaming(
@@ -185,15 +195,30 @@ def minhash_dedup_streaming(
     window_us: int,
     id_col: str = "doc_id",
     ts_col: str = "ts",
+    store_shingles: bool = True,
 ) -> DataFrame:
     """Run the band-bucket signature store over a stream prepared by
     :func:`attach_minhash_bands` (watermark already applied) and emit
-    near-dup pairs ``(doc_id_1, doc_id_2, jaccard)`` — exact Jaccard,
-    4dp-rounded like the batch family, ``doc_id_1 < doc_id_2``.
+    near-dup pairs ``(doc_id_1, doc_id_2, jaccard)`` — ``doc_id_1 <
+    doc_id_2``, 4dp HALF_UP rounded like the batch family.
+
+    ``store_shingles=True`` (default) buffers each document's hashed
+    shingle set and verifies candidates by EXACT Jaccard.  With
+    ``store_shingles=False`` the state keeps only the ``num_perm``-long
+    signature (requires :func:`attach_minhash_bands`'s
+    ``keep_signature=True``) and verifies by the standard MinHash
+    estimator — the matching-component fraction, an unbiased estimate
+    of Jaccard (Broder 1997) computed in deterministic integer
+    arithmetic, so the emitted set is exactly reproducible; ``jaccard``
+    then carries the ESTIMATE.  State shrinks ~|shingles|/num_perm ×
+    (~10× on this corpus) — the production constant for high-rate
+    ingest where the doc store lives elsewhere.
 
     See the module docstring for the state/eviction/finality contract.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    payload_col = "shingles" if store_shingles else "sig"
 
     def handle(key, pdfs, gstate):
         band_idx = int(key[0])
@@ -207,14 +232,16 @@ def minhash_dedup_streaming(
             if not len(pdf):
                 continue
             ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
-            for rid, tus, sh, bd in zip(
-                pdf[id_col], ts_us, pdf["shingles"], pdf["bands"]
+            for rid, tus, payload, bd in zip(
+                pdf[id_col], ts_us, pdf[payload_col], pdf["bands"]
             ):
                 rid = int(rid)
                 if rid not in docs:  # idempotent on source replays
                     docs[rid] = (
                         int(tus),
-                        frozenset(sh),
+                        frozenset(payload)
+                        if store_shingles
+                        else tuple(int(x) for x in payload),
                         tuple(int(x) for x in bd),
                     )
 
@@ -253,11 +280,22 @@ def minhash_dedup_streaming(
                     )
                     if first != band_idx:
                         continue
-                    inter = len(shi & shj)
-                    if not inter:
-                        continue
-                    union = len(shi) + len(shj) - inter
-                    jac = inter / union
+                    if store_shingles:
+                        inter = len(shi & shj)
+                        if not inter:
+                            continue
+                        union = len(shi) + len(shj) - inter
+                        jac = inter / union
+                    else:
+                        # MinHash estimator: matching-component fraction
+                        # over the stored signatures — deterministic
+                        # integer counting, 4dp-exact under HALF_UP
+                        matches = sum(
+                            1 for a, b in zip(shi, shj) if a == b
+                        )
+                        if not matches:
+                            continue
+                        jac = matches / len(shi)
                     if jac >= threshold:
                         a, b = (idi, idj) if idi < idj else (idj, idi)
                         out_rows.append((a, b, _round_half_up(jac)))
@@ -309,10 +347,13 @@ def minhash_dedup_streaming(
                 out_rows, columns=["doc_id_1", "doc_id_2", "jaccard"]
             )
 
+    # route ONLY the verification payload through the 16-band explode:
+    # in signature mode the shingle sets never leave the projection —
+    # the state/shuffle shrink is real, not just a state-side trim
     exploded = sdf.select(
         id_col,
         ts_col,
-        "shingles",
+        payload_col,
         "bands",
         F.posexplode("bands").alias("band", "bucket"),
     )

@@ -1025,6 +1025,146 @@ def test_streaming_minhash_dedup_multibatch_semantics(spark, tmp_path):
     ], got
 
 
+def test_streaming_minhash_fixture_lsh_recall_and_estimator(spark):
+    """Two fixture-dependent properties the registered oracles RIDE ON,
+    pinned so a fixture regeneration fails loudly here instead of as a
+    confusing oracle hash diff (r13 ADVICE):
+
+    - the streaming_dedup_minhash oracle enumerates ALL exact-Jaccard
+      ≥ 0.5 pairs with no band-collision term, while the stream only
+      sees band-colliding candidates — valid iff LSH recall is exactly
+      1.0 on this fixture: every exact pair (window + finality
+      applied) must collide in ≥ 1 of the 16 bands;
+    - the streaming_dedup_minhash_sig oracle enumerates the same exact
+      set, while the sig variant admits by ESTIMATED Jaccard — valid
+      iff the estimator-selected candidate set equals the exact set at
+      threshold 0.5 (64 permutations leave a ~4.8σ margin here).
+
+    Computed entirely from batch-side band keys/signatures (stream
+    parity is pinned separately) + python shingle sets, at the
+    driver's sf0.01 where both oracles are graded."""
+    import os
+
+    import numpy as np
+
+    from tamar_spark.operators.dedup import minhash_coeffs
+    from tamar_spark.streaming.dedup import attach_minhash_bands
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        pytest.skip("driver fixture dir not present")
+
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    rows = attach_minhash_bands(docs, keep_signature=True).collect()
+    bands = {r.doc_id: tuple(r.bands) for r in rows}
+    sig = {r.doc_id: tuple(r.sig) for r in rows}
+
+    def shingles(t):
+        w = t.split(" ")
+        return frozenset(" ".join(w[i : i + 3]) for i in range(len(w) - 2))
+
+    sh = {r.doc_id: shingles(r.text) for r in docs.collect()}
+    ids = sorted(bands)
+    mid = max(ids)
+    window, final_cut = 3600, 60
+
+    exact, est_sel, collide_miss = set(), set(), []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if b - a > window:
+                continue  # ids ascend with ts (id-affine): prune early
+            if b >= mid - final_cut:
+                continue
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= 0.5:
+                exact.add((a, b))
+                if not any(x == y for x, y in zip(bands[a], bands[b])):
+                    collide_miss.append((a, b, inter / union))
+            if any(x == y for x, y in zip(bands[a], bands[b])):
+                m = sum(1 for x, y in zip(sig[a], sig[b]) if x == y)
+                if m / len(sig[a]) >= 0.5:
+                    est_sel.add((a, b))
+
+    assert len(exact) >= 10, "fixture lost its planted near-dups"
+    assert not collide_miss, f"LSH recall < 1.0: {collide_miss[:5]}"
+    assert est_sel == exact, (
+        f"estimator set != exact set: extra={sorted(est_sel - exact)[:5]} "
+        f"missing={sorted(exact - est_sel)[:5]}"
+    )
+    # sanity: the 64-perm family is what minhash_coeffs pins
+    p, coeffs = minhash_coeffs(64)
+    assert len(coeffs) == 64 and len(next(iter(sig.values()))) == 64
+    assert np.int64(p) > 0
+
+
+def test_streaming_minhash_sig_variant_multibatch(spark, tmp_path):
+    """The store_shingles=False path through the SAME cross-batch
+    machinery the exact variant pins (prev-watermark guard, timers,
+    window exclusion, no-flush): identical planted texts make the
+    estimator read exactly 1.0, so the emitted set must equal the
+    exact variant's on the multibatch fixture — and the jaccard
+    column must carry the ESTIMATE (1.0 here)."""
+    import time as _time
+
+    from tamar_spark.streaming.dedup import (
+        attach_minhash_bands,
+        minhash_dedup_streaming,
+    )
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    A = "alpha beta gamma delta epsilon"
+    C = "red green blue yellow purple"
+
+    def rows(*docs):
+        return pd.DataFrame(
+            {
+                "doc_id": [i for i, *_ in docs],
+                "text": [t for _, t, _m in docs],
+                "ts": [base + pd.Timedelta(minutes=m) for *_, m in docs],
+            }
+        )
+
+    src = tmp_path / "mhs_src"
+    src.mkdir()
+    batch1 = rows((1, A, 0), (2, A, 5), (7, C, 55), (90, "dog cat bird fish mouse", 70))
+    batch2 = rows((3, A, 62), (8, C, 61), (91, "sun moon star cloud rain", 200))
+    for name, pdf in (("a", batch1), ("b", batch2)):
+        pdf.to_parquet(src / f"{name}.parquet", coerce_timestamps="us")
+        _time.sleep(1.1)
+
+    schema = spark.read.parquet(str(src)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    out = minhash_dedup_streaming(
+        attach_minhash_bands(sdf, keep_signature=True),
+        threshold=0.5,
+        window_us=60 * 60 * 1_000_000,
+        store_shingles=False,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mhs_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "mhs_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.doc_id_1, r.doc_id_2, r.jaccard)
+        for r in spark.table("mhs_dedup_out").collect()
+    )
+    assert got == [(1, 2, 1.0), (2, 3, 1.0), (7, 8, 1.0)], got
+
+
 def test_streaming_minhash_dedup_slicing_independence(spark, tmp_path):
     """THE claimed streaming property, randomized: the emitted pair set
     must be independent of micro-batch slicing and equal to an
