@@ -20,10 +20,17 @@ gets its full ``runs`` passes, so every extended query earns a true
 multi-pass median at least once every three rounds no matter how large
 the inventory grows.  Whatever remains of the soft wall budget
 ($SPARK_GRAFT_BENCH_BUDGET, default 420 s) then buys extra passes over
-the NON-FOCUS extended queries (reported as ``nonfocus_passes``).  ``value``/``queries`` are per-query MEDIANS over
-however many passes a query got; ``bands`` carries min/median/max so a
-regression can be told from machine noise; ``cold`` is each query's
-first pass (absorbing its one-time whole-stage-codegen cost).  The
+the NON-FOCUS extended queries (reported as ``nonfocus_passes``).
+
+Per-query ``value`` semantics (r13 VERDICT task 4): with 3+ passes a
+query reports its MEDIAN; with FEWER than 3 passes it reports its warm
+MINIMUM — a 2-pass "median" is the midpoint of a heated-session first
+pass and a warm pass, which pattern-matches a regression to any reader
+not cross-checking the band triple (r13: dedup_semantic_prod "8.57"
+from passes 4.83/12.31).  ``bands`` always carries the true
+[min, median, max] and ``passes`` the per-query pass count, so the
+artifact is self-identifying; ``cold`` is each query's first pass
+(absorbing its one-time whole-stage-codegen cost).  The
 ``protocol`` block (run counts + this round's focus slice) is emitted at
 the END of the JSON line because the driver archives only the tail of
 stdout.  Runs on local[$SPARK_GRAFT_CPUS] with the engine's tuned
@@ -194,6 +201,12 @@ EXTENDED = [
     "audio_pcm_stats",
     "audio_silence_segments",
     "url_canonicalize",
+    # round-14 additions.  streaming_dedup_minhash_sig stays NOT
+    # headline like its exact-verify sibling (same micro-batch/state
+    # machinery floor; measured in BASELINE.md's state A/B cell,
+    # driver-checked at sf0.01)
+    "crawl_normalize",
+    "paragraph_filter",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED
@@ -427,10 +440,18 @@ def main() -> None:
         m = len(s) // 2
         return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
 
-    timings = {name: median(xs) for name, xs in samples.items()}
-    bands = {
-        name: [min(xs), timings[name], max(xs)] for name, xs in samples.items()
+    med = {name: median(xs) for name, xs in samples.items()}
+    # <3 passes → warm minimum, not the cold-contaminated midpoint
+    # (r13 VERDICT task 4; see module docstring).  Anchor + focus rows
+    # always have `runs` passes, so their medians are unaffected.
+    timings = {
+        name: (min(xs) if len(xs) < 3 else med[name])
+        for name, xs in samples.items()
     }
+    bands = {
+        name: [min(xs), med[name], max(xs)] for name, xs in samples.items()
+    }
+    passes = {name: len(xs) for name, xs in samples.items()}
     cold = {name: xs[0] for name, xs in samples.items()}
     # the driver archives only the TAIL of stdout: keep the per-run
     # diagnostics (baseline totals, contention verdict, protocol) LAST so
@@ -449,6 +470,9 @@ def main() -> None:
                 # claimed full extended passes that tier 4 never runs)
                 "nonfocus_passes": ext_runs,
                 "bands": bands,
+                # per-query pass counts: rows with passes < 3 report the
+                # warm MINIMUM as their value (module docstring)
+                "passes": passes,
                 "cold": cold,
                 "baseline_set": RECORDED_BASELINE,
                 "cold_total": round(sum(cold.values()), 3),
