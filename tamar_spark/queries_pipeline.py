@@ -20,6 +20,14 @@ corpus pipeline runs at 100 TB:
 - **url_canonicalize** — the crawl-dedup key step: case folding, default-
   port stripping, fragment drop, tracking-param removal, query-param sort —
   pure codegen, proved against directly-stated expected canonical strings.
+- **crawl_normalize** (r14) — the two transport-dirt closures layered on
+  the above: RFC 3986 percent-encoding normalization (pure codegen) and
+  generic numeric character references (one Arrow stage), each proved the
+  same two ways.
+- **paragraph_filter** (r14) — CCNet-style paragraph-level quality
+  filtering: 10-token pseudo-paragraphs scored by within-paragraph bigram
+  familiarity against the corpus counts, the unfamiliar tail dropped, docs
+  reassembled with span_rewrite-shaped audit columns.
 - **repetition_filters** — Gopher-style repetition heuristics (Rae et al.
   2021 table A1): top-word fraction and duplicate-trigram fraction.  Both
   are explode → two-level doc_id-keyed aggregates: every shuffle is on

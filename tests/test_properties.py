@@ -684,6 +684,86 @@ def test_floor_div_matches_python_floordiv(spark, pairs):
 
 
 # ---------------------------------------------------------------------------
+# Percent-encoding normalization: the codegen replace chain vs a direct
+# single-pass reference (RFC 3986 §6.2.2)
+# ---------------------------------------------------------------------------
+
+def _escape_with_case(t):
+    b, up1, up2 = t
+    h = "%02x" % b
+    return "%" + (h[0].upper() if up1 else h[0]) + (h[1].upper() if up2 else h[1])
+
+
+_URL_SEGMENT = st.one_of(
+    # a valid escape in a random hex case
+    st.tuples(
+        st.integers(min_value=0, max_value=255),
+        st.booleans(),
+        st.booleans(),
+    ).map(_escape_with_case),
+    # literal RFC-legal characters (no bare '%': every '%' in a VALID
+    # URL starts an escape — the documented best-effort boundary)
+    st.text(
+        alphabet="abzAZ09-._~/?#&=:@ ", min_size=0, max_size=6
+    ),
+)
+
+percent_urls_strategy = st.lists(
+    st.lists(_URL_SEGMENT, min_size=0, max_size=8).map("".join),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _ref_percent_normalize(s: str) -> str:
+    """Independent single-pass reference: one regex scan, decode the
+    unreserved set, uppercase the hex of every other valid escape —
+    never rescans its own output, exactly the RFC's normal form."""
+    import re
+    import string as _string
+
+    unreserved = set(_string.ascii_letters + _string.digits + "-._~")
+
+    def repl(m):
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in unreserved else "%" + m.group(1).upper()
+
+    return re.sub(r"%([0-9A-Fa-f]{2})", repl, s)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(urls=percent_urls_strategy)
+def test_percent_normalize_matches_single_pass_reference(spark, urls):
+    """The 12+66-pass codegen replace chain must equal the one-pass
+    reference on every RFC-valid input (no bare '%'): the chain's
+    passes touch disjoint escape patterns and replacements never
+    create new valid escapes without a preceding bare '%', so chain
+    order is unobservable — this property is what makes the chain a
+    legitimate implementation of the single-scan semantics."""
+    from tamar_spark.functions.text import percent_normalize
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id int, u string"
+    )
+    got = {
+        r.id: r.n
+        for r in df.select(
+            "id", percent_normalize(F.col("u")).alias("n")
+        ).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _ref_percent_normalize(u), (
+            u,
+            got[i],
+            _ref_percent_normalize(u),
+        )
+
+
+# ---------------------------------------------------------------------------
 # BPE induction: the distributed kernel vs direct reference BPE
 # ---------------------------------------------------------------------------
 
