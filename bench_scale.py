@@ -66,6 +66,73 @@ SF_DIR = "/root/testdata/sf0.1"
 SCALES = [1, 4, 16, 32]
 
 
+def stream_minhash_state_ab(spark, sf_dir: str, store_shingles: bool):
+    """One streaming MinHash dedup run over ``sf_dir`` with the given
+    state payload, returning ``(wall_s, state_bytes, n_pairs)`` where
+    ``state_bytes`` is the state store's own ``memoryUsedBytes`` maximum
+    from the streaming progress — a MEASURED state figure, not a
+    pickled-payload proxy.  The r14 A/B (recorded in BASELINE.md): on
+    this deliberately short-doc corpus (~52 shingles/doc vs 64
+    signature components) the signature-only shrink is a modest 2.25×;
+    the structural point is that the signature payload is
+    length-INDEPENDENT, so the ratio grows with document length in a
+    real crawl.  Module-level so a smoke run can drive it at a small SF
+    without paying the full probe."""
+    import json as _json
+    import os
+    import uuid
+
+    from tamar_spark.streaming.dedup import (
+        attach_minhash_bands,
+        minhash_dedup_streaming,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        schema = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).schema
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+            )
+            .withWatermark("ts", "60 seconds")
+            .select("doc_id", "ts", "text")
+        )
+        out = minhash_dedup_streaming(
+            attach_minhash_bands(s, keep_signature=not store_shingles),
+            threshold=0.5,
+            window_us=3600 * 1_000_000,
+            store_shingles=store_shingles,
+        )
+        name = f"mh_state_{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = round(time.perf_counter() - t0, 2)
+        state_bytes = 0
+        for prog in q.recentProgress:
+            for op in _json.loads(prog.json).get("stateOperators", []):
+                state_bytes = max(
+                    state_bytes, int(op.get("memoryUsedBytes", 0) or 0)
+                )
+        n_pairs = spark.table(name).count()
+        return wall, state_bytes, n_pairs
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def replicate(df: DataFrame, k: int, key_cols: list[str]) -> DataFrame:
     """k key-shifted copies: copy i shifts every key by i * 10^10 so key
     cardinality scales with volume."""
@@ -600,70 +667,9 @@ def main() -> None:
 
     # stream_minhash state-constant A/B (r13 VERDICT task 5): the same
     # 1x stream run with shingle-set state vs signature-only state
-    # (store_shingles=False).  Reports wall plus the state store's own
-    # memoryUsedBytes from the streaming progress — a MEASURED state
-    # delta, not a pickled-payload proxy.  On this short-doc corpus
-    # (~52 shingles/doc vs 64 signature components) the shrink is
-    # modest by construction; the structural point is that the
-    # signature payload is length-INDEPENDENT, so the ratio grows with
-    # document length in a real crawl.
-    def _stream_minhash_state(store_shingles):
-        import json as _json
-        import os
-        import uuid
-
-        from tamar_spark.streaming.dedup import (
-            attach_minhash_bands,
-            minhash_dedup_streaming,
-        )
-
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
-        try:
-            schema = spark.read.parquet(
-                os.path.join(SF_DIR, "documents.parquet")
-            ).schema
-            s = (
-                spark.readStream.schema(schema)
-                .option("pathGlobFilter", "documents.parquet")
-                .parquet(SF_DIR)
-                .withColumn(
-                    "ts",
-                    F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
-                )
-                .withWatermark("ts", "60 seconds")
-                .select("doc_id", "ts", "text")
-            )
-            out = minhash_dedup_streaming(
-                attach_minhash_bands(s, keep_signature=not store_shingles),
-                threshold=0.5,
-                window_us=3600 * 1_000_000,
-                store_shingles=store_shingles,
-            )
-            name = f"mh_state_{uuid.uuid4().hex[:8]}"
-            t0 = time.perf_counter()
-            q = (
-                out.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(name)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            wall = round(time.perf_counter() - t0, 2)
-            state_bytes = 0
-            for prog in q.recentProgress:
-                for op in _json.loads(prog.json).get("stateOperators", []):
-                    state_bytes = max(
-                        state_bytes, int(op.get("memoryUsedBytes", 0) or 0)
-                    )
-            n_pairs = spark.table(name).count()
-            return wall, state_bytes, n_pairs
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    w_sh, b_sh, n_sh = _stream_minhash_state(True)
-    w_sig, b_sig, n_sig = _stream_minhash_state(False)
+    # (store_shingles=False) — see stream_minhash_state_ab.
+    w_sh, b_sh, n_sh = stream_minhash_state_ab(spark, SF_DIR, True)
+    w_sig, b_sig, n_sig = stream_minhash_state_ab(spark, SF_DIR, False)
     assert n_sh == n_sig, (n_sh, n_sig)  # estimator set == exact set (pinned)
     results["stream_minhash_state_shingles_wall_bytes"] = [w_sh, b_sh]
     results["stream_minhash_state_sig_wall_bytes"] = [w_sig, b_sig]
