@@ -670,9 +670,13 @@ def main() -> None:
     # (store_shingles=False) — see stream_minhash_state_ab.
     w_sh, b_sh, n_sh = stream_minhash_state_ab(spark, SF_DIR, True)
     w_sig, b_sig, n_sig = stream_minhash_state_ab(spark, SF_DIR, False)
-    assert n_sh == n_sig, (n_sh, n_sig)  # estimator set == exact set (pinned)
     results["stream_minhash_state_shingles_wall_bytes"] = [w_sh, b_sh]
     results["stream_minhash_state_sig_wall_bytes"] = [w_sig, b_sig]
+    # estimator set == exact set is test-pinned at sf0.01; at THIS SF a
+    # regenerated corpus could land a pair inside the estimation margin,
+    # and that belongs in the artifact, not in an assert that throws
+    # away every already-measured cell (r14 review finding)
+    results["stream_minhash_state_pairs"] = [n_sh, n_sig]
     gc.collect()
 
     # 64x = 32k docs -> ~5e8 raw hot-shingle pairs: the scale where the

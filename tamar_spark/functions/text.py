@@ -196,21 +196,50 @@ def decode_numeric_entities(text: Column) -> Column:
     - the WHATWG windows-1252 remapping of the C1 range is out of
       scope (documented, not silently approximated).
 
-    Composition rule (same reason :data:`HTML_ENTITIES` keeps ``&amp;``
-    last): run this BEFORE the ``&amp;`` decode, never after — the
-    text of ``&amp;#65;`` contains no ``&#`` until ``&amp;`` collapses,
-    so the literal ``&#65;`` the author wrote survives.
+    Composition rule: this is a SINGLE-PASS decoder — its output is
+    final text and must never be re-scanned by another entity pass
+    (``&#38;lt;`` decodes to the literal ``&lt;``, and a second pass
+    would corrupt it to ``<`` — the numeric spelling of the
+    ``&amp;``-last hazard; r14 review finding).  Standalone use is
+    fine; inside :func:`html_main_text` the ``numeric_entities=True``
+    path therefore decodes numeric AND named references together in
+    one pass instead of chaining this before the fixed table.
 
     Scale: one Arrow-batched pandas UDF (vectorized ``re.sub`` per
     batch), no shuffle; cost ∝ bytes like the codegen stages around
     it."""
+    return _entity_decode_single_pass(text, named=())
+
+
+def _entity_decode_single_pass(text: Column, named=None) -> Column:
+    """One left-to-right scan decoding numeric character references
+    plus the ``named`` entity table ((entity, char) pairs, matched as
+    alternatives at the same scan position) — the WHATWG shape: a
+    reference's replacement text is never re-read as markup, so
+    ``&#38;lt;`` → literal ``&lt;``, ``&amp;#65;`` → literal
+    ``&#65;``, and ``&&#108;t;`` → literal ``&lt;`` (the bare ``&``
+    cannot combine with decoded output).  Malformed/out-of-range
+    references pass through verbatim (see
+    :func:`decode_numeric_entities`)."""
     import re
 
     from pyspark.sql.functions import pandas_udf
 
-    pat = re.compile(r"&#(?:([0-9]{1,7})|[xX]([0-9a-fA-F]{1,7}));")
+    if named is None:
+        named = HTML_ENTITIES
+    # numeric entries of the fixed table (&#101;/&#111;) are covered by
+    # the numeric alternative — only true named forms join the pattern
+    table = {ent: ch for ent, ch in named if not ent.startswith("&#")}
+    alts = "".join(
+        "|" + re.escape(ent[1:-1]) for ent in table  # '&amp;' -> 'amp'
+    )
+    pat = re.compile(
+        r"&(?:#(?:([0-9]{1,7})|[xX]([0-9a-fA-F]{1,7}))" + alts + r");"
+    )
 
     def repl(m):
+        if m.group(1) is None and m.group(2) is None:
+            return table[m.group(0)]
         cp = int(m.group(1)) if m.group(1) is not None else int(m.group(2), 16)
         if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
             return m.group(0)
@@ -247,10 +276,12 @@ def html_main_text(html: Column, numeric_entities: bool = False) -> Column:
     Unknown and malformed entities (``&#xZZ;``, ``&unknown;``) pass
     through verbatim rather than corrupting neighboring text.  With
     ``numeric_entities=True``, arbitrary ``&#NNN;``/``&#xHH;``
-    references decode too (:func:`decode_numeric_entities`, one
-    Arrow-batched stage inserted BEFORE the fixed-table chain so the
-    ``&amp;``-last protection still holds for ``&amp;#65;``); the
-    default stays pure codegen.
+    references decode too — numeric AND named references resolve in
+    ONE Arrow-batched left-to-right pass replacing the fixed-table
+    chain (a reference's replacement text is never re-read, so
+    ``&amp;#65;`` → literal ``&#65;`` and ``&#38;lt;`` → literal
+    ``&lt;`` — the numeric spelling of the same hazard, r14 review
+    finding); the default stays pure codegen.
 
     Scale: pure string expressions inside WholeStageCodegen — cost ∝
     bytes, no shuffle; zero Python by default, exactly one Arrow stage
@@ -270,9 +301,10 @@ def html_main_text(html: Column, numeric_entities: bool = False) -> Column:
     t = F.array_join(paras, " ")
     t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
     if numeric_entities:
-        t = decode_numeric_entities(t)
-    for ent, ch in HTML_ENTITIES:
-        t = F.replace(t, F.lit(ent), F.lit(ch))
+        t = _entity_decode_single_pass(t)
+    else:
+        for ent, ch in HTML_ENTITIES:
+            t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 

@@ -27,10 +27,13 @@ Architecture (the 100 TB contract):
   bucket ≈ window × per-bucket ingest rate (× the 16-band routing
   fan-out).  ``store_shingles=False`` (r14, the production-constant
   knob) keeps only the 64-long signature instead of the shingle set
-  and verifies by the standard MinHash estimator — ~10× smaller
-  routed payload and state at the cost of estimation error around the
-  threshold (measured on the registered fixture: the estimator-
-  selected pair set EQUALS the exact set, pinned by test).  Without a
+  and verifies by the standard MinHash estimator — the per-doc payload
+  becomes LENGTH-INDEPENDENT (measured: 113.5 → 50.4 MB live state at
+  sf0.1, 2.25× on this short-doc corpus; the ratio grows with document
+  length, ~|shingles|/num_perm on real crawl docs) at the cost of
+  estimation error around the threshold (measured on the registered
+  fixture: the estimator-selected pair set EQUALS the exact set,
+  pinned by test).  Without a
   window the signature store grows with the corpus — that variant is
   the batch ``minhash_lsh_join`` against a persisted index, not a
   streaming state store.
@@ -210,9 +213,10 @@ def minhash_dedup_streaming(
     estimator — the matching-component fraction, an unbiased estimate
     of Jaccard (Broder 1997) computed in deterministic integer
     arithmetic, so the emitted set is exactly reproducible; ``jaccard``
-    then carries the ESTIMATE.  State shrinks ~|shingles|/num_perm ×
-    (~10× on this corpus) — the production constant for high-rate
-    ingest where the doc store lives elsewhere.
+    then carries the ESTIMATE.  State shrinks toward
+    ~|shingles|/num_perm (length-independent payload; measured 2.25×
+    live at sf0.1, where docs are deliberately short) — the production
+    constant for high-rate ingest where the doc store lives elsewhere.
 
     See the module docstring for the state/eviction/finality contract.
     """

@@ -3077,6 +3077,9 @@ def test_decode_numeric_entities_adversarial(spark):
         ("&#12345678; &#x12345678;", "&#12345678; &#x12345678;"),  # overlong
         ("&#65 &#; &#x; &#xZZ; &65;", "&#65 &#; &#x; &#xZZ; &65;"),
         ("a&#65;b&#65;c", "aAbAc"),
+        # standalone semantics: single pass, &#38; IS an ampersand and
+        # its output is final text — never re-read as a new reference
+        ("&#38;x &#38;#65; &#x26;gt;", "&x &#65; &gt;"),
     ]
     df = spark.createDataFrame(
         [Row(id=i, s=s) for i, (s, _) in enumerate(cases)]
@@ -3090,13 +3093,26 @@ def test_decode_numeric_entities_adversarial(spark):
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i][0], got[i], want)
 
+    # through the full extraction chain: numeric + named resolve in ONE
+    # pass, so no spelling of '&' can make decoded output re-read as a
+    # new reference (r14 review finding: the numeric-then-chain layout
+    # turned '&#38;lt;' into '<')
+    hcases = [
+        ("<p>&amp;#65; &#66; &amp;lt; &#xZZ;</p>", "&#65; B &lt; &#xZZ;"),
+        ("<p>a &#38;lt; b</p>", "a &lt; b"),
+        ("<p>&#38;amp; &#x26;#101; &&#108;t;</p>", "&amp; &#101; &lt;"),
+    ]
     h = spark.createDataFrame(
-        [Row(id=0, html="<p>&amp;#65; &#66; &amp;lt; &#xZZ;</p>")]
+        [Row(id=i, html=html) for i, (html, _) in enumerate(hcases)]
     )
-    [r] = h.select(
-        html_main_text(F.col("html"), numeric_entities=True).alias("t")
-    ).collect()
-    assert r.t == "&#65; B &lt; &#xZZ;", r.t
+    hgot = {
+        r.id: r.t
+        for r in h.select(
+            "id", html_main_text(F.col("html"), numeric_entities=True).alias("t")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(hcases):
+        assert hgot[i] == want, (i, hcases[i][0], hgot[i], want)
 
 
 def test_lang_segments_tile_and_alternate(spark, sf_dir):
