@@ -26,6 +26,7 @@ __all__ = [
     "HTML_ENTITIES",
     "canonical_url",
     "percent_normalize",
+    "remove_dot_segments",
     "url_host",
     "url_query_params",
     "URL_TRACKING_KEYS",
@@ -359,6 +360,44 @@ def percent_normalize(url: Column) -> Column:
     return s
 
 
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal for an absolute path, as a
+    segment fold in codegen (r14 — the second-to-last canonical_url
+    scope line): ``/a/b/../c/./d`` → ``/a/c/d``, excess ``..`` at the
+    root drops (``/../a`` → ``/a``), and a trailing ``.``/``..`` keeps
+    the directory form (``/a/b/..`` → ``/a/``, per the RFC's
+    replace-with-empty rule).  Empty segments (``//``) are preserved —
+    they are valid and meaningful to some servers.
+
+    Runs AFTER :func:`percent_normalize` in :func:`canonical_url`
+    (§6.2.2.3: ``%2E`` is unreserved and decodes to ``.`` first, so an
+    encoded dot-segment resolves too).
+
+    Implementation: ``aggregate`` over ``split(path, '/')`` with an
+    array accumulator — ``.`` skips, ``..`` pops (never past the
+    root), anything else appends; a trailing ``.``/``..`` is first
+    rewritten to its slash-terminated form so the split carries the
+    final empty segment.  An interpreted-HOF fold, but over ~segment
+    count per URL — cost ∝ path depth, not corpus size."""
+    p = F.regexp_replace(path, r"/\.\.$", "/../")
+    p = F.regexp_replace(p, r"/\.$", "/./")
+    segs = F.split(p, "/")
+    empty = F.expr("array()").cast("array<string>")
+    folded = F.aggregate(
+        segs,
+        empty,
+        lambda acc, x: F.when(x == ".", acc)
+        .when(
+            x == "..",
+            F.when(
+                F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)
+            ).otherwise(acc),
+        )
+        .otherwise(F.concat(acc, F.array(x))),
+    )
+    return F.array_join(folded, "/")
+
+
 # query parameters dropped by canonical_url — the tracker families every
 # crawl canonicalizer strips (public convention): UTM campaign tags match
 # by key PREFIX (utm_source, utm_medium, ...), the Facebook/Google click
@@ -388,19 +427,28 @@ def canonical_url(url: Column) -> Column:
       string before splitting is safe because delimiters never decode
       (``%2F``/``%23``/``%3F``/``%26``/``%3D`` are not unreserved), so
       no pass can fabricate a path boundary, fragment, query, or
-      parameter split.
+      parameter split;
+    - dot-segments resolved (:func:`remove_dot_segments`, r14 — after
+      percent normalization per §6.2.2.3, so ``%2E`` dot-segments
+      resolve too);
+    - userinfo preserved VERBATIM (r14): ``user:pass@host`` is
+      case-sensitive, so the host fold splits at the last ``@`` and
+      folds only the host side (:func:`url_host` returns the bare
+      host for grouping; the canonical string keeps the userinfo).
 
-    Dot-segment resolution and userinfo handling (``user:pass@host``
-    is case-sensitive, so the host fold would need to split at ``@``
-    first) remain out of scope — the fixture synthesizes neither; each
-    would slot into the same expression chain."""
+    The canonical_url scope lines are now closed; remaining URL
+    non-goals are IDN/punycode folding and scheme-specific semantics
+    beyond http(s) defaults."""
     u = percent_normalize(url)
     path_raw = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
-    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    path = remove_dot_segments(
+        F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    )
     canon_q = F.array_join(F.array_sort(url_query_params(u)), "&")
     return F.concat(
         _url_scheme(u),
         F.lit("://"),
+        _url_userinfo(u),
         url_host(u),
         path,
         F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
@@ -433,13 +481,27 @@ def url_query_params(url: Column) -> Column:
     return F.filter(F.split(qstr, "&"), keep)
 
 
+def _url_userinfo(url: Column) -> Column:
+    """The ``user:pass@`` prefix of the authority (including the
+    ``@``), or '' — case-sensitive per RFC 3986 §3.2.1, so
+    :func:`canonical_url` carries it verbatim while the host folds.
+    The split is at the LAST ``@`` of the authority (greedy match):
+    an ``@`` inside userinfo belongs to the userinfo."""
+    return F.regexp_extract(url, r"^[^:]+://([^/?#]*@)", 1)
+
+
 def url_host(url: Column) -> Column:
-    """The canonical (lowercased, default-port-stripped) host of ``url``
-    — the grouping key for per-domain crawl statistics, and the host
-    component :func:`canonical_url` assembles (one source of truth for
-    the scheme-aware default-port rule)."""
+    """The canonical (lowercased, default-port-stripped, bare) host of
+    ``url`` — the grouping key for per-domain crawl statistics, and
+    the host component :func:`canonical_url` assembles (one source of
+    truth for the scheme-aware default-port rule).  Userinfo is
+    STRIPPED here (r14): ``user@Ex.COM`` and ``Ex.com`` are the same
+    domain for stats; the canonical string keeps the userinfo via its
+    own component."""
     scheme = _url_scheme(url)
-    hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[^:]+://(?:[^/?#]*@)?([^/?#@]*)", 1)
+    )
     return (
         F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
         .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))

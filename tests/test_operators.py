@@ -2844,6 +2844,21 @@ def test_canonical_url_edge_cases(spark):
         ("https://ex.com/p?fbclid&a=1", "https://ex.com/p?a=1"),
         ("https://ex.com/p?gclid", "https://ex.com/p"),
         ("https://ex.com/p?fbclid2=x", "https://ex.com/p?fbclid2=x"),
+        # r14: dot-segment resolution (RFC 3986 5.2.4) — trailing
+        # './'/'..' keep the directory form, excess '..' drops at the
+        # root, '//' empty segments survive, %2E resolves as '.'
+        # (percent normalization runs first per 6.2.2.3)
+        ("https://ex.com/a/b/../c/./d", "https://ex.com/a/c/d"),
+        ("https://ex.com/../a", "https://ex.com/a"),
+        ("https://ex.com/a/..", "https://ex.com/"),
+        ("https://ex.com/a/.", "https://ex.com/a/"),
+        ("https://ex.com/a//b/./", "https://ex.com/a//b/"),
+        ("https://ex.com/%2e%2E/a", "https://ex.com/a"),
+        ("https://ex.com/a/b/../../../x", "https://ex.com/x"),
+        # r14: userinfo is case-sensitive and survives verbatim while
+        # the host folds; url_host strips it for the stats key
+        ("https://User:Pw@Ex.COM:443/a", "https://User:Pw@ex.com/a"),
+        ("http://U@EX.com:80/", "http://U@ex.com/"),
     ]
     df = spark.createDataFrame(
         [Row(id=i, url=u) for i, (u, _) in enumerate(cases)]
@@ -2892,9 +2907,11 @@ def test_canonical_url_is_idempotent(spark):
 
     rng = random.Random(29)
     schemes = ["http", "HTTPS", "https", "HTTP"]
-    hosts = ["Ex.COM", "a.b.example.org", "WWW.Example.com", "xn--bcher-kva.ch"]
+    hosts = ["Ex.COM", "a.b.example.org", "WWW.Example.com", "xn--bcher-kva.ch",
+             "User:Pw@Ex.COM", "u@ex.com"]
     ports = ["", ":80", ":443", ":8080", ":8443"]
-    paths = ["", "/", "/a", "/A/b.c", "/p%20q", "/d/42"]
+    paths = ["", "/", "/a", "/A/b.c", "/p%20q", "/d/42",
+             "/a/../b", "/./x", "/a/b/..", "/%2e/q"]
     params = ["a=1", "B=2", "utm_source=x", "z=9&a=1", "fbclid=f", "gclid=g",
               "q=a%26b", "utm_medium=m&k=v"]
     frags = ["", "#f", "#Sec-2"]
