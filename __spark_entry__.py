@@ -95,6 +95,17 @@ _CHANGED_IN_ROUND = {
     # 8 subquantizers lift recall@5 past the rerank window at ~2 bytes/vec
     # extra).  Results CHANGE; the oracle unrolls the same 8-term ADC sum.
     "embed_ivfpq_topk": 11,
+    # r14: canonical_url grew percent-encoding normalization,
+    # dot-segment resolution, and userinfo handling — url_canonicalize's
+    # registered output is provably unchanged (its fixture reaches none
+    # of the new behavior; oracle re-verified), but the r13 attestation
+    # rode the old expression chain, so the row re-verifies on the new
+    # kernel.  (streaming_dedup_minhash's r14 timer fix is fixture-
+    # unreachable at second granularity and the shared handler earns a
+    # fresh r14 attestation through streaming_dedup_minhash_sig — the
+    # bpe-family shared-kernel rule; html_extract's default path is
+    # untouched by the single-pass entity decoder.)
+    "url_canonicalize": 14,
 }
 # One entry per query name, enforced: a duplicate key in this literal is
 # silently last-wins in Python, and a LOWER-round duplicate added later
