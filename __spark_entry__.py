@@ -100,12 +100,19 @@ _CHANGED_IN_ROUND = {
     # registered output is provably unchanged (its fixture reaches none
     # of the new behavior; oracle re-verified), but the r13 attestation
     # rode the old expression chain, so the row re-verifies on the new
-    # kernel.  (streaming_dedup_minhash's r14 timer fix is fixture-
-    # unreachable at second granularity and the shared handler earns a
-    # fresh r14 attestation through streaming_dedup_minhash_sig — the
-    # bpe-family shared-kernel rule; html_extract's default path is
-    # untouched by the single-pass entity decoder.)
+    # kernel.  (html_extract's default path is untouched by the
+    # single-pass entity decoder: the codegen chain survives in the
+    # else branch, byte-identical.)
     "url_canonicalize": 14,
+    # r14: the shared streaming-dedup handler changed (timer-tick fix +
+    # store_shingles refactor through the same code path) — results
+    # provably unchanged at the fixture's second-granularity
+    # timestamps, but the bpe-family rule applies: EVERY query sharing
+    # a rewritten kernel carries a fresh attestation (r9 precedent
+    # pinned all five bpe-kernel queries; the sig sibling attests only
+    # the estimator verification branch, not the exact-shingle path
+    # this row's r13 attestation covered).
+    "streaming_dedup_minhash": 14,
 }
 # One entry per query name, enforced: a duplicate key in this literal is
 # silently last-wins in Python, and a LOWER-round duplicate added later

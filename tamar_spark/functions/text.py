@@ -377,8 +377,17 @@ def remove_dot_segments(path: Column) -> Column:
     array accumulator — ``.`` skips, ``..`` pops (never past the
     root), anything else appends; a trailing ``.``/``..`` is first
     rewritten to its slash-terminated form so the split carries the
-    final empty segment.  An interpreted-HOF fold, but over ~segment
-    count per URL — cost ∝ path depth, not corpus size."""
+    final empty segment.  The fold is an interpreted (CodegenFallback)
+    expression, and dot-segments are RARE in real crawl URLs — so a
+    cheap codegen ``rlike`` guard keeps the dominant no-dot-segment
+    case out of the interpreter and only matching rows pay the fold;
+    on non-matching rows the path passes through untouched, which
+    equals the fold's split/join round-trip output.  (Measured honesty:
+    at this fixture's URL sizes the percent-normalization chain, not
+    the fold, dominates canonical_url's warm cost — guarded and
+    unguarded read within noise of each other; the guard matters when
+    paths are deep and dot-segments rare, i.e. real crawl data.)"""
+    has_dotseg = path.rlike(r"/\.{1,2}(/|$)")
     p = F.regexp_replace(path, r"/\.\.$", "/../")
     p = F.regexp_replace(p, r"/\.$", "/./")
     segs = F.split(p, "/")
@@ -395,7 +404,7 @@ def remove_dot_segments(path: Column) -> Column:
         )
         .otherwise(F.concat(acc, F.array(x))),
     )
-    return F.array_join(folded, "/")
+    return F.when(has_dotseg, F.array_join(folded, "/")).otherwise(path)
 
 
 # query parameters dropped by canonical_url — the tracker families every
