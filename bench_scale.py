@@ -36,10 +36,12 @@ shapes that dominate the engine:
                   OUTPUT is the linearity evidence here (exactly linear:
                   232/470/946 at 1×/2×/4× — each non-tail replica adds
                   its full 238 in-window pairs, the tail its
-                  finality-trimmed 232).  The measured wall clock
-                  (54.5/62.6/64.1 s) is dominated by fixed micro-batch/
-                  state-store machinery at these volumes, so it bounds
-                  super-linear blowup only loosely — it cannot
+                  finality-trimmed 232; an 8x one-shot cell read 1898
+                  = 7x238 + 232, still exactly linear).  The measured
+                  wall clock (54.5/62.6/64.1 s at 1/2/4x; 65.9 s at 8x
+                  in a fresh session) is dominated by fixed micro-batch/
+                  state-store machinery even at 8x, so wall alone
+                  bounds super-linear blowup only loosely — it cannot
                   discriminate linear from mildly super-linear per-unit
                   cost (r13 ADVICE); the structural guarantees (sorted-
                   buffer walk breaks at the window edge, eviction
