@@ -96,14 +96,13 @@ _CHANGED_IN_ROUND = {
     # extra).  Results CHANGE; the oracle unrolls the same 8-term ADC sum.
     "embed_ivfpq_topk": 11,
     # r14: canonical_url grew percent-encoding normalization,
-    # dot-segment resolution, and userinfo handling — url_canonicalize's
-    # registered output is provably unchanged (its fixture reaches none
-    # of the new behavior; oracle re-verified), but the r13 attestation
-    # rode the old expression chain, so the row re-verifies on the new
-    # kernel.  (html_extract's default path is untouched by the
-    # single-pass entity decoder: the codegen chain survives in the
-    # else branch, byte-identical.)
-    "url_canonicalize": 14,
+    # dot-segment resolution, and userinfo handling (spent by the
+    # green r14 row); r15: percent_normalize grew the leading bare-'%'
+    # protection pass (r14 ADVICE — the chain is now idempotent on ALL
+    # input).  The fixture is bare-%-free so the registered output is
+    # provably unchanged, but the kernel-rewrite convention applies to
+    # every query riding the chain.
+    "url_canonicalize": 15,
     # r14: the shared streaming-dedup handler changed (timer-tick fix +
     # store_shingles refactor through the same code path) — results
     # provably unchanged at the fixture's second-granularity
@@ -113,6 +112,14 @@ _CHANGED_IN_ROUND = {
     # the estimator verification branch, not the exact-shingle path
     # this row's r13 attestation covered).
     "streaming_dedup_minhash": 14,
+    # r15: crawl_normalize rides the rewritten percent chain AND
+    # changed semantics on its own — entity-encoded splice halves (the
+    # r14 ADVICE fixture-purity item) plus the IDN/punycode fixture
+    # shape (r14 task 4); paragraph_filter's reassembly was rewritten
+    # linear (r14 task 5 — output provably unchanged, equality
+    # property-tested on ≥1k-paragraph docs).
+    "crawl_normalize": 15,
+    "paragraph_filter": 15,
 }
 # One entry per query name, enforced: a duplicate key in this literal is
 # silently last-wins in Python, and a LOWER-round duplicate added later

@@ -337,24 +337,38 @@ def percent_normalize(url: Column) -> Column:
        stay encoded — decoding a delimiter would change the URL's
        structure, exactly what §2.2 forbids.
 
-    Idempotent on RFC-valid input (every ``%`` starts a valid escape):
-    surviving escapes are uppercase non-unreserved, which no pass
-    rewrites.  A MALFORMED bare ``%`` directly before decoded output
-    can be re-read as a new escape by a later pass (pinned by test as
-    documented best-effort) — real URLs and the fixture contain none.
+    Idempotent on ALL input (r15, closing the r14 ADVICE): a leading
+    protection pass percent-encodes every MALFORMED bare ``%`` (one
+    not followed by two hex digits) to ``%25`` — RFC 3986's grammar
+    forbids a bare ``%``, so any consistent canonical spelling is
+    legitimate for a dedup key, and ``%25`` is the one that makes the
+    chain CLOSED.  After protection every ``%`` owns its two hex
+    digits: surviving escapes are uppercase non-unreserved 3-char
+    units no pass rewrites, decoded output is never ``%``, and no
+    bare ``%`` remains to steal decoded characters — so fabrication
+    (the r14 documented divergence, ``'%%37%45'`` → ``'%7E'`` →
+    ``'~'``) is impossible and ``chain(chain(x)) == chain(x)`` holds
+    for every string, fuzzed including bare-``%`` inputs.  (No FIXED
+    number of extra decode sweeps could do this: nesting fabrications
+    — ``'%%%33%37%45'`` needs three passes — constructs a k-pass
+    divergent input for any k; making the malformed case valid is the
+    only closed form.)
 
     Scale: a chain of fixed-pattern string passes inside
     WholeStageCodegen — cost ∝ bytes, no shuffle, no UDF; when several
     projection consumers share it, whole-stage subexpression
     elimination evaluates the chain once."""
-    s = url
+    # protection first (order vs the case passes is immaterial — they
+    # touch disjoint patterns — but first makes the invariant local:
+    # everything below this line sees RFC-valid escapes only)
+    s = F.regexp_replace(url, "%(?![0-9A-Fa-f]{2})", "%25")
     for low in "abcdef":
         up = low.upper()
         s = F.regexp_replace(s, f"%([0-9A-Fa-f]){low}", f"%$1{up}")
         s = F.regexp_replace(s, f"%{low}([0-9A-Fa-f])", f"%{up}$1")
-    # descending by code point: a replacement can only be re-read as a
-    # new escape after a bare '%', and ordering high-to-low closes the
-    # half of those cases where the fabricated escape sorts higher
+    # decode order is unobservable now that the protection pass has
+    # removed every bare '%' (fabricating a new escape needed one);
+    # keep the r14 descending-code order so the pass list is stable
     for ch in sorted(_URL_UNRESERVED, key=ord, reverse=True):
         s = F.replace(s, F.lit("%%%02X" % ord(ch)), F.lit(ch))
     return s

@@ -603,11 +603,23 @@ def paragraph_filter(spark, sf_dir):
     the join back is a bigram-key equi-join (the lm_familiarity shape,
     with the same count-min/document-frequency-floor escape hatch at
     100 TB); the corpus mean is a broadcast scalar; paragraph
-    reassembly is per-row array work inside the projection — no
+    reassembly is per-row array work inside the projection, LINEAR
+    in tokens since r15 (the kept list concatenates in O(kept) and
+    the slice/flatten copies each kept token once; the r14 form
+    scanned the kept list per paragraph — O(paras × kept) per row) — no
     token-level shuffle.  doc_id scan feeds both branches; everything
     else is bounded by paragraphs × bigrams."""
+    return _paragraph_filter_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _paragraph_filter_frame(docs):
+    """The paragraph_filter plan over an arbitrary (doc_id, text)
+    frame — split out (r15) so the long-doc reassembly-equivalence
+    test can drive ≥1k-paragraph documents through the REAL pipeline
+    instead of a re-implementation."""
     P = _PARA_P
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     w_arr = T.tokens(F.col("text"))
     words = docs.select("doc_id", w_arr.alias("_w"))
     n = F.size("_w")
@@ -648,11 +660,23 @@ def paragraph_filter(spark, sf_dir):
     out = words.join(kept, "doc_id", "left")
     kp = F.coalesce(F.col("_kp"), F.expr("array()").cast("array<int>"))
     n_paras = F.ceil(n / F.lit(float(P)))
-    all_paras = F.sequence(F.lit(0), (n_paras - 1).cast("int"))
-    kept_full = F.filter(
-        all_paras,
-        lambda p: (F.array_position(kp, p) > 0) | ((n - p * P) == 1),
-    )
+    # Linear reassembly (r15, r14 VERDICT task 5 — the r14 form
+    # filtered all_paras by array_position(kp, p), an O(paras × kept)
+    # scan per document: ~4M comparisons in the projection for a 2k-
+    # paragraph doc).  The no-evidence rule can only ever add the LAST
+    # paragraph: a single-token paragraph has no within-paragraph
+    # bigrams (its one token at position n leaves the i-range
+    # [p*P+1, n-1] empty), so it never reaches kp through the
+    # familiarity join — and kp's entries all come from bigram indices
+    # i ≤ n-1, hence para ≤ (n-2)//P < last.  kept_full is therefore
+    # kp itself (already sorted) plus, iff the token count is ≡ 1 mod
+    # P, the last paragraph appended — which preserves sort order.
+    # Output-equality with the r14 scan is pinned for ≥1k-paragraph
+    # docs by test_paragraph_filter_linear_reassembly_equivalence.
+    last_para = (n_paras - 1).cast("int")
+    kept_full = F.when(
+        n % P == 1, F.concat(kp, F.array(last_para))
+    ).otherwise(kp)
     toks_after = F.flatten(
         F.transform(kept_full, lambda p: F.slice("_w", p * P + 1, P))
     )

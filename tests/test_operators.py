@@ -2998,9 +2998,12 @@ def test_percent_normalize_adversarial(spark):
     """percent_normalize (r14) — RFC 3986 §6.2.2 on top of the r13
     canonicalizer: unreserved escapes decode across EVERY hex case
     form, reserved escapes stay encoded but uppercase (decoding %2F
-    would fabricate a path segment), invalid escapes (bare '%', one
-    hex digit, non-hex) pass through verbatim, and %25 never decodes
-    (it would re-open a decode pass on whatever follows)."""
+    would fabricate a path segment), a malformed bare '%' (not
+    followed by two hex digits) canonicalizes to its own escape %25
+    (r15 — the protection pass that makes the chain idempotent on ALL
+    input; r14 passed these through verbatim, which let a bare '%'
+    steal decoded output and fabricate a fresh escape), and %25 never
+    decodes (it would re-open a decode pass on whatever follows)."""
     from pyspark.sql import Row
 
     from tamar_spark.functions.text import percent_normalize
@@ -3012,14 +3015,20 @@ def test_percent_normalize_adversarial(spark):
         ("a%2fb%3Fc%23d", "a%2Fb%3Fc%23d"),          # delimiters: upper, kept
         ("%25%34", "%254"),                          # %25 kept, %34 decoded
         ("%3a%3A", "%3A%3A"),                        # hex case fold only
-        ("100% sure", "100% sure"),                  # bare % + non-hex
-        ("%4", "%4"), ("%", "%"), ("%zz", "%zz"),    # truncated/invalid
+        ("100% sure", "100%25 sure"),                # bare % protected
+        ("%4", "%254"), ("%", "%25"), ("%zz", "%25zz"),  # truncated/invalid
         ("%aF%Af%af%AF", "%AF%AF%AF%AF"),            # 0xAF not unreserved
-        # documented best-effort on MALFORMED input: a bare '%' directly
-        # before decoded output re-reads as a new escape ('%'+'2'+'E'
-        # → '.'); RFC-valid URLs (every % starts a valid escape) never
-        # reach this — the idempotence fuzz covers the valid grammar
-        ("%%32%45", "."),
+        # the r14 documented-divergence inputs, now CLOSED by the
+        # protection pass: the bare '%' becomes %25 before any decode,
+        # so it can no longer steal the decoded '2'/'E' ('%%32%45' →
+        # '%25%32%45' → '%252E', a fixed point) — r14 read '.', and a
+        # second application then diverged ('.' vs '%2E' → '.')
+        ("%%32%45", "%252E"),
+        ("%%37%45", "%257E"),
+        # the nesting that defeats ANY fixed number of extra decode
+        # sweeps without protection (needs 3 passes: → '%%37E' →
+        # '%7E' → '~'); with protection it is a one-pass fixed point
+        ("%%%33%37%45", "%25%2537E"),
     ]
     df = spark.createDataFrame(
         [Row(id=i, s=s) for i, (s, _) in enumerate(cases)]
@@ -3345,3 +3354,99 @@ def test_seasonal_decompose_additivity(spark, sf_dir):
     for r in rows:
         assert (r.trend is None) == (r.residual is None)
         assert r.seasonal is not None
+
+
+def test_paragraph_filter_linear_reassembly_equivalence(spark):
+    """r15 (r14 VERDICT task 5): the linear reassembly — kp plus an
+    appended last paragraph iff n ≡ 1 (mod P) — must produce exactly
+    the r14 output, whose formulation scanned the kept list once per
+    paragraph (filter(all_paras, p -> array_position(kp, p) > 0 or
+    n - p*P == 1): O(paras × kept) per row).  The reference here
+    re-implements the FULL r14 semantics in Python — bigram counts,
+    corpus mean, the 0.9× keep rule, and the membership-scan
+    reassembly verbatim — and the real pipeline runs over documents up
+    to 2,000 paragraphs (the verdict's ≥1k bar), plus the boundary
+    sizes where the two formulations could plausibly diverge (n = 1,
+    P, P+1, 2P+1, a multiple with an unfamiliar tail).  Every integer
+    division/sum is exact and the one IEEE division + 0.9× product is
+    computed identically in both engines, so equality is exact."""
+    import hashlib
+    import math
+    import re as _re
+
+    from pyspark.sql import Row
+
+    from tamar_spark.queries_pipeline import _PARA_P, _paragraph_filter_frame
+
+    P = _PARA_P
+    rng_tokens = {
+        # long docs: a small common vocabulary (familiar bigrams) with
+        # runs of unique tokens spliced in (count-1 bigrams → those
+        # paragraphs fall under 0.9× the corpus mean and drop)
+        0: ["t%d" % ((i * 7919 + i // 97) % 23) for i in range(10001)],
+        1: [
+            ("u%d" % i) if (i // 10) % 7 == 3 else ("t%d" % ((i * 31) % 23))
+            for i in range(20000)
+        ],
+        2: ["t%d" % (i % 5) for i in range(10050 + 1)],
+        # boundary sizes
+        3: ["a"],                                     # n = 1
+        4: ["t%d" % (i % 3) for i in range(P)],       # n = P
+        5: ["t%d" % (i % 3) for i in range(P + 1)],   # n = P+1 (1-token tail)
+        6: ["x%d" % i for i in range(2 * P + 1)],     # unfamiliar + tail
+        7: ["t1", "t2"] * (P // 2) + ["q9"],          # n = P+1 mixed
+    }
+    docs = [(d, " ".join(toks)) for d, toks in sorted(rng_tokens.items())]
+
+    # --- r14 reference, verbatim semantics -------------------------------
+    words = {d: _re.split(r"\s+", t.strip()) for d, t in docs}
+    cnt: dict = {}
+    occ = []  # (doc, para, bigram)
+    for d, w in words.items():
+        n = len(w)
+        for i in range(1, n):  # 1-based bigram index, i % P != 0
+            if i % P != 0:
+                bg = w[i - 1] + " " + w[i]
+                occ.append((d, (i - 1) // P, bg))
+                cnt[bg] = cnt.get(bg, 0) + 1
+    cs = [cnt[bg] for _, _, bg in occ]
+    gmean = sum(cs) / len(cs)
+    fam: dict = {}
+    for d, para, bg in occ:
+        s, k = fam.get((d, para), (0, 0))
+        fam[(d, para)] = (s + cnt[bg], k + 1)
+    keptset = {
+        key for key, (s, k) in fam.items() if s / k >= 0.9 * gmean
+    }
+    expected = {}
+    for d, w in words.items():
+        n = len(w)
+        n_paras = math.ceil(n / float(P))
+        kept_full = [
+            p
+            for p in range(n_paras)
+            if (d, p) in keptset or (n - p * P) == 1  # r14 membership scan
+        ]
+        toks_after = [
+            tok for p in kept_full for tok in w[p * P : p * P + P]
+        ]
+        expected[d] = (
+            n_paras,
+            len(kept_full),
+            n,
+            len(toks_after),
+            hashlib.md5(" ".join(toks_after).encode()).hexdigest(),
+        )
+
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.n_before, r.n_after, r.cleaned_fp)
+        for r in _paragraph_filter_frame(
+            spark.createDataFrame([Row(doc_id=d, text=t) for d, t in docs])
+        ).collect()
+    }
+    assert got == expected
+    # the comparison is only meaningful if the filter actually bites:
+    # at least one long doc must both drop and keep paragraphs
+    assert any(
+        0 < got[d][1] < got[d][0] for d in (0, 1, 2)
+    ), {d: got[d][:2] for d in (0, 1, 2)}

@@ -701,10 +701,13 @@ _URL_SEGMENT = st.one_of(
         st.booleans(),
         st.booleans(),
     ).map(_escape_with_case),
-    # literal RFC-legal characters (no bare '%': every '%' in a VALID
-    # URL starts an escape — the documented best-effort boundary)
+    # literal characters INCLUDING bare '%' (r15, closing the r14
+    # ADVICE: the fuzz previously covered only the valid grammar, so
+    # the bare-% fabrication divergence was never exercised; the
+    # protection pass now canonicalizes a bare '%' to %25 and the
+    # chain must be idempotent on these too)
     st.text(
-        alphabet="abzAZ09-._~/?#&=:@ ", min_size=0, max_size=6
+        alphabet="abzAZ09-._~/?#&=:@ %", min_size=0, max_size=6
     ),
 )
 
@@ -716,9 +719,12 @@ percent_urls_strategy = st.lists(
 
 
 def _ref_percent_normalize(s: str) -> str:
-    """Independent single-pass reference: one regex scan, decode the
-    unreserved set, uppercase the hex of every other valid escape —
-    never rescans its own output, exactly the RFC's normal form."""
+    """Independent single-pass reference: protect every malformed bare
+    '%' as %25 (r15 — RFC 3986's grammar forbids a bare '%', and
+    encoding it is the one canonical spelling that closes the chain),
+    then one regex scan decoding the unreserved set and uppercasing
+    the hex of every other valid escape — never rescans its own
+    output, exactly the RFC's normal form."""
     import re
     import string as _string
 
@@ -728,6 +734,7 @@ def _ref_percent_normalize(s: str) -> str:
         ch = chr(int(m.group(1), 16))
         return ch if ch in unreserved else "%" + m.group(1).upper()
 
+    s = re.sub(r"%(?![0-9A-Fa-f]{2})", "%25", s)
     return re.sub(r"%([0-9A-Fa-f]{2})", repl, s)
 
 
@@ -738,29 +745,34 @@ def _ref_percent_normalize(s: str) -> str:
 )
 @given(urls=percent_urls_strategy)
 def test_percent_normalize_matches_single_pass_reference(spark, urls):
-    """The 12+66-pass codegen replace chain must equal the one-pass
-    reference on every RFC-valid input (no bare '%'): the chain's
-    passes touch disjoint escape patterns and replacements never
-    create new valid escapes without a preceding bare '%', so chain
-    order is unobservable — this property is what makes the chain a
-    legitimate implementation of the single-scan semantics."""
+    """The 1+12+66-pass codegen replace chain must equal the one-pass
+    reference on EVERY input, including malformed bare-'%' strings
+    (r15): after the protection pass every '%' owns a valid escape,
+    the remaining passes touch disjoint escape patterns, and
+    replacements can no longer fabricate new escapes (fabrication
+    needed a bare '%' to steal decoded output), so chain order is
+    unobservable — this property is what makes the chain a legitimate
+    implementation of the single-scan semantics.  Idempotence
+    (chain∘chain == chain) is asserted on the same inputs: the r14
+    ADVICE divergence was exactly a fuzz that stopped at the valid
+    grammar."""
     from tamar_spark.functions.text import percent_normalize
 
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(urls)], "id int, u string"
     )
     got = {
-        r.id: r.n
+        r.id: (r.n, r.n2)
         for r in df.select(
             "id", percent_normalize(F.col("u")).alias("n")
-        ).collect()
+        )
+        .withColumn("n2", percent_normalize(F.col("n")))
+        .collect()
     }
     for i, u in enumerate(urls):
-        assert got[i] == _ref_percent_normalize(u), (
-            u,
-            got[i],
-            _ref_percent_normalize(u),
-        )
+        ref = _ref_percent_normalize(u)
+        assert got[i][0] == ref, (u, got[i][0], ref)
+        assert got[i][1] == got[i][0], ("not idempotent", u, got[i])
 
 
 # ---------------------------------------------------------------------------
