@@ -28,6 +28,8 @@ __all__ = [
     "percent_normalize",
     "remove_dot_segments",
     "url_host",
+    "idn_fold_host",
+    "unicode_normalize",
     "url_query_params",
     "URL_TRACKING_KEYS",
     "URL_TRACKING_PREFIXES",
@@ -252,6 +254,62 @@ def _entity_decode_single_pass(text: Column, named=None) -> Column:
     return pandas_udf(_decode, "string")(text)
 
 
+def unicode_normalize(
+    text: Column, form: str = "NFC", casefold: bool = False
+) -> Column:
+    """Unicode normalization — the r14-VERDICT lead gap: the same
+    spelling in NFC vs NFD (``café`` composed U+00E9 vs ``cafe`` +
+    combining U+0301 — ubiquitous in real crawl data: macOS filenames,
+    copy-paste chains) previously split dedup_exact's md5, every
+    MinHash/SimHash shingle set, and the canonical_url host fold, with
+    no kernel and no declared scope line.
+
+    ``form`` is one of the four UAX #15 normal forms (``NFC`` default;
+    ``NFD``/``NFKC``/``NFKD`` opt-in — compatibility forms fold
+    ligatures ``ﬁ`` → ``fi``, fullwidth ``Ａ`` → ``A``, superscripts
+    ``²`` → ``2``, which is a LOSSY choice a pipeline must opt into).
+    ``casefold=True`` applies the full Unicode case fold after
+    normalization and re-normalizes (case folding can denormalize —
+    the standard fold-then-renormalize composition, the shape of
+    NFKC_Casefold without its default-ignorable removals).
+
+    Composition: opt-in FIRST stage of the dedup-key kernels — feed
+    ``unicode_normalize(text)`` into :func:`fingerprint` /
+    :func:`normalize_ws` / the shingle builders when the corpus is
+    real crawl text; :func:`idn_fold_host` applies the NFC rule to
+    host labels internally.  Idempotent (a normal form is a fixed
+    point by definition, and full case folding is idempotent);
+    NFC(NFD(x)) == NFC(x) and the composed/decomposed collapse are
+    pinned by property tests.
+
+    Scope (stated): no whitespace or case changes unless
+    ``casefold=True`` (use :func:`normalize_ws` for the lowercase+
+    whitespace canonical form), no locale-tailored folds (Turkish
+    dotless-i), no UTS-46/PRECIS profile, no default-ignorable
+    stripping.
+
+    Scale: one Arrow-batched pandas UDF (``unicodedata.normalize``
+    per batch — the :func:`decode_numeric_entities` plan shape), no
+    shuffle, cost ∝ bytes; real pipelines run it fused into the same
+    projection as the rest of the text chain."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unsupported normal form: {form!r}")
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(t: str) -> str:
+        out = unicodedata.normalize(form, t)
+        if casefold:
+            out = unicodedata.normalize(form, out.casefold())
+        return out
+
+    def _norm(s):
+        return s.map(lambda t: None if t is None else _one(t))
+
+    return pandas_udf(_norm, "string")(text)
+
+
 def html_main_text(html: Column, numeric_entities: bool = False) -> Column:
     """Main-text extraction from HTML — the first stage of every real
     pretraining pipeline (WET-style text harvesting), entirely in
@@ -430,7 +488,7 @@ URL_TRACKING_PREFIXES = ("utm_",)
 URL_TRACKING_KEYS = ("fbclid", "gclid")
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(url: Column, idn: bool = False) -> Column:
     """Canonical form of an absolute http(s) URL — the crawl-dedup key
     (two fetches of one resource must collapse to one key), entirely in
     codegen expressions:
@@ -457,11 +515,15 @@ def canonical_url(url: Column) -> Column:
     - userinfo preserved VERBATIM (r14): ``user:pass@host`` is
       case-sensitive, so the host fold splits at the last ``@`` and
       folds only the host side (:func:`url_host` returns the bare
-      host for grouping; the canonical string keeps the userinfo).
+      host for grouping; the canonical string keeps the userinfo);
+    - with ``idn=True`` (r15), internationalized host labels fold to
+      their punycode ASCII form (:func:`idn_fold_host` — a Unicode
+      host and its ``xn--`` DNS spelling are one key); the default
+      stays pure codegen, preserving url_canonicalize's zero-Python
+      plan contract.
 
-    The canonical_url scope lines are now closed; remaining URL
-    non-goals are IDN/punycode folding and scheme-specific semantics
-    beyond http(s) defaults."""
+    The canonical_url scope lines are now closed; the remaining URL
+    non-goal is scheme-specific semantics beyond http(s) defaults."""
     u = percent_normalize(url)
     path_raw = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
     path = remove_dot_segments(
@@ -472,7 +534,7 @@ def canonical_url(url: Column) -> Column:
         _url_scheme(u),
         F.lit("://"),
         _url_userinfo(u),
-        url_host(u),
+        url_host(u, idn=idn),
         path,
         F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
             F.lit("")
@@ -513,23 +575,85 @@ def _url_userinfo(url: Column) -> Column:
     return F.regexp_extract(url, r"^[^:]+://([^/?#]*@)", 1)
 
 
-def url_host(url: Column) -> Column:
+def url_host(url: Column, idn: bool = False) -> Column:
     """The canonical (lowercased, default-port-stripped, bare) host of
     ``url`` — the grouping key for per-domain crawl statistics, and
     the host component :func:`canonical_url` assembles (one source of
     truth for the scheme-aware default-port rule).  Userinfo is
     STRIPPED here (r14): ``user@Ex.COM`` and ``Ex.com`` are the same
     domain for stats; the canonical string keeps the userinfo via its
-    own component."""
+    own component.  With ``idn=True`` (r15) the host additionally
+    folds internationalized labels to their punycode ASCII form via
+    :func:`idn_fold_host` — one Arrow stage; the default stays pure
+    codegen."""
     scheme = _url_scheme(url)
     hostport = F.lower(
         F.regexp_extract(url, r"^[^:]+://(?:[^/?#]*@)?([^/?#@]*)", 1)
     )
-    return (
+    bare = (
         F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
         .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
         .otherwise(hostport)
     )
+    return idn_fold_host(bare) if idn else bare
+
+
+def idn_fold_host(host: Column) -> Column:
+    """Fold internationalized domain labels to punycode ASCII (RFC
+    3492) so a Unicode host and its ``xn--`` DNS form are ONE dedup
+    key (r14 VERDICT task 4 — previously a declared canonical_url
+    non-goal, and ``xn--`` hosts are common in real URL corpora).
+    Input is an already-lowercased bare host (:func:`url_host`'s
+    output); per ``.``-separated label:
+
+    - pure-ASCII label without the ``xn--`` prefix: verbatim;
+    - label containing non-ASCII: NFC-normalize (two Unicode
+      spellings of one name must land on one key — the r15
+      normalization rule, see :func:`unicode_normalize`), then
+      ``'xn--' + punycode`` (stdlib RFC 3492 codec);
+    - existing ``xn--<p>`` label: decode ``p``, NFC-normalize, and
+      RE-encode — canonicalizing alias spellings (an ``xn--`` form
+      that encodes a non-NFC string folds onto the NFC key);
+      INVALID punycode passes through VERBATIM (a malformed label
+      must never corrupt the host or throw at 100 TB).
+
+    Scope (stated, not silently approximated): RFC 3492 encoding
+    only — no UTS-46/IDNA2008 mapping tables, bidi or contextual-rule
+    validation, and no 63-octet label-length enforcement; the case
+    fold is url_host's lowercase, applied BEFORE this stage.
+
+    Scale: one Arrow-batched pandas UDF, no shuffle, cost ∝ labels —
+    and Catalyst co-batches it with any sibling Arrow stage of the
+    same projection into a single ArrowEvalPython node (verified by
+    the crawl_normalize plan contract)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _fold_label(lab: str) -> str:
+        if lab.startswith("xn--"):
+            try:
+                decoded = lab[4:].encode("ascii").decode("punycode")
+                nfc = unicodedata.normalize("NFC", decoded)
+                return "xn--" + nfc.encode("punycode").decode("ascii")
+            except UnicodeError:
+                return lab  # invalid punycode: verbatim
+        if lab.isascii():
+            return lab
+        nfc = unicodedata.normalize("NFC", lab)
+        try:
+            return "xn--" + nfc.encode("punycode").decode("ascii")
+        except UnicodeError:  # defensive: stdlib encode accepts any str
+            return lab
+
+    def _fold(s):
+        return s.map(
+            lambda h: None
+            if h is None
+            else ".".join(_fold_label(lab) for lab in h.split("."))
+        )
+
+    return pandas_udf(_fold, "string")(host)
 
 
 def bpe_ish_token_count(text: Column) -> Column:

@@ -3450,3 +3450,160 @@ def test_paragraph_filter_linear_reassembly_equivalence(spark):
     assert any(
         0 < got[d][1] < got[d][0] for d in (0, 1, 2)
     ), {d: got[d][:2] for d in (0, 1, 2)}
+
+
+def test_idn_fold_host_adversarial(spark):
+    """idn_fold_host (r15, r14 VERDICT task 4): Unicode labels fold to
+    their RFC 3492 punycode ASCII form; a Unicode host and its xn--
+    DNS spelling are ONE key; existing xn-- labels re-canonicalize
+    through decode → NFC → re-encode; INVALID punycode passes through
+    verbatim; pure-ASCII labels are untouched.  Fixtures include the
+    RFC 3492 §7.1 sample strings (C Chinese simplified, L Japanese)
+    as the spec pins them."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import idn_fold_host
+
+    cases = [
+        ("bücher.example", "xn--bcher-kva.example"),
+        # decomposed spelling of the SAME host -> the same key
+        ("bücher.example", "xn--bcher-kva.example"),
+        ("xn--bcher-kva.example", "xn--bcher-kva.example"),
+        # RFC 3492 7.1 (C) Chinese (simplified): 他们为什么不说中文
+        (
+            "他们为什么不说中文.cn",
+            "xn--ihqwcrb4cv8a8dqg056pqjye.cn",
+        ),
+        # RFC 3492 7.1 (L): 3年B組金八先生 (mixed basic + non-basic),
+        # after the host convention's lowercase ('b' stays 'b')
+        (
+            "3年b組金八先生.example",
+            "xn--3b-ww4c5e180e575a65lsy2b.example",
+        ),
+        ("www.example.com", "www.example.com"),      # pure ASCII verbatim
+        # invalid punycode: truncated extended part -> VERBATIM
+        ("xn--zzz999.example", "xn--zzz999.example"),
+        # xn-- label that decodes but was encoded from a non-NFC
+        # string re-canonicalizes onto the NFC key: 'bücher' spelled
+        # decomposed (u + combining diaeresis) encodes to
+        # 'bucher-xyd' -- decode + NFC + re-encode folds it
+        ("xn--bucher-xyd.example", "xn--bcher-kva.example"),
+        ("日本語.jp", "xn--wgv71a119e.jp"),
+        # mixed: one ASCII label, one IDN label
+        ("api.例え.test", "api.xn--r8jz45g.test"),
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, h=h) for i, (h, _) in enumerate(cases)]
+    )
+    got = {
+        r.id: r.f
+        for r in df.select("id", idn_fold_host(F.col("h")).alias("f")).collect()
+    }
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+
+
+def test_url_host_idn_knob_and_canonical_url_composition(spark):
+    """The idn knob end-to-end: two spellings of one IDN URL (Unicode
+    composed, Unicode decomposed, and the xn-- form) must produce ONE
+    canonical_url(idn=True) key, while the default idn=False path is
+    byte-identical to r14 (the zero-Python contract of
+    url_canonicalize depends on it)."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import canonical_url, url_host
+
+    urls = [
+        "https://Bücher.example:443/x?a=1",
+        "https://Bücher.example/x?a=1",
+        "https://xn--bcher-kva.example:443/x?a=1#frag",
+    ]
+    df = spark.createDataFrame([Row(id=i, u=u) for i, u in enumerate(urls)])
+    rows = df.select(
+        "id",
+        canonical_url(F.col("u"), idn=True).alias("c"),
+        url_host(F.col("u"), idn=True).alias("h"),
+        canonical_url(F.col("u")).alias("c0"),
+    ).collect()
+    keys = {r.c for r in rows}
+    hosts = {r.h for r in rows}
+    assert keys == {"https://xn--bcher-kva.example/x?a=1"}, keys
+    assert hosts == {"xn--bcher-kva.example"}, hosts
+    # idn=False keeps the Unicode spellings distinct (scope-stated)
+    c0 = {r.id: r.c0 for r in rows}
+    assert c0[2] == "https://xn--bcher-kva.example/x?a=1"
+    assert c0[0] == "https://bücher.example/x?a=1"
+    assert c0[1] == "https://bücher.example/x?a=1"
+
+
+def test_unicode_normalize_forms_and_idempotence(spark):
+    """unicode_normalize (r15, r14 VERDICT task 1): composed and
+    decomposed spellings land on one NFC key (the dedup-key claim);
+    singleton decompositions fold (U+212B ANGSTROM SIGN -> U+00C5);
+    Hangul jamo compose; combining marks reach canonical order (two
+    orderings, one key); NFKC folds compatibility forms (ligature,
+    fullwidth, superscript) that NFC must NOT touch; casefold=True is
+    the fold-then-renormalize composition.  Idempotence and
+    NFC(NFD(x)) == NFC(x) are asserted for every fixture IN the same
+    Spark job (normalize twice, compare columns)."""
+    import unicodedata
+
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import unicode_normalize
+
+    fixtures = [
+        "café",                # decomposed e + acute
+        "café",                 # composed
+        "Ångström",        # ANGSTROM SIGN singleton
+        "가힠",        # jamo pair + lone trailing jamo
+        "q̣̇",             # marks out of canonical order
+        "q̣̇",             # canonical order
+        "ﬁle für Ａ１ m²",  # NFKC bait
+        "Å",                   # A + ring = Å
+        "ß STİ",           # sharp s + dotted capital I (casefold)
+        "plain ascii stays",
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, s=s) for i, s in enumerate(fixtures)]
+    )
+    out = df.select(
+        "id",
+        "s",
+        unicode_normalize(F.col("s")).alias("nfc"),
+        unicode_normalize(F.col("s"), form="NFD").alias("nfd"),
+        unicode_normalize(F.col("s"), form="NFKC").alias("nfkc"),
+        unicode_normalize(F.col("s"), casefold=True).alias("cf"),
+    )
+    out = out.withColumn("nfc2", unicode_normalize(F.col("nfc"))).withColumn(
+        "nfc_of_nfd", unicode_normalize(F.col("nfd"))
+    ).withColumn("cf2", unicode_normalize(F.col("cf"), casefold=True))
+    rows = {r.id: r for r in out.collect()}
+    for i, s in enumerate(fixtures):
+        r = rows[i]
+        assert r.nfc == unicodedata.normalize("NFC", s), (s, r.nfc)
+        assert r.nfkc == unicodedata.normalize("NFKC", s), (s, r.nfkc)
+        assert r.nfc2 == r.nfc, ("not idempotent", s)
+        assert r.nfc_of_nfd == r.nfc, ("NFC(NFD(x)) != NFC(x)", s)
+        assert r.cf2 == r.cf, ("casefold not idempotent", s)
+    # the dedup-key collapses the kernel exists for:
+    assert rows[0].nfc == rows[1].nfc == "café"
+    assert rows[4].nfc == rows[5].nfc            # one mark ordering
+    assert rows[2].nfc.startswith("Å")      # singleton folded
+    assert rows[7].nfc == "Å"
+    # NFC preserves compatibility characters; NFKC folds them
+    assert rows[6].nfc == fixtures[6]
+    assert rows[6].nfkc == "file für A1 m2"
+    # casefold: sharp-s -> ss, dotted capital I -> i + combining dot
+    assert rows[8].cf == unicodedata.normalize(
+        "NFC", unicodedata.normalize("NFC", fixtures[8]).casefold()
+    )
+
+
+def test_unicode_normalize_rejects_unknown_form():
+    import pytest as _pytest
+
+    from tamar_spark.functions.text import unicode_normalize
+
+    with _pytest.raises(ValueError):
+        unicode_normalize(F.lit("x"), form="NFKC_Casefold")

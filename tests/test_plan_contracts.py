@@ -461,13 +461,18 @@ def test_r13_media_text_rows_are_single_scan_no_exchange(spark, sf_dir):
 
 
 def test_r14_crawl_rows_plan_contract(spark, sf_dir):
-    """The r14 crawl rows' scale contract: crawl_normalize is a single
+    """The crawl rows' scale contract: crawl_normalize is a single
     pruned (doc_id, text) scan with ZERO exchanges and exactly ONE
-    Arrow stage (the per-match chr() of the numeric-entity decode —
-    the URL side stays pure codegen even with the r14 percent-
-    normalization chain); url_canonicalize must REMAIN zero-Python
-    after canonical_url grew that chain (the pure-codegen claim is
-    load-bearing in its docstring and BASELINE row)."""
+    ArrowEvalPython node — since r15 that node co-batches TWO
+    independent pandas UDFs (the per-match chr() of the numeric-
+    entity decode and the idn=True host fold; Catalyst fuses sibling
+    non-nested Python UDFs of one projection into one Arrow exchange,
+    which this pin now also guards: a refactor that NESTS them would
+    split the node); url_canonicalize must REMAIN zero-Python after
+    canonical_url grew the percent chain + the r15 bare-'%'
+    protection pass (the pure-codegen claim is load-bearing in its
+    docstring and BASELINE row, and is why the idn knob defaults
+    off)."""
     for name, arrow_stages in (("crawl_normalize", 1), ("url_canonicalize", 0)):
         df = QUERIES[name](spark, sf_dir)
         plan = executed_plan(df)
