@@ -207,6 +207,10 @@ EXTENDED = [
     # driver-checked at sf0.01)
     "crawl_normalize",
     "paragraph_filter",
+    # round-15 additions: the two new crawl-front-end stages (both
+    # single-scan, one Arrow stage; bands pinned in BASELINE.md r15)
+    "text_normalize",
+    "decode_charset",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -30,6 +30,7 @@ __all__ = [
     "url_host",
     "idn_fold_host",
     "unicode_normalize",
+    "decode_charset",
     "url_query_params",
     "URL_TRACKING_KEYS",
     "URL_TRACKING_PREFIXES",
@@ -252,6 +253,148 @@ def _entity_decode_single_pass(text: Column, named=None) -> Column:
         return s.map(lambda t: None if t is None else pat.sub(repl, t))
 
     return pandas_udf(_decode, "string")(text)
+
+
+# WHATWG Encoding Standard label remaps we honor (the ONE widely-relied-on
+# alias family: pages labeled latin-1/ascii are windows-1252 in every
+# browser, and crawl text decoded as strict latin-1 would turn smart
+# quotes into C1 control characters).  Everything else resolves through
+# the Python codec registry by its stated label — deterministic, no
+# statistical sniffing (stated decode_charset scope).
+_CHARSET_WHATWG_1252 = frozenset(
+    {
+        "iso-8859-1",
+        "iso8859-1",
+        "latin-1",
+        "latin1",
+        "us-ascii",
+        "ascii",
+        "cp819",
+        "l1",
+        "windows-1252",
+        "cp1252",
+        "x-cp1252",
+    }
+)
+
+# how far into the payload the <meta charset> prescan looks — the WHATWG
+# prescan convention (browsers scan the first 1024 bytes)
+_CHARSET_PRESCAN_BYTES = 1024
+
+_CHARSET_META_RE = None  # compiled lazily inside the UDF closure
+
+
+def decode_charset(data: Column, default: str = "utf-8") -> Column:
+    """Charset decode for crawl ingestion (r15, r14 VERDICT task 3):
+    real pages are BYTES in windows-1252 / shift-jis / utf-16 with a
+    transport hint, not UTF-8 strings — html_main_text's string input
+    contract silently assumed this stage had already run.  Returns a
+    struct ``(text, encoding, n_replaced)``; one Arrow-batched stage
+    over a ``binary`` column (the multimodal convention).
+
+    Deterministic hint resolution, in priority order:
+
+    1. **BOM**: ``EF BB BF`` → UTF-8 (BOM stripped); ``FF FE`` /
+       ``FE FF`` → UTF-16 LE/BE (BOM consumed).  A BOM always wins —
+       a ``<meta>`` that contradicts it is lying about bytes that are
+       already self-describing (pinned adversarially);
+    2. **meta prescan**: the first 1024 bytes (the WHATWG prescan
+       window), decoded as latin-1 for scanning only, searched for
+       the first ``<meta ... charset=LABEL`` (plain or http-equiv
+       form).  The label resolves through the Python codec registry,
+       with the WHATWG latin-1/ascii → windows-1252 remap (the one
+       alias family every browser applies); an UNKNOWN label falls
+       through to the default;
+    3. **default** (``utf-8`` unless overridden).
+
+    Undecodable byte runs are replaced with U+FFFD and COUNTED
+    exactly (``n_replaced`` — a custom error handler, so the audit
+    column is the true replacement count, not a count of U+FFFD
+    characters the source might legitimately contain).  ``encoding``
+    reports the canonical codec name actually used.
+
+    Stated scope: deterministic hints only — no chardet-style
+    statistical sniffing, no UTF-32 BOM detection (``FF FE 00 00``
+    is read as UTF-16-LE whose first character is NUL — documented,
+    not silently special-cased), no charset attribute inside
+    ``<?xml`` declarations.
+
+    Scale: one Arrow stage, no shuffle, cost ∝ bytes; the prescan
+    regex runs over at most 1 KiB per document."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    default_name = __import__("codecs").lookup(default).name
+
+    def _decode_batch(s):
+        import codecs
+
+        meta_re = re.compile(
+            r"(?is)<meta[^>]{0,256}?charset\s*=\s*[\"']?\s*"
+            r"([a-z0-9_.:+-]+)"
+        )
+        count = [0]
+
+        def _counting_replace(exc):
+            if isinstance(exc, UnicodeDecodeError):
+                count[0] += 1
+                return ("�", exc.end)
+            raise exc
+
+        # module-keyed name: registration is global to the worker and
+        # idempotent; the handler reads the closure's counter, which
+        # is reset per value (Arrow workers are single-threaded)
+        codecs.register_error("tamar_count_replace", _counting_replace)
+
+        def _resolve(label: str) -> str | None:
+            lab = label.strip().lower()
+            if lab in _CHARSET_WHATWG_1252:
+                return "cp1252"
+            try:
+                return codecs.lookup(lab).name
+            except LookupError:
+                return None
+
+        def _one(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            if b.startswith(b"\xef\xbb\xbf"):
+                enc, payload = "utf-8", b[3:]
+            elif b.startswith(b"\xff\xfe"):
+                enc, payload = "utf-16-le", b[2:]
+            elif b.startswith(b"\xfe\xff"):
+                enc, payload = "utf-16-be", b[2:]
+            else:
+                enc, payload = None, b
+                head = b[:_CHARSET_PRESCAN_BYTES].decode("latin-1")
+                m = meta_re.search(head)
+                if m:
+                    enc = _resolve(m.group(1))
+                if enc is None:
+                    enc = default_name
+            count[0] = 0
+            text = payload.decode(enc, errors="tamar_count_replace")
+            return {
+                "text": text,
+                "encoding": enc,
+                "n_replaced": count[0],
+            }
+
+        import pandas as pd
+
+        return pd.DataFrame(
+            [
+                _one(v) or {"text": None, "encoding": None, "n_replaced": None}
+                for v in s
+            ],
+            columns=["text", "encoding", "n_replaced"],
+        )
+
+    return pandas_udf(
+        _decode_batch, "text string, encoding string, n_replaced bigint"
+    )(data)
 
 
 def unicode_normalize(

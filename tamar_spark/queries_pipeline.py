@@ -27,7 +27,16 @@ corpus pipeline runs at 100 TB:
 - **paragraph_filter** (r14) — CCNet-style paragraph-level quality
   filtering: 10-token pseudo-paragraphs scored by within-paragraph bigram
   familiarity against the corpus counts, the unfamiliar tail dropped, docs
-  reassembled with span_rewrite-shaped audit columns.
+  reassembled with span_rewrite-shaped audit columns (linear reassembly
+  since r15).
+- **text_normalize** (r15) — Unicode normalization as the dedup-key first
+  stage: NFC/NFKC/casefold over explicit UAX #15 hazard fixtures
+  (composed/decomposed, singleton, compatibility, mark reordering, jamo),
+  oracle-stated literals, one Arrow stage.
+- **decode_charset** (r15) — the byte-level crawl front end: BOM, then
+  WHATWG-style <meta charset> prescan (with the latin-1→cp1252 remap),
+  then default; exact replacement counting; oracle-stated literals, one
+  Arrow stage over codegen-synthesized multi-charset binary payloads.
 - **repetition_filters** — Gopher-style repetition heuristics (Rae et al.
   2021 table A1): top-word fraction and duplicate-trigram fraction.  Both
   are explode → two-level doc_id-keyed aggregates: every shuffle is on
@@ -554,6 +563,216 @@ def crawl_normalize(spark, sf_dir):
         "canon_url",
         F.length("_t").cast("bigint").alias("n_chars"),
         F.sha2(F.col("_t"), 256).alias("text_sha"),
+    )
+
+
+_CHARSET_SQL = f"""
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN '<p>Caf\u00e9 ' || CAST(doc_id AS VARCHAR) || '</p>'
+         WHEN 1 THEN '<meta charset="shift_jis"><p>id '
+                     || CAST(doc_id AS VARCHAR) || '</p>'
+         WHEN 2 THEN '<meta charset=latin-1>\u201cquoted\u201d \u00e9 '
+                     || CAST(doc_id AS VARCHAR)
+         WHEN 3 THEN '<meta charset=shift_jis>\u65e5\u672c\u8a9e '
+                     || CAST(doc_id AS VARCHAR)
+         ELSE 'plain \ufffd text ' || CAST(doc_id AS VARCHAR)
+       END AS text,
+       CASE doc_id % 5
+         WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16-le'
+         WHEN 2 THEN 'cp1252' WHEN 3 THEN 'shift_jis' ELSE 'utf-8'
+       END AS encoding,
+       CAST(CASE doc_id % 5 WHEN 4 THEN 1 ELSE 0 END AS BIGINT) AS n_replaced
+FROM documents
+"""
+
+
+@query("decode_charset", _CHARSET_SQL)
+def decode_charset_q(spark, sf_dir):
+    """Charset decode for crawl ingestion (r15, r14 VERDICT task 3 —
+    the stage html_main_text's string contract silently assumed):
+    five byte-payload shapes by ``doc_id % 5``, synthesized entirely
+    in codegen as ``binary`` concat (fixed byte literals + the
+    encoded doc_id), then decoded by ONE Arrow stage
+    (:func:`tamar_spark.functions.text.decode_charset`):
+
+    - shape 0: UTF-8 with BOM — BOM honored and STRIPPED;
+    - shape 1: UTF-16-LE with BOM whose payload carries a LYING
+      ``<meta charset="shift_jis">`` — the BOM must win (the meta is
+      hearsay about bytes that are self-describing), pinning the
+      hint priority order in the driver row;
+    - shape 2: windows-1252 bytes labeled ``latin-1`` — the WHATWG
+      remap (smart quotes ``93``/``94`` are C1 controls under strict
+      latin-1; every browser reads this label as cp1252);
+    - shape 3: Shift-JIS with its own meta hint (multibyte,
+      ASCII-incompatible lead bytes);
+    - shape 4: no BOM, no hint, one stray latin-1 ``E9`` byte in
+      otherwise-ASCII text — falls to the utf-8 default, replaces
+      exactly ONE run (U+FFFD), and the audit column reports it.
+
+    The oracle states every decoded string, codec name, and
+    replacement count as LITERALS (DuckDB never decodes anything).
+
+    Scale: one pruned doc_id scan, zero shuffles, one ArrowEvalPython
+    stage whose prescan regex reads ≤1 KiB per document — the
+    crawl-ingest front end ahead of html_extract at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    u8 = F.encode(did, "UTF-8")
+    u16 = F.encode(did, "UTF-16LE")
+    payload = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(b"\xef\xbb\xbf" + "<p>Caf\u00e9 ".encode("utf-8")),
+                u8,
+                F.lit(b"</p>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit(
+                    b"\xff\xfe"
+                    + '<meta charset="shift_jis"><p>id '.encode("utf-16-le")
+                ),
+                u16,
+                F.lit("</p>".encode("utf-16-le")),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit(
+                    b"<meta charset=latin-1>\x93quoted\x94 \xe9 "
+                ),
+                u8,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(
+                F.lit(
+                    "<meta charset=shift_jis>\u65e5\u672c\u8a9e ".encode(
+                        "shift_jis"
+                    )
+                ),
+                u8,
+            ),
+        )
+        .otherwise(F.concat(F.lit(b"plain \xe9 text "), u8))
+    )
+    dec = T.decode_charset(payload)
+    return docs.select(
+        "doc_id",
+        dec["text"].alias("text"),
+        dec["encoding"].alias("encoding"),
+        dec["n_replaced"].alias("n_replaced"),
+    )
+
+
+_TEXT_NORM_SQL = f"""
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'caf\u00e9 menu ' WHEN 1 THEN 'caf\u00e9 menu '
+         WHEN 2 THEN '\u00c5ngstr\u00f6m \u00c5 '
+         WHEN 3 THEN '\ufb01le \uff21\uff11 m\u00b2 '
+         ELSE 'q\u0323\u0307 \uac00 '
+       END || CAST(doc_id AS VARCHAR) AS nfc,
+       CASE doc_id % 5
+         WHEN 0 THEN 'caf\u00e9 menu ' WHEN 1 THEN 'caf\u00e9 menu '
+         WHEN 2 THEN '\u00c5ngstr\u00f6m \u00c5 '
+         WHEN 3 THEN 'file A1 m2 '
+         ELSE 'q\u0323\u0307 \uac00 '
+       END || CAST(doc_id AS VARCHAR) AS nfkc,
+       CASE doc_id % 5
+         WHEN 0 THEN 'caf\u00e9 menu ' WHEN 1 THEN 'caf\u00e9 menu '
+         WHEN 2 THEN '\u00e5ngstr\u00f6m \u00e5 '
+         WHEN 3 THEN 'file \uff41\uff11 m\u00b2 '
+         ELSE 'q\u0323\u0307 \uac00 '
+       END || CAST(doc_id AS VARCHAR) AS cf,
+       CAST(CASE doc_id % 5
+         WHEN 0 THEN 12 WHEN 1 THEN 11 WHEN 2 THEN 17 WHEN 3 THEN 17 ELSE 13
+       END + strlen(CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_bytes_raw,
+       CAST(CASE doc_id % 5
+         WHEN 0 THEN 11 WHEN 1 THEN 11 WHEN 2 THEN 14 WHEN 3 THEN 17 ELSE 10
+       END + strlen(CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_bytes_nfc
+FROM documents
+"""
+
+
+@query("text_normalize", _TEXT_NORM_SQL)
+def text_normalize(spark, sf_dir):
+    """Unicode normalization as the crawl-dedup first stage (r15, r14
+    VERDICT task 1 — the lead gap: NFC-vs-NFD spellings of identical
+    text split dedup_exact's md5, every MinHash/SimHash shingle set,
+    and the canonical_url host fold, with no kernel and no scope line
+    until this round).  Five fixture shapes by ``doc_id % 5``, each a
+    distinct UAX #15 hazard class stated as explicit code points:
+
+    - shape 0 DECOMPOSED ``cafe`` + combining U+0301 and shape 1 the
+      COMPOSED ``caf\u00e9`` — the macOS-filename/copy-paste pair;
+      their expected NFC strings are the SAME literal in the oracle,
+      which is the dedup-key claim stated directly;
+    - shape 2 singleton decompositions: A + combining ring U+030A and
+      U+212B ANGSTROM SIGN both reach U+00C5;
+    - shape 3 compatibility bait: ligature U+FB01, fullwidth
+      U+FF21/U+FF11, superscript U+00B2 — NFC must PRESERVE them
+      (byte-identical passthrough) while NFKC folds to ``file A1
+      m2`` and casefold folds the ligature but keeps the fullwidth
+      letter lowercase-fullwidth (U+FF41) — the three forms pull
+      apart exactly where UAX #15 says they do;
+    - shape 4 canonical reordering (U+0307 before U+0323 must swap)
+      plus Hangul jamo composition (U+1100 U+1161 → U+AC00).
+
+    The oracle states every expected string as a LITERAL (DuckDB
+    never runs a normalizer — the verdict's requirement, so a broken
+    kernel cannot be graded by itself), and byte lengths (Spark
+    octet_length == DuckDB strlen, both UTF-8) pin the raw→NFC size
+    deltas.  Kernel properties (idempotence, NFC∘NFD == NFC,
+    casefold composition) are pinned in test_operators; composition
+    into the dedup keys is the documented opt-in
+    (:func:`tamar_spark.functions.text.unicode_normalize`).
+
+    Scale: one pruned doc_id scan, zero shuffles, exactly one
+    ArrowEvalPython node — Catalyst co-batches the four sibling
+    normalize UDFs (NFC/NFD/NFKC/casefold share one Arrow exchange);
+    at 100 TB this is a projection fused into the crawl-ingest chain
+    ahead of fingerprint/shingle/host-fold consumers."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("cafe\u0301 menu "), did),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("caf\u00e9 menu "), did),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            # A + U+030A ring, o + U+0308 diaeresis, U+212B ANGSTROM
+            F.concat(F.lit("A\u030angstro\u0308m \u212b "), did),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("\ufb01le \uff21\uff11 m\u00b2 "), did),
+        )
+        .otherwise(
+            # marks out of canonical order + decomposed Hangul jamo
+            F.concat(F.lit("q\u0307\u0323 \u1100\u1161 "), did)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        T.unicode_normalize(raw).alias("nfc"),
+        T.unicode_normalize(raw, form="NFKC").alias("nfkc"),
+        T.unicode_normalize(raw, casefold=True).alias("cf"),
+        F.octet_length(raw).cast("bigint").alias("n_bytes_raw"),
+        F.octet_length(T.unicode_normalize(raw)).cast("bigint").alias(
+            "n_bytes_nfc"
+        ),
     )
 
 

@@ -3607,3 +3607,88 @@ def test_unicode_normalize_rejects_unknown_form():
 
     with _pytest.raises(ValueError):
         unicode_normalize(F.lit("x"), form="NFKC_Casefold")
+
+
+def test_decode_charset_adversarial(spark):
+    """decode_charset (r15, r14 VERDICT task 3) adversarial surface:
+    BOM beats a lying meta; http-equiv and quoted/unquoted/uppercase
+    labels all resolve; the WHATWG latin-1→cp1252 remap applies; an
+    UNKNOWN label falls to the default; a WRONG hint decodes with
+    counted replacements instead of throwing; a TRUNCATED multibyte
+    tail replaces exactly once; UTF-16-BE BOM works; and pre-existing
+    U+FFFD in valid input is NOT counted (the audit column is true
+    replacements, not a character count)."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import decode_charset
+
+    cases = [
+        # (payload bytes, expected text, expected encoding, expected n_replaced)
+        (b"\xef\xbb\xbfhi", "hi", "utf-8", 0),
+        # BOM + lying meta: BOM wins
+        (
+            b"\xef\xbb\xbf" + b"<meta charset=shift_jis>ok",
+            "<meta charset=shift_jis>ok",
+            "utf-8",
+            0,
+        ),
+        (b"\xfe\xff" + "Ab".encode("utf-16-be"), "Ab", "utf-16-be", 0),
+        # http-equiv form, single quotes, uppercase label
+        (
+            b"<meta http-equiv='Content-Type' "
+            b"content='text/html; CHARSET=WINDOWS-1252'>\x93x\x94",
+            "<meta http-equiv='Content-Type' "
+            "content='text/html; CHARSET=WINDOWS-1252'>“x”",
+            "cp1252",
+            0,
+        ),
+        # unknown label -> default utf-8
+        (b"<meta charset=bogus-enc>caf\xc3\xa9", "<meta charset=bogus-enc>café", "utf-8", 0),
+        # WRONG hint: says utf-8, bytes are cp1252 smart quotes ->
+        # two replacement runs, never a throw
+        (
+            b"<meta charset=utf-8>\x93q\x94",
+            "<meta charset=utf-8>�q�",
+            "utf-8",
+            2,
+        ),
+        # truncated multibyte at end of payload: exactly one run
+        (b"caf\xc3", "caf�", "utf-8", 1),
+        # pre-existing U+FFFD in VALID utf-8 is not a replacement
+        ("already � here".encode("utf-8"), "already � here", "utf-8", 0),
+        # ascii label remaps to cp1252 too (WHATWG)
+        (b"<meta charset=us-ascii>\xe9", "<meta charset=us-ascii>é", "cp1252", 0),
+        # no hint, pure ascii: default, zero replacements
+        (b"plain", "plain", "utf-8", 0),
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, b=bytearray(b)) for i, (b, _, _, _) in enumerate(cases)]
+    )
+    dec = decode_charset(F.col("b"))
+    got = {
+        r.id: (r.t, r.e, r.n)
+        for r in df.select(
+            "id",
+            dec["text"].alias("t"),
+            dec["encoding"].alias("e"),
+            dec["n_replaced"].alias("n"),
+        ).collect()
+    }
+    for i, (b, t, e, n) in enumerate(cases):
+        assert got[i] == (t, e, n), (i, b, got[i], (t, e, n))
+
+
+def test_decode_charset_default_override(spark):
+    """The default= knob: hint-less cp1252 bytes decode cleanly when
+    the pipeline declares a cp1252 corpus default."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import decode_charset
+
+    df = spark.createDataFrame([Row(id=0, b=bytearray(b"\x93q\x94"))])
+    dec = decode_charset(F.col("b"), default="windows-1252")
+    r = df.select(
+        dec["text"].alias("t"), dec["encoding"].alias("e"),
+        dec["n_replaced"].alias("n"),
+    ).collect()[0]
+    assert (r.t, r.e, r.n) == ("“q”", "cp1252", 0)

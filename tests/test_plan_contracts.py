@@ -482,6 +482,27 @@ def test_r14_crawl_rows_plan_contract(spark, sf_dir):
             assert node not in plan, (name, node)
 
 
+def test_r15_crawl_rows_plan_contract(spark, sf_dir):
+    """The r15 crawl-front-end rows' scale contract: text_normalize
+    and decode_charset are each a single pruned doc_id scan with ZERO
+    exchanges and exactly ONE ArrowEvalPython node (the normalize
+    UDFs co-batch; the charset decode is one struct-returning UDF
+    referenced three times — extraction must dedupe it, never
+    evaluate three copies), and no row-at-a-time Python anywhere."""
+    for name in ("text_normalize", "decode_charset"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = executed_plan(df)
+        assert plan.count("Exchange") == 0, (name, "unexpected shuffle")
+        assert plan.count("ArrowEvalPython") == 1, name
+        for node in ("BatchEvalPython", "MapInPandas"):
+            assert node not in plan, (name, node)
+        read_schemas = [p.split("\n")[0] for p in plan.split("ReadSchema: ")[1:]]
+        assert all(rs.count(":") <= 1 for rs in read_schemas), (
+            name,
+            read_schemas,
+        )
+
+
 def test_paragraph_filter_plan_contract(spark, sf_dir):
     """paragraph_filter's 100 TB shape: the corpus-mean threshold must
     reach the familiarity filter as a BROADCAST (never a shuffled
