@@ -207,10 +207,12 @@ EXTENDED = [
     # driver-checked at sf0.01)
     "crawl_normalize",
     "paragraph_filter",
-    # round-15 additions: the two new crawl-front-end stages (both
-    # single-scan, one Arrow stage; bands pinned in BASELINE.md r15)
+    # round-15 additions: the new crawl-front-end stages (single-scan,
+    # one Arrow stage each — crawl_decompress has two: the compress
+    # synthesis + the kernel; bands pinned in BASELINE.md r15)
     "text_normalize",
     "decode_charset",
+    "crawl_decompress",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -31,6 +31,8 @@ __all__ = [
     "idn_fold_host",
     "unicode_normalize",
     "decode_charset",
+    "deflate_compress",
+    "decompress_payload",
     "url_query_params",
     "URL_TRACKING_KEYS",
     "URL_TRACKING_PREFIXES",
@@ -73,13 +75,19 @@ def normalize_ws(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint(text: Column, nfc: bool = False) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 
     md5 is available in Spark and DuckDB with identical hex output, so the
     fingerprint is oracle-checkable (unlike xxhash64, which is Spark-only).
-    """
-    return F.md5(normalize_ws(text))
+
+    ``nfc=True`` (r15) prepends :func:`unicode_normalize` so composed and
+    decomposed spellings of one document land on ONE key — the opt-in
+    first stage for real crawl corpora (adds the one Arrow stage; the
+    default stays pure codegen and byte-identical to r14, which is what
+    the registered fingerprint queries attest)."""
+    src = unicode_normalize(text) if nfc else text
+    return F.md5(normalize_ws(src))
 
 
 def lang_score(text: Column, markers: Sequence[str]) -> Column:
@@ -253,6 +261,165 @@ def _entity_decode_single_pass(text: Column, named=None) -> Column:
         return s.map(lambda t: None if t is None else pat.sub(repl, t))
 
     return pandas_udf(_decode, "string")(text)
+
+
+def deflate_compress(data: Column, fmt: str = "gzip") -> Column:
+    """DEFLATE-family compression of a ``binary`` column — the forward
+    direction of the transport layer, primarily so the decompression
+    kernel can be proven by a synthesis round trip (the multimodal
+    rows' both-directions convention; also genuinely useful for
+    writing WARC-shaped output).  ``fmt``: ``gzip`` (RFC 1952 member,
+    ``mtime=0`` so the 10-byte header is DETERMINISTIC — the default
+    header embeds a timestamp, which would make every run's bytes
+    differ), ``zlib`` (RFC 1950), or ``raw`` (RFC 1951, headerless).
+    One Arrow stage; compression level fixed at 6 (zlib default) for
+    reproducible bytes within an environment."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    if fmt not in ("gzip", "zlib", "raw"):
+        raise ValueError(f"unsupported fmt: {fmt!r}")
+
+    def _one(b):
+        if b is None:
+            return None
+        b = bytes(b)
+        if fmt == "gzip":
+            return _gzip.compress(b, compresslevel=6, mtime=0)
+        if fmt == "zlib":
+            return _zlib.compress(b, 6)
+        co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+        return co.compress(b) + co.flush()
+
+    def _comp(s):
+        return s.map(_one)
+
+    return pandas_udf(_comp, "binary")(data)
+
+
+def decompress_payload(data: Column, max_bytes: int | None = None) -> Column:
+    """Transport decompression for crawl ingestion (r15) — the stage
+    BEFORE :func:`decode_charset`: real crawl payloads (WARC records,
+    Content-Encoding bodies) arrive as DEFLATE-family bytes.  Returns
+    a struct ``(data, codec, ok, n_out)``; one Arrow stage.
+
+    Deterministic detection by magic bytes only (no sniffing):
+
+    - ``1F 8B`` → gzip (RFC 1952).  CONCATENATED members decompress
+      in sequence (the WARC convention — one member per record);
+      non-member trailing garbage keeps the decompressed prefix and
+      reports ``ok=false`` (an anomaly flag, never an exception);
+    - a valid zlib header (CM=8, (CMF<<8|FLG) % 31 == 0) → zlib
+      (RFC 1950).  The 2-byte check is weak (~1/500 of random byte
+      pairs pass — e.g. ASCII ``"H,"``), so a zlib candidate that
+      FAILS to inflate falls back to ``store`` verbatim rather than
+      reporting corruption (the detection was the wrong part; a
+      truly-corrupt zlib body is indistinguishable from stored bytes
+      that happen to share the header, and passthrough is the
+      non-destructive reading);
+    - anything else → ``store``: bytes pass through verbatim,
+      ``ok=true`` (raw RFC 1951 streams are headerless and therefore
+      indistinguishable from stored bytes — a stated non-goal; use an
+      explicit schema column when a pipeline carries raw deflate).
+
+    A corrupt GZIP stream returns ``data=NULL, ok=false`` with
+    ``codec='gzip'`` (the 1F 8B magic is strong evidence the bytes
+    really were gzip; never throws — one bad record must not kill a
+    100 TB scan).  ``max_bytes`` is the zip-bomb guard: the
+    inflate is INCREMENTAL (``decompressobj`` with a byte cap), so a
+    bomb is abandoned mid-stream — ``data=NULL, ok=false`` — without
+    ever materializing the blow-up.
+
+    Scale: one Arrow stage, no shuffle, cost ∝ compressed bytes;
+    compose ``decompress → decode_charset → html_main_text →
+    unicode_normalize`` for the full byte-to-key crawl front end."""
+    import zlib as _zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _inflate(b, wbits):
+        """(out_bytes, ok) under the cap; raises zlib.error on corrupt."""
+        out = bytearray()
+        rest = b
+        while True:
+            o = _zlib.decompressobj(wbits=wbits)
+            budget = 0 if max_bytes is None else max_bytes - len(out) + 1
+            out += o.decompress(rest, budget)
+            if max_bytes is not None and len(out) > max_bytes:
+                return None, False  # bomb: abandoned mid-stream
+            while not o.eof:
+                if not o.unconsumed_tail:
+                    # truncated stream: no more input but not at eof
+                    raise _zlib.error("truncated stream")
+                budget = 0 if max_bytes is None else max_bytes - len(out) + 1
+                out += o.decompress(o.unconsumed_tail, budget)
+                if max_bytes is not None and len(out) > max_bytes:
+                    return None, False
+            rest = o.unused_data
+            if not rest:
+                return bytes(out), True
+            if wbits == 31 and rest.startswith(b"\x1f\x8b"):
+                continue  # next concatenated gzip member
+            return bytes(out), False  # trailing garbage: flag, keep prefix
+
+    def _one(b):
+        if b is None:
+            return None
+        b = bytes(b)
+        if b.startswith(b"\x1f\x8b"):
+            codec = "gzip"
+            wbits = 31
+        elif (
+            len(b) >= 2
+            and (b[0] & 0x0F) == 8
+            and ((b[0] << 8) | b[1]) % 31 == 0
+        ):
+            codec = "zlib"
+            wbits = 15
+        else:
+            return {
+                "data": b,
+                "codec": "store",
+                "ok": True,
+                "n_out": len(b),
+            }
+        try:
+            out, ok = _inflate(b, wbits)
+        except _zlib.error:
+            if codec == "zlib":
+                # weak 2-byte header, failed body: the detection was
+                # wrong — pass through as stored bytes (see docstring)
+                return {
+                    "data": b,
+                    "codec": "store",
+                    "ok": True,
+                    "n_out": len(b),
+                }
+            out, ok = None, False
+        return {
+            "data": out,
+            "codec": codec,
+            "ok": ok,
+            "n_out": None if out is None else len(out),
+        }
+
+    def _dec(s):
+        import pandas as pd
+
+        return pd.DataFrame(
+            [
+                _one(v)
+                or {"data": None, "codec": None, "ok": None, "n_out": None}
+                for v in s
+            ],
+            columns=["data", "codec", "ok", "n_out"],
+        )
+
+    return pandas_udf(
+        _dec, "data binary, codec string, ok boolean, n_out bigint"
+    )(data)
 
 
 # WHATWG Encoding Standard label remaps we honor (the ONE widely-relied-on

@@ -61,6 +61,7 @@ def shingles(
     n: int = 3,
     distinct: bool = True,
     carry_cols: Sequence[str] = (),
+    nfc: bool = False,
 ) -> DataFrame:
     """Word n-gram shingle set per document: ``(id, shingle)`` rows.
 
@@ -72,11 +73,21 @@ def shingles(
 
     ``carry_cols`` threads additional per-document columns (e.g. a corpus
     side tag) through the explode without a later join back.
-    """
+
+    ``nfc=True`` (r15) prepends Unicode NFC normalization so composed and
+    decomposed spellings shingle identically — the opt-in first stage for
+    real crawl corpora (one Arrow stage ahead of the expression pipeline;
+    default off keeps every registered dedup query byte-identical and
+    Python-free)."""
+    src = F.col(text_col)
+    if nfc:
+        from tamar_spark.functions.text import unicode_normalize
+
+        src = unicode_normalize(src)
     df = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        F.split(F.col(text_col), r"\s+").alias("_words"),
+        F.split(src, r"\s+").alias("_words"),
     )
     w = F.col("_words")
     count = F.size(w) - F.lit(n - 1)

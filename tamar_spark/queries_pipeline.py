@@ -37,6 +37,10 @@ corpus pipeline runs at 100 TB:
   WHATWG-style <meta charset> prescan (with the latin-1→cp1252 remap),
   then default; exact replacement counting; oracle-stated literals, one
   Arrow stage over codegen-synthesized multi-charset binary payloads.
+- **crawl_decompress** (r15) — the transport layer before decode_charset:
+  gzip (incl. concatenated WARC-style members) and zlib by magic bytes,
+  store passthrough, corrupt/bomb handling that never throws; proven by a
+  deterministic compress→decompress round trip (multimodal convention).
 - **repetition_filters** — Gopher-style repetition heuristics (Rae et al.
   2021 table A1): top-word fraction and duplicate-trigram fraction.  Both
   are explode → two-level doc_id-keyed aggregates: every shuffle is on
@@ -563,6 +567,80 @@ def crawl_normalize(spark, sf_dir):
         "canon_url",
         F.length("_t").cast("bigint").alias("n_chars"),
         F.sha2(F.col("_t"), 256).alias("text_sha"),
+    )
+
+
+_DECOMPRESS_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 1 THEN 'zlib' WHEN 2 THEN 'store' ELSE 'gzip'
+       END AS codec,
+       TRUE AS ok,
+       CAST(strlen(text || ' #' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+         AS n_out,
+       sha256(text || ' #' || CAST(doc_id AS VARCHAR)) AS text_sha
+FROM documents
+"""
+
+
+@query("crawl_decompress", _DECOMPRESS_SQL)
+def crawl_decompress(spark, sf_dir):
+    """Transport decompression for crawl ingestion (r15) — the stage
+    BEFORE decode_charset: WARC record bodies and Content-Encoding
+    payloads arrive as DEFLATE-family bytes.  Four payload shapes by
+    ``doc_id % 4``, each the document text + ``' #id'`` marker
+    compressed a different way IN-PLAN (the multimodal both-directions
+    round trip — :func:`tamar_spark.functions.text.deflate_compress`
+    with deterministic headers is the synthesis,
+    :func:`tamar_spark.functions.text.decompress_payload` the kernel
+    under test):
+
+    - shape 0: one gzip member (RFC 1952, mtime=0);
+    - shape 1: a zlib stream (RFC 1950) — detected by the CM=8 +
+      checksum-31 header;
+    - shape 2: STORED bytes — must pass through verbatim as
+      ``codec='store'``;
+    - shape 3: TWO CONCATENATED gzip members (the WARC convention —
+      one member per record), split mid-string; the kernel must walk
+      ``unused_data`` across members and re-join the stream.
+
+    The oracle rebuilds the expected decompressed text arithmetically
+    from the raw column (codec/ok/byte-length/sha stated as literals
+    or raw-column expressions — DuckDB never touches a codec), so the
+    sha only matches if every byte survives the round trip.
+    Corruption/zip-bomb handling is pinned by the kernel's unit tests
+    (magic-byte misdetection fallback, truncated member, cap
+    abandonment mid-stream).
+
+    Scale: one pruned scan, zero shuffles, exactly TWO ArrowEvalPython
+    nodes — the four compress synthesis UDFs co-batch into one stage
+    and the decompress kernel (which consumes their output) is the
+    second; at 100 TB only the kernel stage exists (payloads arrive
+    compressed) and cost ∝ compressed bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    full = F.concat(F.col("text"), F.lit(" #"), did)
+    fb = F.encode(full, "UTF-8")
+    l2 = F.floor(F.length(full) / F.lit(2)).cast("int")
+    h1 = F.encode(full.substr(F.lit(1), l2), "UTF-8")
+    h2 = F.encode(full.substr(l2 + F.lit(1), F.length(full)), "UTF-8")
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, T.deflate_compress(fb, "gzip"))
+        .when(F.col("doc_id") % 4 == 1, T.deflate_compress(fb, "zlib"))
+        .when(F.col("doc_id") % 4 == 2, fb)
+        .otherwise(
+            F.concat(
+                T.deflate_compress(h1, "gzip"), T.deflate_compress(h2, "gzip")
+            )
+        )
+    )
+    dec = T.decompress_payload(payload)
+    return docs.select(
+        "doc_id",
+        dec["codec"].alias("codec"),
+        dec["ok"].alias("ok"),
+        dec["n_out"].alias("n_out"),
+        F.sha2(F.decode(dec["data"], "UTF-8"), 256).alias("text_sha"),
     )
 
 

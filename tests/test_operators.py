@@ -3692,3 +3692,131 @@ def test_decode_charset_default_override(spark):
         dec["n_replaced"].alias("n"),
     ).collect()[0]
     assert (r.t, r.e, r.n) == ("“q”", "cp1252", 0)
+
+
+def test_fingerprint_nfc_knob_collapses_spellings(spark):
+    """fingerprint(nfc=True) (r15): composed and decomposed spellings
+    of one document produce ONE md5 key; the default path stays
+    byte-identical to the r14 expression (no Arrow stage), which the
+    registered fingerprint queries attest."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [
+            Row(id=0, t="Caf\u00e9  du  Monde"),
+            Row(id=1, t="Cafe\u0301  du  Monde"),
+        ]
+    )
+    rows = df.select(
+        "id",
+        fingerprint(F.col("t"), nfc=True).alias("k"),
+        fingerprint(F.col("t")).alias("k0"),
+    ).collect()
+    k = {r.id: r.k for r in rows}
+    k0 = {r.id: r.k0 for r in rows}
+    assert k[0] == k[1]          # one key with the knob
+    assert k0[0] != k0[1]        # split keys without it (scope-stated)
+
+
+def test_shingles_nfc_knob_collapses_spellings(spark):
+    """shingles(nfc=True) (r15): composed and decomposed spellings of
+    one document produce IDENTICAL shingle sets (so every MinHash/
+    SimHash signature downstream collapses too); the default path
+    keeps them distinct and stays Python-free."""
+    from pyspark.sql import Row
+
+    from tamar_spark.operators.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="drink caf\u00e9 au lait now"),
+            Row(doc_id=1, text="drink cafe\u0301 au lait now"),
+        ]
+    )
+    with_nfc = shingles(docs, n=3, nfc=True).collect()
+    sets = {}
+    for r in with_nfc:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    assert sets[0] == sets[1] and len(sets[0]) == 3
+    plain = shingles(docs, n=3).collect()
+    psets = {}
+    for r in plain:
+        psets.setdefault(r.doc_id, set()).add(r.shingle)
+    assert psets[0] != psets[1]
+
+
+def test_decompress_payload_adversarial(spark):
+    """decompress_payload (r15) edge surface: multi-member gzip joins;
+    trailing non-member garbage keeps the prefix and flags ok=false;
+    corrupt gzip (strong magic) yields NULL/false; a stored payload
+    whose first two bytes happen to pass the weak zlib header check
+    falls back to store verbatim (never reported corrupt); the
+    max_bytes cap abandons a bomb mid-stream; raw deflate is
+    indistinguishable from store (stated non-goal) and passes
+    through."""
+    import gzip
+    import zlib
+
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import decompress_payload
+
+    two = gzip.compress(b"abc", mtime=0) + gzip.compress(b"def", mtime=0)
+    garbage = gzip.compress(b"abc", mtime=0) + b"NOTGZIP"
+    corrupt = b"\x1f\x8b" + b"\x00" * 10
+    # ASCII bytes passing the zlib header check: 'H' = 0x48 (CM=8),
+    # 0x48<<8|0x2c = 0x482c = 18476 ... pick programmatically
+    fp = None
+    for second in range(256):
+        if ((0x48 << 8) | second) % 31 == 0 and 0x20 <= second < 0x7F:
+            fp = bytes([0x48, second]) + b"plain tail"
+            break
+    assert fp is not None
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw = co.compress(b"rawdeflate") + co.flush()
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)  # ~10 MB from ~10 KB
+
+    cases = [
+        (two, (b"abcdef", "gzip", True, 6)),
+        (garbage, (b"abc", "gzip", False, 3)),
+        (corrupt, (None, "gzip", False, None)),
+        (fp, (fp, "store", True, len(fp))),
+        (raw, (raw, "store", True, len(raw))),
+        (b"", (b"", "store", True, 0)),
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, b=bytearray(b)) for i, (b, _) in enumerate(cases)]
+    )
+    dec = decompress_payload(F.col("b"))
+    got = {
+        r.id: (
+            None if r.d is None else bytes(r.d),
+            r.c,
+            r.o,
+            r.n,
+        )
+        for r in df.select(
+            "id",
+            dec["data"].alias("d"),
+            dec["codec"].alias("c"),
+            dec["ok"].alias("o"),
+            dec["n_out"].alias("n"),
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+    # the bomb, capped: abandoned mid-stream, never materialized
+    df2 = spark.createDataFrame([Row(id=0, b=bytearray(bomb))])
+    dec2 = decompress_payload(F.col("b"), max_bytes=1_000_000)
+    r = df2.select(
+        dec2["data"].alias("d"), dec2["codec"].alias("c"),
+        dec2["ok"].alias("o"),
+    ).collect()[0]
+    assert (r.d, r.c, r.o) == (None, "zlib", False)
+    # and uncapped it round-trips (the cap is the only difference)
+    dec3 = decompress_payload(F.col("b"))
+    r3 = df2.select(dec3["n_out"].alias("n")).collect()[0]
+    assert r3.n == 10_000_000
