@@ -213,6 +213,7 @@ EXTENDED = [
     "text_normalize",
     "decode_charset",
     "crawl_decompress",
+    "crawl_e2e",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

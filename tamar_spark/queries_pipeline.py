@@ -570,6 +570,96 @@ def crawl_normalize(spark, sf_dir):
     )
 
 
+_CRAWL_E2E_SQL = f"""
+WITH ex AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           substr(text, 1, CAST(floor(length(text) / 2) AS BIGINT))
+           || ' caf\u00e9 latte &#65; ok ' ||
+           substr(text, CAST(floor(length(text) / 2) AS BIGINT) + 1),
+           '\s+', ' ', 'g')) AS expected
+  FROM documents
+)
+SELECT doc_id,
+       'gzip' AS codec,
+       'utf-8' AS encoding,
+       CAST(length(expected) AS BIGINT) AS n_chars,
+       sha256(expected) AS text_sha
+FROM ex
+"""
+
+
+@query("crawl_e2e", _CRAWL_E2E_SQL)
+def crawl_e2e(spark, sf_dir):
+    """The whole crawl front end as ONE lineage (r15 — the corpus_e2e
+    convention applied to ingestion): compressed transport bytes →
+    :func:`decompress_payload` → :func:`decode_charset` (meta-prescan
+    hint) → :func:`html_main_text` with the single-pass entity decoder
+    → :func:`unicode_normalize` → the canonical text key.  Each stage
+    is individually oracle-checked by its own query; this row proves
+    they COMPOSE — the boundary bugs (double-decode, BOM-vs-meta
+    priority, entity output feeding normalization) live between
+    stages, not inside them.
+
+    Synthesis (in-plan, content-independent): each document's text is
+    entity-encoded (html_extract's enc convention), wrapped in a page
+    with a ``<meta charset=utf-8>`` hint and boilerplate, spliced with
+    a tail whose ``cafe&#769;`` decodes to a DECOMPOSED e + combining
+    acute — so the NFC stage is load-bearing (the oracle's expected
+    literal holds the COMPOSED ``caf\u00e9``; skip normalization and
+    the sha differs) — and whose ``&amp;#65;`` must survive as the
+    literal ``&#65;`` (single-pass rule through the whole chain); the
+    page is UTF-8-encoded and gzip-compressed with deterministic
+    headers.  The oracle rebuilds the expected text arithmetically
+    from the raw column and never runs a codec, parser, or
+    normalizer.  Fixture assumption (loud, pinned by
+    test_fixture_text_is_nfc): corpus text is itself NFC — true of
+    the ASCII fixture; the oracle splices raw halves, so a
+    regenerated non-NFC corpus fails the purity test, not as an
+    opaque sha diff.
+
+    Scale: one pruned scan, ZERO exchanges, five ArrowEvalPython
+    stages in a strict producer→consumer chain (compress synthesis,
+    decompress, charset decode, entity decode, NFC — nested UDFs
+    cannot co-batch); at 100 TB the synthesis stage does not exist
+    (payloads arrive compressed) and every real stage is cost ∝
+    bytes with no shuffle — exactly the WET-extraction shape."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+
+    def enc3(c):
+        c = F.replace(c, F.lit("&"), F.lit("&#38;"))
+        c = F.replace(c, F.lit("<"), F.lit("&#60;"))
+        return F.replace(c, F.lit(">"), F.lit("&#62;"))
+
+    l2 = F.floor(F.length("text") / F.lit(2)).cast("int")
+    t = F.col("text")
+    html = F.concat(
+        F.lit("<html><head><meta charset=utf-8><title>Doc "),
+        did,
+        F.lit(
+            "</title></head><body><nav><a href=/>Home</a></nav><p>"
+        ),
+        enc3(t.substr(F.lit(1), l2)),
+        F.lit(" cafe&#769; latte &amp;#65; ok</p><p>"),
+        enc3(t.substr(l2 + F.lit(1), F.length("text"))),
+        F.lit("</p><footer>f</footer></body></html>"),
+    )
+    payload = T.deflate_compress(F.encode(html, "UTF-8"), "gzip")
+    dec = T.decompress_payload(payload)
+    cs = T.decode_charset(dec["data"])
+    nfc = T.unicode_normalize(
+        T.html_main_text(cs["text"], numeric_entities=True)
+    )
+    return docs.select(
+        "doc_id",
+        dec["codec"].alias("codec"),
+        cs["encoding"].alias("encoding"),
+        F.length(nfc).cast("bigint").alias("n_chars"),
+        F.sha2(nfc, 256).alias("text_sha"),
+    )
+
+
 _DECOMPRESS_SQL = """
 SELECT doc_id,
        CASE doc_id % 4

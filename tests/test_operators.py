@@ -3820,3 +3820,22 @@ def test_decompress_payload_adversarial(spark):
     dec3 = decompress_payload(F.col("b"))
     r3 = df2.select(dec3["n_out"].alias("n")).collect()[0]
     assert r3.n == 10_000_000
+
+
+def test_fixture_text_is_nfc():
+    """crawl_e2e's one fixture assumption, made LOUD (the r14-ADVICE
+    pattern: an oracle that splices raw corpus text assumes properties
+    of that text — assert them, so a fixture regeneration fails here
+    with a name, not as an opaque sha diff): documents.text at the
+    oracle SF is NFC-normalized (true a fortiori of ASCII)."""
+    import unicodedata
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT text FROM read_parquet("
+        "'/root/testdata/sf0.01/documents.parquet')"
+    ).fetchall()
+    assert rows
+    bad = [t for (t,) in rows if unicodedata.normalize("NFC", t) != t]
+    assert not bad, f"{len(bad)} non-NFC documents; first: {bad[0][:80]!r}"

@@ -496,6 +496,12 @@ def test_r15_crawl_rows_plan_contract(spark, sf_dir):
         # into node 1; the kernel consumes their output in node 2 (at
         # 100 TB only node 2 exists — payloads arrive compressed)
         ("crawl_decompress", 2, 2),
+        # crawl_e2e: compress synthesis, decompress, charset, entity
+        # decode, NFC — five chained stages that Spark fuses into four
+        # ArrowEvalPython nodes (adjacent same-type pandas UDFs
+        # pipeline within one node where eligible); the pin guards
+        # against a refactor UN-fusing them or adding a shuffle
+        ("crawl_e2e", 4, 2),
     ):
         df = QUERIES[name](spark, sf_dir)
         plan = executed_plan(df)
