@@ -214,6 +214,7 @@ EXTENDED = [
     "decode_charset",
     "crawl_decompress",
     "crawl_e2e",
+    "warc_extract",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

@@ -33,6 +33,8 @@ __all__ = [
     "decode_charset",
     "deflate_compress",
     "decompress_payload",
+    "warc_parse",
+    "http_response_split",
     "url_query_params",
     "URL_TRACKING_KEYS",
     "URL_TRACKING_PREFIXES",
@@ -419,6 +421,190 @@ def decompress_payload(data: Column, max_bytes: int | None = None) -> Column:
 
     return pandas_udf(
         _dec, "data binary, codec string, ok boolean, n_out bigint"
+    )(data)
+
+
+def warc_parse(data: Column) -> Column:
+    """Parse ONE WARC record (ISO 28500 / the public WARC/1.0-1.1
+    format — the Common Crawl container) from a ``binary`` column into
+    a struct ``(warc_type, target_uri, warc_date, record_id,
+    content_type, content_length, payload, ok)``; one Arrow stage.
+
+    The one-record-per-row model is the DISTRIBUTED reading of a WARC
+    file: in ``.warc.gz`` each record is its own gzip member (the
+    convention :func:`decompress_payload` walks), so a source that
+    splits members — or any record-framing input format — hands this
+    kernel exactly one record's bytes per row, and the parse is
+    embarrassingly parallel with no cross-row state.
+
+    Grammar handled, all failures as ``ok=false`` (never an exception
+    — one malformed record must not kill a 100 TB scan):
+
+    - version line ``WARC/1.0`` or ``WARC/1.1`` terminated by CRLF;
+      anything else → full-null row with ``ok=false``;
+    - named headers up to the first blank CRLF line, split at the
+      first ``:``, names case-insensitive (folded to lowercase for
+      lookup), values stripped; headers are ASCII by spec and are
+      decoded latin-1 (total — the scan itself can never fail);
+    - ``Content-Length`` (mandatory per spec) selects the payload:
+      the next N bytes after the blank line.  A missing/non-digit
+      length → ``ok=false`` with the whole remainder as payload (the
+      non-destructive reading); a SHORT payload (fewer than N bytes
+      remain — a truncated record) → ``ok=false, payload=NULL``;
+    - trailing bytes after the payload must be the record terminator
+      (``\\r\\n\\r\\n``, one CRLF, or nothing — the boundary a
+      member-split source leaves); anything else → ``ok=false`` with
+      the payload kept.
+
+    Stated scope: no continuation-line (obs-fold) headers, no
+    ``WARC-Segment`` reassembly (segmented records parse as their
+    individual segments), no revisit-deduplication semantics — the
+    record's named fields pass through for a downstream operator.
+
+    Scale: one Arrow stage, no shuffle, cost ∝ record bytes; compose
+    ``warc_parse → http_response_split → decode_charset →
+    html_main_text → unicode_normalize`` for the full crawl chain."""
+    from pyspark.sql.functions import pandas_udf
+
+    _null = {
+        "warc_type": None,
+        "target_uri": None,
+        "warc_date": None,
+        "record_id": None,
+        "content_type": None,
+        "content_length": None,
+        "payload": None,
+        "ok": False,
+    }
+
+    def _one(b):
+        if b is None:
+            return None
+        b = bytes(b)
+        sep = b.find(b"\r\n\r\n")
+        if sep < 0 or not b.startswith(b"WARC/"):
+            return dict(_null)
+        head = b[:sep].decode("latin-1")
+        lines = head.split("\r\n")
+        if lines[0] not in ("WARC/1.0", "WARC/1.1"):
+            return dict(_null)
+        hdr = {}
+        for line in lines[1:]:
+            k, c, v = line.partition(":")
+            if c:
+                hdr.setdefault(k.strip().lower(), v.strip())
+        rest = b[sep + 4 :]
+        out = {
+            "warc_type": hdr.get("warc-type"),
+            "target_uri": hdr.get("warc-target-uri"),
+            "warc_date": hdr.get("warc-date"),
+            "record_id": hdr.get("warc-record-id"),
+            "content_type": hdr.get("content-type"),
+            "content_length": None,
+            "payload": rest,
+            "ok": False,
+        }
+        cl = hdr.get("content-length", "")
+        if not cl.isdigit():
+            return out  # mandatory header missing/garbled
+        n = int(cl)
+        out["content_length"] = n
+        if len(rest) < n:
+            out["payload"] = None  # truncated record
+            return out
+        out["payload"] = rest[:n]
+        out["ok"] = rest[n:] in (b"", b"\r\n", b"\r\n\r\n")
+        return out
+
+    def _parse(s):
+        import pandas as pd
+
+        return pd.DataFrame(
+            [_one(v) or dict(_null, ok=None) for v in s],
+            columns=[
+                "warc_type",
+                "target_uri",
+                "warc_date",
+                "record_id",
+                "content_type",
+                "content_length",
+                "payload",
+                "ok",
+            ],
+        )
+
+    return pandas_udf(
+        _parse,
+        "warc_type string, target_uri string, warc_date string, "
+        "record_id string, content_type string, content_length bigint, "
+        "payload binary, ok boolean",
+    )(data)
+
+
+def http_response_split(data: Column) -> Column:
+    """Split an HTTP/1.x RESPONSE message (RFC 9112 framing — the
+    payload of a WARC ``response`` record) into a struct ``(status,
+    content_type, body, ok)``; one Arrow stage.
+
+    - status line ``HTTP/1.<d> <3-digit status> ...`` terminated by
+      CRLF; anything else (including the GET/POST request form a WARC
+      ``request`` record carries) → full-null ``ok=false``;
+    - headers to the first blank CRLF line, first-``:`` split,
+      case-insensitive names, latin-1 header scan (total);
+    - ``body`` is everything after the blank line; when a digit
+      ``Content-Length`` is present and disagrees with the actual
+      body size, ``ok=false`` with the body kept (at-rest WARC
+      payloads are already de-chunked by the crawler, so a mismatch
+      is evidence of truncation, not an encoding to undo).
+
+    Stated scope: no ``Transfer-Encoding: chunked`` decoding and no
+    ``Content-Encoding`` handling here — compression is
+    :func:`decompress_payload`'s job, composed explicitly.
+
+    Scale: one Arrow stage, no shuffle, cost ∝ message bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    _null = {"status": None, "content_type": None, "body": None, "ok": False}
+
+    def _one(b):
+        if b is None:
+            return None
+        b = bytes(b)
+        sep = b.find(b"\r\n\r\n")
+        if sep < 0 or not b.startswith(b"HTTP/1."):
+            return dict(_null)
+        head = b[:sep].decode("latin-1")
+        lines = head.split("\r\n")
+        parts = lines[0].split(" ")
+        if len(parts) < 2 or not (
+            len(parts[1]) == 3 and parts[1].isdigit()
+        ):
+            return dict(_null)
+        hdr = {}
+        for line in lines[1:]:
+            k, c, v = line.partition(":")
+            if c:
+                hdr.setdefault(k.strip().lower(), v.strip())
+        body = b[sep + 4 :]
+        cl = hdr.get("content-length", "")
+        ok = not cl.isdigit() or int(cl) == len(body)
+        return {
+            "status": int(parts[1]),
+            "content_type": hdr.get("content-type"),
+            "body": body,
+            "ok": ok,
+        }
+
+    def _split(s):
+        import pandas as pd
+
+        return pd.DataFrame(
+            [_one(v) or dict(_null, ok=None) for v in s],
+            columns=["status", "content_type", "body", "ok"],
+        )
+
+    return pandas_udf(
+        _split, "status int, content_type string, body binary, ok boolean"
     )(data)
 
 

@@ -41,6 +41,11 @@ corpus pipeline runs at 100 TB:
   gzip (incl. concatenated WARC-style members) and zlib by magic bytes,
   store passthrough, corrupt/bomb handling that never throws; proven by a
   deterministic compress→decompress round trip (multimodal convention).
+- **warc_extract** (r15) — the container layer above both: WARC/1.x
+  record parsing (ISO 28500 headers, Content-Length payload selection,
+  record-terminator check) + HTTP/1.x response framing, one record per
+  row (the per-member gzip-split reading of a .warc.gz); malformed
+  records flag ok=false, never throw.
 - **repetition_filters** — Gopher-style repetition heuristics (Rae et al.
   2021 table A1): top-word fraction and duplicate-trigram fraction.  Both
   are explode → two-level doc_id-keyed aggregates: every shuffle is on
@@ -731,6 +736,145 @@ def crawl_decompress(spark, sf_dir):
         dec["ok"].alias("ok"),
         dec["n_out"].alias("n_out"),
         F.sha2(F.decode(dec["data"], "UTF-8"), 256).alias("text_sha"),
+    )
+
+
+_WARC_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 2 THEN 'request' ELSE 'response' END
+         AS warc_type,
+       'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(CASE doc_id % 3
+         WHEN 0 THEN 62 + strlen(CAST(strlen(text) AS VARCHAR))
+                     + strlen(text)
+         WHEN 1 THEN 70
+                     + strlen(CAST(8 + strlen(CAST(doc_id AS VARCHAR))
+                                   AS VARCHAR))
+                     + 8 + strlen(CAST(doc_id AS VARCHAR))
+         ELSE 41 + strlen(CAST(doc_id AS VARCHAR))
+       END AS BIGINT) AS content_length,
+       TRUE AS warc_ok,
+       CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 END AS http_status,
+       CASE doc_id % 3
+         WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+       END AS http_ct,
+       doc_id % 3 <> 2 AS http_ok,
+       CASE doc_id % 3
+         WHEN 0 THEN sha256(text)
+         WHEN 1 THEN sha256('missing ' || CAST(doc_id AS VARCHAR))
+       END AS body_sha
+FROM documents
+"""
+
+
+@query("warc_extract", _WARC_SQL)
+def warc_extract(spark, sf_dir):
+    """WARC record parsing + HTTP response framing (r15) — the
+    container layer of real crawl ingestion (ISO 28500, the Common
+    Crawl format): a ``response`` record's payload is a full HTTP/1.x
+    message whose body is the page bytes, and every pipeline stage
+    this repo already has (decompress → charset → html → NFC) sits
+    BELOW this framing.  Three record shapes by ``doc_id % 3``,
+    synthesized in-plan as pure-codegen string concat (record headers,
+    a true ``Content-Length`` via ``octet_length``, CRLF framing, the
+    ``\\r\\n\\r\\n`` record terminator), then parsed back by
+    :func:`tamar_spark.functions.text.warc_parse` and
+    :func:`tamar_spark.functions.text.http_response_split`:
+
+    - shape 0: ``response`` carrying ``HTTP/1.1 200`` + ``text/html``
+      whose body is the document text — the round trip the sha pins;
+    - shape 1: ``response`` carrying ``404 Not Found`` + ``text/plain``
+      and a synthetic body — status/content-type extraction;
+    - shape 2: ``request`` (``GET`` message) — the WARC layer parses
+      fine (``warc_ok``), and the HTTP RESPONSE splitter must REFUSE
+      the request form (``http_ok=false``, null status/body), pinning
+      that the two layers fail independently.
+
+    The oracle rebuilds every field arithmetically from the raw
+    column — the WARC ``Content-Length`` (the full HTTP message's byte
+    count) as explicit header-byte arithmetic, the body sha from the
+    raw text — and never runs a parser.  Malformed-record handling
+    (bad version line, truncated payload, garbled length, trailing
+    garbage) is pinned by the kernel's unit tests; this row pins the
+    happy-path framing byte-exactly.
+
+    Scale: one pruned (doc_id, text) scan, ZERO exchanges, exactly TWO
+    ArrowEvalPython nodes in a producer→consumer chain (the WARC parse,
+    then the HTTP split over its payload — struct-field fan-out from
+    each dedupes to one evaluation); at 100 TB the synthesis does not
+    exist (records arrive framed, one per row via per-member gzip
+    splitting) and the parse is cost ∝ record bytes with no cross-row
+    state."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    t = F.col("text")
+    body1 = F.concat(F.lit("missing "), did)
+    http = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    "Content-Length: "
+                ),
+                F.octet_length(t).cast("string"),
+                F.lit("\r\n\r\n"),
+                t,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit(
+                    "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n"
+                    "Content-Length: "
+                ),
+                F.octet_length(body1).cast("string"),
+                F.lit("\r\n\r\n"),
+                body1,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("GET /doc/"),
+                did,
+                F.lit(" HTTP/1.1\r\nHost: example.com\r\n\r\n"),
+            )
+        )
+    )
+    wtype = F.when(F.col("doc_id") % 3 == 2, F.lit("request")).otherwise(
+        F.lit("response")
+    )
+    warc = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: "),
+        wtype,
+        F.lit("\r\nWARC-Target-URI: http://example.com/doc/"),
+        did,
+        F.lit(
+            "\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nWARC-Record-ID: "
+            "<urn:uuid:"
+        ),
+        did,
+        F.lit(">\r\nContent-Type: application/http;msgtype="),
+        wtype,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    w = T.warc_parse(F.encode(warc, "UTF-8"))
+    h = T.http_response_split(w["payload"])
+    return docs.select(
+        "doc_id",
+        w["warc_type"].alias("warc_type"),
+        w["target_uri"].alias("target_uri"),
+        w["content_length"].alias("content_length"),
+        w["ok"].alias("warc_ok"),
+        h["status"].alias("http_status"),
+        h["content_type"].alias("http_ct"),
+        h["ok"].alias("http_ok"),
+        F.sha2(F.decode(h["body"], "UTF-8"), 256).alias("body_sha"),
     )
 
 

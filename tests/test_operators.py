@@ -3822,6 +3822,128 @@ def test_decompress_payload_adversarial(spark):
     assert r3.n == 10_000_000
 
 
+def _warc_record(
+    payload: bytes,
+    wtype: str = "response",
+    version: str = "WARC/1.0",
+    content_length: str | None = None,
+    terminator: bytes = b"\r\n\r\n",
+) -> bytes:
+    cl = str(len(payload)) if content_length is None else content_length
+    head = (
+        f"{version}\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        "WARC-Target-URI: http://e.com/x\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:1>\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {cl}\r\n\r\n"
+    )
+    return head.encode("latin-1") + payload + terminator
+
+
+def test_warc_parse_adversarial(spark):
+    """warc_parse (r15) edge surface: clean records parse with either
+    record terminator; header names are case-insensitive; a bad
+    version line or a non-WARC prefix yields the full-null ok=false
+    row; a TRUNCATED payload (Content-Length past the record end)
+    flags ok=false with payload NULL; a garbled Content-Length flags
+    ok=false keeping the remainder; trailing non-terminator garbage
+    flags ok=false keeping the payload — and nothing ever throws."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import warc_parse
+
+    body = b"HTTP/1.1 200 OK\r\n\r\nhi"
+    lower = _warc_record(body).replace(b"WARC-Type:", b"warc-type:")
+    cases = [
+        (_warc_record(body), ("response", 21, body, True)),
+        (_warc_record(body, terminator=b"\r\n"), ("response", 21, body, True)),
+        (lower, ("response", 21, body, True)),
+        (_warc_record(body, version="WARC/2.0"), (None, None, None, False)),
+        (b"HTTP/1.1 200 OK\r\n\r\nnope", (None, None, None, False)),
+        (b"WARC/1.0 no blank line", (None, None, None, False)),
+        (
+            _warc_record(body, content_length="9999"),
+            ("response", 9999, None, False),
+        ),
+        (
+            _warc_record(body, content_length="abc"),
+            ("response", None, body + b"\r\n\r\n", False),
+        ),
+        (
+            _warc_record(body, terminator=b"JUNK"),
+            ("response", 21, body, False),
+        ),
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, b=bytearray(b)) for i, (b, _) in enumerate(cases)]
+    )
+    w = warc_parse(F.col("b"))
+    got = {
+        r.id: (r.t, r.cl, None if r.p is None else bytes(r.p), r.o)
+        for r in df.select(
+            "id",
+            w["warc_type"].alias("t"),
+            w["content_length"].alias("cl"),
+            w["payload"].alias("p"),
+            w["ok"].alias("o"),
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_http_response_split_adversarial(spark):
+    """http_response_split (r15) edge surface: clean responses split
+    with and without Content-Length; HTTP/1.0 accepted; a
+    Content-Length that disagrees with the actual body size flags
+    ok=false keeping the body (truncation evidence, not an encoding
+    to undo); the request form a WARC ``request`` record carries and
+    a non-digit status are REFUSED as full-null ok=false."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import http_response_split
+
+    cases = [
+        (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: 2\r\n\r\nhi",
+            (200, "text/html", b"hi", True),
+        ),
+        (
+            b"HTTP/1.0 301 Moved\r\nLocation: /y\r\n\r\n",
+            (301, None, b"", True),
+        ),
+        (
+            b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort",
+            (200, None, b"short", False),
+        ),
+        (
+            b"GET /doc/1 HTTP/1.1\r\nHost: e.com\r\n\r\n",
+            (None, None, None, False),
+        ),
+        (b"HTTP/1.1 ABC nope\r\n\r\nx", (None, None, None, False)),
+        (b"no framing at all", (None, None, None, False)),
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, b=bytearray(b)) for i, (b, _) in enumerate(cases)]
+    )
+    h = http_response_split(F.col("b"))
+    got = {
+        r.id: (r.s, r.ct, None if r.b is None else bytes(r.b), r.o)
+        for r in df.select(
+            "id",
+            h["status"].alias("s"),
+            h["content_type"].alias("ct"),
+            h["body"].alias("b"),
+            h["ok"].alias("o"),
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_fixture_text_is_nfc():
     """crawl_e2e's one fixture assumption, made LOUD (the r14-ADVICE
     pattern: an oracle that splices raw corpus text assumes properties

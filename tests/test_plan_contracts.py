@@ -502,6 +502,11 @@ def test_r15_crawl_rows_plan_contract(spark, sf_dir):
         # pipeline within one node where eligible); the pin guards
         # against a refactor UN-fusing them or adding a shuffle
         ("crawl_e2e", 4, 2),
+        # warc_extract: pure-codegen record synthesis, then the WARC
+        # parse and the HTTP split over its payload (producer→consumer
+        # — struct-field fan-out from each must dedupe to ONE
+        # evaluation per kernel, not one per referenced field)
+        ("warc_extract", 2, 2),
     ):
         df = QUERIES[name](spark, sf_dir)
         plan = executed_plan(df)
