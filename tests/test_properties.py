@@ -1277,3 +1277,90 @@ def test_attribution_time_decay_matches_model(spark, events, tmp_path_factory):
         for ch, (n, convs, rev) in agg.items()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# WARC record framing: synthesis → parse round trip on arbitrary payloads
+# ---------------------------------------------------------------------------
+
+warc_payloads_strategy = st.lists(
+    st.tuples(
+        st.binary(max_size=120),
+        st.sampled_from(["response", "request", "warcinfo"]),
+        st.sampled_from([b"", b"\r\n", b"\r\n\r\n"]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cases=warc_payloads_strategy)
+def test_warc_parse_roundtrip_property(spark, cases):
+    """For ANY payload bytes — including payloads that themselves
+    contain ``\\r\\n\\r\\n`` (the adversarial case: Content-Length must
+    govern payload extent, never a blank-line search through the
+    body) — a well-formed record with a true Content-Length and any
+    legal terminator parses back to exactly that payload with
+    ``ok=true`` and the stated type; and an HTTP 200 wrapper around
+    the same bytes splits back to the identical body."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import http_response_split, warc_parse
+
+    records = []
+    for payload, wtype, term in cases:
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            "WARC-Target-URI: http://e.com/p\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("latin-1")
+        records.append(head + payload + term)
+    http_msgs = [
+        (
+            f"HTTP/1.1 200 OK\r\nContent-Length: {len(p)}\r\n\r\n"
+        ).encode("latin-1")
+        + p
+        for p, _, _ in cases
+    ]
+    df = spark.createDataFrame(
+        [
+            Row(id=i, rec=bytearray(r), msg=bytearray(m))
+            for i, (r, m) in enumerate(zip(records, http_msgs))
+        ]
+    )
+    w = warc_parse(F.col("rec"))
+    h = http_response_split(F.col("msg"))
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            w["warc_type"].alias("t"),
+            w["content_length"].alias("cl"),
+            w["payload"].alias("p"),
+            w["ok"].alias("wok"),
+            h["status"].alias("s"),
+            h["body"].alias("b"),
+            h["ok"].alias("hok"),
+        ).collect()
+    }
+    for i, (payload, wtype, _) in enumerate(cases):
+        r = got[i]
+        assert (
+            r.t,
+            r.cl,
+            bytes(r.p),
+            r.wok,
+            r.s,
+            bytes(r.b),
+            r.hok,
+        ) == (wtype, len(payload), payload, True, 200, payload, True), (
+            i,
+            payload,
+            r,
+        )
