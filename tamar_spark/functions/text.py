@@ -541,7 +541,7 @@ def warc_parse(data: Column) -> Column:
     )(data)
 
 
-def http_response_split(data: Column) -> Column:
+def http_response_split(data: Column, dechunk: bool = False) -> Column:
     """Split an HTTP/1.x RESPONSE message (RFC 9112 framing — the
     payload of a WARC ``response`` record) into a struct ``(status,
     content_type, body, ok)``; one Arrow stage.
@@ -555,16 +555,58 @@ def http_response_split(data: Column) -> Column:
       ``Content-Length`` is present and disagrees with the actual
       body size, ``ok=false`` with the body kept (at-rest WARC
       payloads are already de-chunked by the crawler, so a mismatch
-      is evidence of truncation, not an encoding to undo).
+      is evidence of truncation, not an encoding to undo);
+    - with ``dechunk=True``, a message whose ``Transfer-Encoding``
+      is exactly ``chunked`` has its body DECODED per RFC 9112 §7.1
+      (hex chunk-size lines with optional extensions, per-chunk CRLF
+      framing, the ``0`` last-chunk, trailer fields skipped) —
+      Transfer-Encoding takes precedence over Content-Length per the
+      RFC, so the CL check is skipped on that path.  Malformed chunk
+      framing (bad size line, truncated chunk, missing CRLF) →
+      ``ok=false`` with the RAW body kept; bytes after a COMPLETE
+      terminator → ``ok=false`` with the DECODED body kept (the
+      :func:`decompress_payload` prefix convention); any OTHER
+      transfer coding (``gzip, chunked``) → ``ok=false`` with the
+      raw body (flagged, not guessed).  The default stays
+      ``dechunk=False``: at-rest WARC payloads are de-chunked by the
+      crawler, so the knob is for raw-capture corpora.
 
-    Stated scope: no ``Transfer-Encoding: chunked`` decoding and no
-    ``Content-Encoding`` handling here — compression is
-    :func:`decompress_payload`'s job, composed explicitly.
+    Stated scope: no ``Content-Encoding`` handling here —
+    compression is :func:`decompress_payload`'s job, composed
+    explicitly on the returned body.
 
     Scale: one Arrow stage, no shuffle, cost ∝ message bytes."""
     from pyspark.sql.functions import pandas_udf
 
     _null = {"status": None, "content_type": None, "body": None, "ok": False}
+
+    def _dechunk(raw):
+        """(decoded, ok) per RFC 9112 §7.1; (None, False) = malformed."""
+        out = bytearray()
+        pos = 0
+        while True:
+            nl = raw.find(b"\r\n", pos)
+            if nl < 0:
+                return None, False  # truncated size line
+            size_tok = raw[pos:nl].split(b";", 1)[0].strip()
+            try:
+                size = int(size_tok, 16)
+            except ValueError:
+                return None, False
+            pos = nl + 2
+            if size == 0:
+                # trailer section: zero or more fields, then CRLF
+                while True:
+                    if raw[pos : pos + 2] == b"\r\n":
+                        return bytes(out), pos + 2 == len(raw)
+                    tnl = raw.find(b"\r\n", pos)
+                    if tnl < 0:
+                        return bytes(out), False  # truncated trailer
+                    pos = tnl + 2
+            if raw[pos + size : pos + size + 2] != b"\r\n":
+                return None, False  # truncated chunk / lost framing
+            out += raw[pos : pos + size]
+            pos = pos + size + 2
 
     def _one(b):
         if b is None:
@@ -586,8 +628,19 @@ def http_response_split(data: Column) -> Column:
             if c:
                 hdr.setdefault(k.strip().lower(), v.strip())
         body = b[sep + 4 :]
-        cl = hdr.get("content-length", "")
-        ok = not cl.isdigit() or int(cl) == len(body)
+        te = hdr.get("transfer-encoding", "").lower()
+        if dechunk and te:
+            if te == "chunked":
+                decoded, ok = _dechunk(body)
+                if decoded is not None:
+                    body = decoded
+                else:
+                    ok = False  # malformed framing: raw body kept
+            else:
+                ok = False  # some other transfer coding: flag, keep raw
+        else:
+            cl = hdr.get("content-length", "")
+            ok = not cl.isdigit() or int(cl) == len(body)
         return {
             "status": int(parts[1]),
             "content_type": hdr.get("content-type"),

@@ -3822,6 +3822,53 @@ def test_decompress_payload_adversarial(spark):
     assert r3.n == 10_000_000
 
 
+def test_http_response_dechunk(spark):
+    """http_response_split(dechunk=True) (r15): RFC 9112 §7.1 chunked
+    bodies decode (hex sizes with extensions, trailer fields skipped,
+    exact-terminator consumption); the default leaves the framing
+    untouched (at-rest WARC is de-chunked by the crawler); malformed
+    framing — bad size line, truncated chunk — flags ok=false keeping
+    the RAW body, while trailing bytes AFTER a complete terminator
+    flag ok=false keeping the DECODED body (the decompress_payload
+    prefix convention); any other
+    transfer coding is flagged, never guessed; and a chunked message
+    IGNORES Content-Length (Transfer-Encoding precedence per the
+    RFC)."""
+    from pyspark.sql import Row
+
+    from tamar_spark.functions.text import http_response_split
+
+    def msg(body: bytes, te: str = "chunked", extra: str = "") -> bytes:
+        return (
+            f"HTTP/1.1 200 OK\r\nTransfer-Encoding: {te}\r\n{extra}\r\n"
+        ).encode("latin-1") + body
+
+    clean = b"4\r\nWiki\r\n5;ext=1\r\npedia\r\n0\r\n\r\n"
+    trailer = b"4\r\nWiki\r\n0\r\nX-Sum: 1\r\n\r\n"
+    badsize = b"ZZ\r\nWiki\r\n0\r\n\r\n"
+    short = b"8\r\nWiki\r\n0\r\n\r\n"
+    trailing = clean + b"JUNK"
+    cases = [
+        (msg(clean), True, (b"Wikipedia", True)),
+        (msg(trailer), True, (b"Wiki", True)),
+        (msg(badsize), True, (badsize, False)),
+        (msg(short), True, (short, False)),
+        (msg(trailing), True, (b"Wikipedia", False)),
+        (msg(clean, te="gzip, chunked"), True, (clean, False)),
+        # chunked beats a contradicting Content-Length (RFC 9112 §6.3)
+        (msg(clean, extra="Content-Length: 3\r\n"), True, (b"Wikipedia", True)),
+        # default: framing untouched, CL check governs
+        (msg(clean), False, (clean, True)),
+    ]
+    for i, (b, knob, want) in enumerate(cases):
+        df = spark.createDataFrame([Row(b=bytearray(b))])
+        h = http_response_split(F.col("b"), dechunk=knob)
+        r = df.select(
+            h["body"].alias("bd"), h["ok"].alias("o")
+        ).collect()[0]
+        assert (bytes(r.bd), r.o) == want, (i, bytes(r.bd), r.o, want)
+
+
 def _warc_record(
     payload: bytes,
     wtype: str = "response",
