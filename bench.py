@@ -215,6 +215,7 @@ EXTENDED = [
     "crawl_decompress",
     "crawl_e2e",
     "warc_extract",
+    "warc_e2e",
 ]
 
 HEADLINE = RECORDED_BASELINE + EXTENDED

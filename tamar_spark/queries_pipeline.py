@@ -43,9 +43,14 @@ corpus pipeline runs at 100 TB:
   deterministic compress→decompress round trip (multimodal convention).
 - **warc_extract** (r15) — the container layer above both: WARC/1.x
   record parsing (ISO 28500 headers, Content-Length payload selection,
-  record-terminator check) + HTTP/1.x response framing, one record per
-  row (the per-member gzip-split reading of a .warc.gz); malformed
-  records flag ok=false, never throw.
+  record-terminator check) + HTTP/1.x response framing (opt-in RFC
+  9112 chunked decoding), one record per row (the per-member
+  gzip-split reading of a .warc.gz); malformed records flag ok=false,
+  never throw.
+- **warc_e2e** (r15) — the full container-to-key lineage: WARC →
+  HTTP → Content-Encoding-gzip body → decompress → charset → html →
+  NFC → sha, seven chained Arrow stages, zero exchanges, same
+  expected-text oracle as crawl_e2e.
 - **repetition_filters** — Gopher-style repetition heuristics (Rae et al.
   2021 table A1): top-word fraction and duplicate-trigram fraction.  Both
   are explode → two-level doc_id-keyed aggregates: every shuffle is on
@@ -575,6 +580,36 @@ def crawl_normalize(spark, sf_dir):
     )
 
 
+def _crawl_page_html():
+    """The e2e fixture page over (doc_id, text): entity-encoded halves
+    (enc3 — fixture-content-independent per the r14 ADVICE), a
+    ``<meta charset=utf-8>`` hint, nav/footer boilerplate, and the
+    NFC/entity load-bearing tail (``cafe&#769;`` → decomposed →
+    composed only through normalization; ``&amp;#65;`` → the literal
+    ``&#65;`` only under single-pass decoding).  Shared by crawl_e2e
+    and warc_e2e so both oracles state the SAME expected text."""
+    did = F.col("doc_id").cast("string")
+
+    def enc3(c):
+        c = F.replace(c, F.lit("&"), F.lit("&#38;"))
+        c = F.replace(c, F.lit("<"), F.lit("&#60;"))
+        return F.replace(c, F.lit(">"), F.lit("&#62;"))
+
+    l2 = F.floor(F.length("text") / F.lit(2)).cast("int")
+    t = F.col("text")
+    return F.concat(
+        F.lit("<html><head><meta charset=utf-8><title>Doc "),
+        did,
+        F.lit(
+            "</title></head><body><nav><a href=/>Home</a></nav><p>"
+        ),
+        enc3(t.substr(F.lit(1), l2)),
+        F.lit(" cafe&#769; latte &amp;#65; ok</p><p>"),
+        enc3(t.substr(l2 + F.lit(1), F.length("text"))),
+        F.lit("</p><footer>f</footer></body></html>"),
+    )
+
+
 _CRAWL_E2E_SQL = f"""
 WITH ex AS (
   SELECT doc_id,
@@ -630,26 +665,7 @@ def crawl_e2e(spark, sf_dir):
     (payloads arrive compressed) and every real stage is cost ∝
     bytes with no shuffle — exactly the WET-extraction shape."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    did = F.col("doc_id").cast("string")
-
-    def enc3(c):
-        c = F.replace(c, F.lit("&"), F.lit("&#38;"))
-        c = F.replace(c, F.lit("<"), F.lit("&#60;"))
-        return F.replace(c, F.lit(">"), F.lit("&#62;"))
-
-    l2 = F.floor(F.length("text") / F.lit(2)).cast("int")
-    t = F.col("text")
-    html = F.concat(
-        F.lit("<html><head><meta charset=utf-8><title>Doc "),
-        did,
-        F.lit(
-            "</title></head><body><nav><a href=/>Home</a></nav><p>"
-        ),
-        enc3(t.substr(F.lit(1), l2)),
-        F.lit(" cafe&#769; latte &amp;#65; ok</p><p>"),
-        enc3(t.substr(l2 + F.lit(1), F.length("text"))),
-        F.lit("</p><footer>f</footer></body></html>"),
-    )
+    html = _crawl_page_html()
     payload = T.deflate_compress(F.encode(html, "UTF-8"), "gzip")
     dec = T.decompress_payload(payload)
     cs = T.decode_charset(dec["data"])
@@ -658,6 +674,119 @@ def crawl_e2e(spark, sf_dir):
     )
     return docs.select(
         "doc_id",
+        dec["codec"].alias("codec"),
+        cs["encoding"].alias("encoding"),
+        F.length(nfc).cast("bigint").alias("n_chars"),
+        F.sha2(nfc, 256).alias("text_sha"),
+    )
+
+
+_WARC_E2E_SQL = """
+WITH ex AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           substr(text, 1, CAST(floor(length(text) / 2) AS BIGINT))
+           || ' café latte &#65; ok ' ||
+           substr(text, CAST(floor(length(text) / 2) AS BIGINT) + 1),
+           '\\s+', ' ', 'g')) AS expected
+  FROM documents
+)
+SELECT doc_id,
+       'response' AS warc_type,
+       200 AS http_status,
+       'text/html' AS http_ct,
+       'gzip' AS codec,
+       'utf-8' AS encoding,
+       CAST(length(expected) AS BIGINT) AS n_chars,
+       sha256(expected) AS text_sha
+FROM ex
+"""
+
+
+@query("warc_e2e", _WARC_E2E_SQL)
+def warc_e2e(spark, sf_dir):
+    """The FULL crawl ingestion pipeline as ONE lineage (r15 —
+    crawl_e2e extended up through the container layer): a WARC
+    ``response`` record whose HTTP payload carries a
+    ``Content-Encoding: gzip`` body → :func:`warc_parse` →
+    :func:`http_response_split` → :func:`decompress_payload` →
+    :func:`decode_charset` → :func:`html_main_text` (single-pass
+    entities) → :func:`unicode_normalize` → the canonical text key.
+    Beyond crawl_e2e this proves the two CONTAINER boundaries the
+    docstrings only claim compose: the record's Content-Length
+    selects exactly the HTTP message, the HTTP blank line selects
+    exactly the compressed body, and that body feeds the transport
+    decompressor byte-exactly (Content-Encoding handling is
+    explicitly decompress_payload's job — this row is that
+    composition, exercised end to end).
+
+    Synthesis (in-plan, content-independent): the shared
+    :func:`_crawl_page_html` fixture page (same NFC/entity
+    load-bearing tail as crawl_e2e — the two oracles state the SAME
+    expected text), gzip-compressed with deterministic headers, then
+    wrapped in true-Content-Length HTTP and WARC framing as
+    pure-codegen string/binary concat.  The oracle rebuilds the
+    expected text arithmetically from the raw column and states the
+    framing fields (type, status, content type, codec, charset) as
+    literals — it never runs a parser, codec, or normalizer.
+
+    Scale: one pruned (doc_id, text) scan, ZERO exchanges, a strict
+    producer→consumer Arrow chain (compress synthesis, then the six
+    real stages); at 100 TB the synthesis does not exist — records
+    arrive framed, one per row via per-member gzip splitting — and
+    every stage is cost ∝ record bytes with no shuffle or cross-row
+    state: the WET-extraction shape, starting from the container."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    body = T.deflate_compress(
+        F.encode(_crawl_page_html(), "UTF-8"), "gzip"
+    )
+    http = F.concat(
+        F.encode(
+            F.concat(
+                F.lit(
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    "Content-Encoding: gzip\r\nContent-Length: "
+                ),
+                F.octet_length(body).cast("string"),
+                F.lit("\r\n\r\n"),
+            ),
+            "UTF-8",
+        ),
+        body,
+    )
+    rec = F.concat(
+        F.encode(
+            F.concat(
+                F.lit(
+                    "WARC/1.0\r\nWARC-Type: response\r\n"
+                    "WARC-Target-URI: http://example.com/doc/"
+                ),
+                did,
+                F.lit(
+                    "\r\nContent-Type: application/http;msgtype=response"
+                    "\r\nContent-Length: "
+                ),
+                F.octet_length(http).cast("string"),
+                F.lit("\r\n\r\n"),
+            ),
+            "UTF-8",
+        ),
+        http,
+        F.lit(b"\r\n\r\n"),
+    )
+    w = T.warc_parse(rec)
+    h = T.http_response_split(w["payload"])
+    dec = T.decompress_payload(h["body"])
+    cs = T.decode_charset(dec["data"])
+    nfc = T.unicode_normalize(
+        T.html_main_text(cs["text"], numeric_entities=True)
+    )
+    return docs.select(
+        "doc_id",
+        w["warc_type"].alias("warc_type"),
+        h["status"].alias("http_status"),
+        h["content_type"].alias("http_ct"),
         dec["codec"].alias("codec"),
         cs["encoding"].alias("encoding"),
         F.length(nfc).cast("bigint").alias("n_chars"),

@@ -507,6 +507,11 @@ def test_r15_crawl_rows_plan_contract(spark, sf_dir):
         # — struct-field fan-out from each must dedupe to ONE
         # evaluation per kernel, not one per referenced field)
         ("warc_extract", 2, 2),
+        # warc_e2e: the full seven-stage chain (compress synthesis +
+        # warc parse, http split, decompress, charset, entity decode,
+        # NFC) — each consumes the previous stage's output, so none
+        # co-batch: seven nodes, still zero shuffles
+        ("warc_e2e", 7, 2),
     ):
         df = QUERIES[name](spark, sf_dir)
         plan = executed_plan(df)
