@@ -1364,3 +1364,91 @@ def test_warc_parse_roundtrip_property(spark, cases):
             payload,
             r,
         )
+
+
+# ---------------------------------------------------------------------------
+# decode_charset: synthesis → decode round trip across hint mechanisms
+# ---------------------------------------------------------------------------
+
+_CHARSET_ALPHABETS = {
+    # (codec, alphabet the codec can encode, hint mechanism)
+    "utf-8": ("abc é“quote” 日本", "bom"),
+    "utf-16-le": ("abc é“quote” 日本", "bom"),
+    "cp1252": ("abc é“quote” ", "meta"),
+    "shift_jis": ("abc 日本語 ", "meta"),
+}
+
+charset_cases_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(sorted(_CHARSET_ALPHABETS)),
+        st.integers(min_value=0, max_value=2**31),
+    ),
+    min_size=1,
+    max_size=8,
+).flatmap(
+    lambda picks: st.tuples(
+        st.just([p[0] for p in picks]),
+        st.tuples(
+            *[
+                st.text(
+                    alphabet=_CHARSET_ALPHABETS[enc][0],
+                    min_size=0,
+                    max_size=40,
+                )
+                for enc, _ in picks
+            ]
+        ),
+    )
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cases=charset_cases_strategy)
+def test_decode_charset_roundtrip_property(spark, cases):
+    """For ANY text drawn from a codec's encodable alphabet, bytes
+    synthesized with that codec under its hint mechanism (BOM for the
+    UTF family, a <meta charset> prescan hint for the byte codecs)
+    decode back to exactly that text with the canonical codec name
+    reported and ZERO replacements — the lossless half of the
+    decode_charset contract, fuzzed where the unit tests pin single
+    shapes.  The meta tag itself survives in the decoded text (the
+    kernel is a transcoder, not a stripper — tag removal is
+    html_main_text's job downstream)."""
+    from pyspark.sql import Row
+
+    encs, texts = cases
+    rows = []
+    for i, (enc, text) in enumerate(zip(encs, texts)):
+        if _CHARSET_ALPHABETS[enc][1] == "bom":
+            if enc == "utf-8":
+                b = b"\xef\xbb\xbf" + text.encode("utf-8")
+                expected = text
+            else:
+                b = b"\xff\xfe" + text.encode("utf-16-le")
+                expected = text
+        else:
+            prefix = f'<meta charset="{enc}">'
+            b = (prefix + text).encode(enc)
+            expected = prefix + text
+        rows.append((i, b, enc, expected))
+    df = spark.createDataFrame(
+        [Row(id=i, b=bytearray(b)) for i, b, _, _ in rows]
+    )
+    from tamar_spark.functions.text import decode_charset
+
+    dec = decode_charset(F.col("b"))
+    got = {
+        r.id: (r.t, r.e, r.n)
+        for r in df.select(
+            "id",
+            dec["text"].alias("t"),
+            dec["encoding"].alias("e"),
+            dec["n_replaced"].alias("n"),
+        ).collect()
+    }
+    for i, _, enc, expected in rows:
+        assert got[i] == (expected, enc, 0), (i, enc, expected, got[i])
