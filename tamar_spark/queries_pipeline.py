@@ -2683,7 +2683,27 @@ def bpe_learn(
     head = repr_df.limit(local_below + 1).collect()
     if len(head) <= local_below:
         merges = _bpe_learn_local([(r["repr"], r["freq"]) for r in head], steps)
-        return spark.createDataFrame(merges, _BPE_MERGE_SCHEMA).orderBy("step")
+        # Single-slice parallelize + localCheckpoint (r15 optimization): a
+        # bare createDataFrame(list) is a PYTHON-parallelized RDD split
+        # over defaultParallelism partitions, and every consumer scan of
+        # it — bpe_apply_merges builds one broadcast per step, so `steps`
+        # consumers minimum — launches a job whose every task attaches a
+        # Python worker to deserialize pickled rows (~0.2 s/scan of pure
+        # machinery for a `steps`-row table; 6+ such scans in
+        # corpus_e2e).  numSlices=1 keeps the table in ONE Python
+        # partition (a coalesce(1) instead would make one task re-compute
+        # all 32 Python partitions SEQUENTIALLY, each re-attaching a
+        # worker — measured +6 s/query), and the eager localCheckpoint
+        # pays that single worker attach once, making each later
+        # rule-broadcast a one-task JVM scan of the checkpointed block.
+        # The table is vocabulary-step-bounded (`steps` rows), so the
+        # checkpoint is trivially scale-safe.
+        rdd = spark.sparkContext.parallelize(merges, numSlices=1)
+        return (
+            spark.createDataFrame(rdd, _BPE_MERGE_SCHEMA)
+            .localCheckpoint()
+            .orderBy("step")
+        )
 
     # Distributed fallback.  Each step's subtree references every earlier
     # step twice (the merge rule is a 1-row aggregate over the previous
@@ -3104,16 +3124,43 @@ def e2e_frame(docs: "DataFrame") -> "DataFrame":
     :func:`corpus_e2e` and the bench_scale linearity probe so the probe
     can never drift from the query it claims to measure (the same
     shared-kernel rule as ``tokenize_pack_frame``/``curate_verdicts``)."""
+    # The verdict frame is checkpointed BEFORE the keep-filter, not after
+    # (r15 optimization): filtering the lazy verdict plan lets Catalyst
+    # split the conjunctive ``keep`` and push its fold-heavy quality
+    # conjunct (a pure function of ``text``) through the joins AND the
+    # spread() repartition down to the parquet scan — re-evaluating the
+    # whole token/trigram fold a second time in the scan stage, which is
+    # single-task on under-parallel input (measured at sf0.1: two
+    # concurrent 7.2 s one-task scan stages, the §4.4 duplicated-predicate
+    # shape with plain expressions instead of a UDF).  Materializing the
+    # one-row-per-doc verdicts first gives the filter a flat scan to push
+    # into; the fold runs exactly once, after the exchange, in parallel
+    # (9.1 s → 2.4 s for this stage at sf0.1).  The checkpoint is
+    # O(n_docs) narrow rows — scale-safe where checkpointing the corpus
+    # itself would not be.
     kept = (
         curate_verdicts(docs.select("doc_id", "text", "lang"))
+        .select("doc_id", "lang", "keep")
+        .localCheckpoint(eager=False)
         .filter(F.col("keep"))
         .select("doc_id", "lang")
-        .localCheckpoint(eager=False)
     )
     sel = mixture_sample(kept, _MIXTURE_WEIGHTS).select("doc_id")
+    # left_semi, not inner (r15 optimization): ``sel`` is a unique-id
+    # FILTER, and the inner-join form let the planner broadcast whichever
+    # side fit — at bench scale it picked the TEXT side (docs, under the
+    # 64 MB threshold), which (a) collected the corpus to the driver and
+    # (b) gave the join output sel's near-singleton AQE partitioning, so
+    # every downstream fold (word aggregate, BPE encode) ran single-task
+    # (measured: 2.4 s single-task word agg).  A semi join builds on the
+    # id list by construction at every scale — broadcast when it fits,
+    # shuffled build otherwise — and the corpus side streams through,
+    # keeping its parallel partitioning.  Inner ≡ semi here because sel's
+    # ids are unique (row_number rank ≤ quota picks each doc at most
+    # once).
     corpus = (
         docs.select("lang", "source", "doc_id", "text")
-        .join(sel, "doc_id")
+        .join(sel, "doc_id", "left_semi")
         .localCheckpoint(eager=False)
     )
     return tokenize_pack_frame(corpus)
