@@ -69,6 +69,16 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # Lazy checkpoint fused with the convergence probe (r15
+        # optimization, the connected_components_star pattern): the eager
+        # checkpoint ran one job per round and the changed-count a
+        # second; letting the count materialize the checkpoint halves
+        # the per-round job count — pure fixed-cost machinery on a
+        # converged tail (measured: each extra job costs ~0.2-0.4 s of
+        # scheduler/AQE overhead at fixture scale regardless of data).
+        # The count is full (no limit(1)): it scans every partition, so
+        # the checkpoint is always completely materialized before the
+        # next round builds on it.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
@@ -77,13 +87,12 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
             .count()
         )
         labels = new_labels

@@ -1389,7 +1389,7 @@ def lang_segments(spark, sf_dir):
     projection."""
     from tamar_spark.sources import spread
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     sent_arr = F.split(F.col("text"), r"\.")
     langs = F.transform(sent_arr, lambda s: T.lang_id(F.trim(s)))
     seg_t = "array<struct<lang:string,start_idx:int,n:int>>"

@@ -30,7 +30,7 @@ from pyspark.sql import Window, functions as F
 from tamar_spark.operators import clustering as C
 from tamar_spark.operators import dedup as D
 from tamar_spark.queries import query
-from tamar_spark.sources import load_table
+from tamar_spark.sources import load_table, spread
 from tamar_spark.functions import text as T
 
 
@@ -1553,7 +1553,9 @@ def embed_pca_power(spark, sf_dir):
     carries partitions×64 rows, not n×64) and two 1-row broadcasts.
     Rows never pairwise-join: cost is O(n·d) per iteration, the plan a
     1000-executor run wants."""
-    x, v_df = _pca_center_component(spark, load_table(spark, sf_dir, "embeddings"))
+    x, v_df = _pca_center_component(
+        spark, spread(load_table(spark, sf_dir, "embeddings"))
+    )
     return v_df.select(
         F.posexplode("pv").alias("pos", "component"), F.col("lam")
     ).select(
@@ -1700,7 +1702,7 @@ def embed_abtt_topk(spark, sf_dir):
     :func:`embed_abtt_ivf_topk` is exactly that composition)."""
     from tamar_spark.operators import similarity as S
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     corrected = _abtt_corrected(spark, emb)
     probes = corrected.filter(F.col("vec_id") % 50 == 0)
     return S.cosine_topk(corrected, probes, k=5)
@@ -1786,7 +1788,7 @@ def embed_abtt_ivf_topk(spark, sf_dir):
     search will actually use)."""
     from tamar_spark.operators import similarity as S
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     corrected = _abtt_corrected(spark, emb)
     probes = corrected.filter(F.col("vec_id") % 50 == 0)
     return S.ivf_topk(corrected, probes, k=5)

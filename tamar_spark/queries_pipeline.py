@@ -88,7 +88,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from tamar_spark.queries import query, _DEC
-from tamar_spark.sources import load_table
+from tamar_spark.sources import load_table, spread
 from tamar_spark.functions import text as T
 
 
@@ -2221,7 +2221,7 @@ def fingerprint_winnow(spark, sf_dir):
     hot-key caveat as every inverted index — a fingerprint shared by d
     docs costs d² pair rows, so cap fingerprint document-frequency at
     corpus scale exactly as ``jaccard_pairs.max_doc_freq`` does."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     fps = winnow_fingerprints(docs, _WINNOW_K, _WINNOW_W)
     a = fps.select(F.col("doc_id").alias("doc_id_1"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_id_2"), "fp")
