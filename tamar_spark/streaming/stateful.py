@@ -78,7 +78,23 @@ def process_state(
         state = init_state(key) if init_state is not None else None
         return fn(key, pdf, state)
 
-    out = keyed.df.groupBy(*keyed.keys).applyInPandas(apply, schema=schema)
+    # Pin the pre-Python exchange width (r15 optimization, guide §4):
+    # AQE coalesces shuffles by BYTES, and a keyed pandas walk is
+    # CPU-bound per row, not byte-bound — at bench scale the ~10 MB
+    # event shuffle coalesced to 2 partitions and the per-group Python
+    # work serialized 2-wide (measured: one 2-task 5.6 s-exec stage
+    # dominating stateful_event_numbering).  An explicit
+    # repartition(N, keys) is REPARTITION_BY_NUM, which AQE never
+    # coalesces, and its hashpartitioning satisfies the groupBy's
+    # clustering requirement, so no second exchange is added.  N is the
+    # session's configured shuffle width (the pre-AQE sizing knob the
+    # operator inherits on any cluster), not a local constant.
+    n_parts = int(keyed.df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = (
+        keyed.df.repartition(n_parts, *keyed.keys)
+        .groupBy(*keyed.keys)
+        .applyInPandas(apply, schema=schema)
+    )
     return DataStream(out, env=keyed.env, event_time=ts)
 
 
