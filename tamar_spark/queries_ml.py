@@ -1099,7 +1099,7 @@ def graph_kcore(spark, sf_dir):
     the early exit fires."""
     from tamar_spark.operators.graph import kcore
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     )
     x, y = li.alias("x"), li.alias("y")
