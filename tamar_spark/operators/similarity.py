@@ -153,12 +153,17 @@ def mmr_topk(
     )
     # localCheckpoint: cands and pairs are re-referenced by every greedy
     # round; without truncation Catalyst re-derives the corpus scan per
-    # round branch.
+    # round branch.  All checkpoints in this kernel are LAZY (eager=False,
+    # r15): the greedy loop is pure plan construction, and the one action
+    # that consumes the final selection materializes the whole checkpoint
+    # chain inside a single job — the eager form ran one fixed-cost job
+    # per round (k+1 jobs of scheduler/AQE machinery for candidate-bounded
+    # data that never exceeds n_queries × n_candidates rows).
     cands = (
         scored.withColumn("_rnk", F.row_number().over(w_rel))
         .filter(F.col("_rnk") <= n_candidates)
         .select(query_id_col, "cand", "rel", "_cv", "_cn")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = cands.select(
         query_id_col,
@@ -182,7 +187,7 @@ def mmr_topk(
             dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
         )
         .select(query_id_col, "ca", "cb", "sim")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     slim = cands.select(query_id_col, "cand", "rel")
     w_pick = Window.partitionBy(query_id_col).orderBy(
@@ -223,7 +228,7 @@ def mmr_topk(
             .filter(F.col("_rn") == 1)
             .select(query_id_col, "cand", "mmr", "rel", F.lit(i).alias("pick"))
         )
-        selected = selected.unionByName(pick).localCheckpoint()
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected.select(
         query_id_col,
         F.col("pick").cast("int").alias("pick"),
