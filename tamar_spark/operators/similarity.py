@@ -765,33 +765,56 @@ def ivfpq_topk(
         )
 
     sim = dot(F.col("_cv"), F.col("_cent")) / (F.col("_cn") * F.col("_cent_n"))
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("_s").desc(), "list_id"
-    )
-    assigned = (
-        c.join(F.broadcast(cents))
-        .withColumn("_s", sim)
-        .withColumn("_ark", F.row_number().over(w_assign))
-        .filter(F.col("_ark") == 1)
-        .select(
-            "neighbor_id",
-            "list_id",
-            "_cn",
-            F.zip_with("_cv", "_cent", lambda x, y: x - y).alias("_rv"),
+
+    def assign_residual(rows: DataFrame, *carry: str) -> DataFrame:
+        # Nearest-centroid assignment + residual as a partial-aggregating
+        # min_by over the broadcast cross product (the ivf_topk shape) —
+        # NOT a per-vector sort window: the hash aggregate combines
+        # map-side, needs no sort, and shuffles one row per vector.
+        # min_by on struct(-_s, list_id) ≡ row_number over
+        # (_s DESC, list_id ASC): negation is exact on doubles and the
+        # struct comparison is lexicographic, so the winner is identical.
+        return (
+            rows.join(F.broadcast(cents))
+            .withColumn("_s", sim)
+            .groupBy("neighbor_id")
+            .agg(
+                F.min_by(
+                    F.struct("list_id", "_cent"),
+                    F.struct((-F.col("_s")).alias("s"), "list_id"),
+                ).alias("_win"),
+                F.first("_cv").alias("_cv"),
+                *[F.first(col).alias(col) for col in carry],
+            )
+            .select(
+                "neighbor_id",
+                F.col("_win.list_id").alias("list_id"),
+                F.zip_with(
+                    "_cv", F.col("_win._cent"), lambda x, y: x - y
+                ).alias("_rv"),
+                *carry,
+            )
         )
-    )
 
     def chunks(vec: Column) -> Column:
         return F.array(
             *[F.slice(vec, m * sub_dim + 1, sub_dim) for m in range(n_sub)]
         )
 
-    cb_seed = (
-        assigned.withColumn(
-            "_h", F.md5(F.concat(F.lit("r"), F.col("neighbor_id").cast("string")))
+    assigned = assign_residual(c, "_cn")
+    # The codebook seed is hash-picked by md5('r' || id) — a pure function
+    # of the id, so the ≤n_codes winners are selected from the RAW corpus
+    # first (one TakeOrdered over the scan) and only those rows pay the
+    # centroid assignment, instead of evaluating the full corpus-wide
+    # assignment subtree just to discard all but n_codes rows of it.
+    cb_seed = assign_residual(
+        c.withColumn(
+            "_h",
+            F.md5(F.concat(F.lit("r"), F.col("neighbor_id").cast("string"))),
         )
         .orderBy("_h", "neighbor_id")
-        .limit(n_codes)
+        .limit(n_codes),
+        "_h",
     )
     cbooks = cb_seed.select(
         (F.row_number().over(Window.orderBy("_h", "neighbor_id")) - 1).alias(
