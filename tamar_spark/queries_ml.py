@@ -1229,12 +1229,26 @@ def hybrid_rrf_topk(spark, sf_dir):
     embarrassingly parallel."""
     from tamar_spark.operators import similarity as S
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_raw = load_table(spark, sf_dir, "documents")
+    # spread(): the lexical leg does ~|anchors| array_intersects per
+    # corpus row inside the scan projection — on the 1-row-group local
+    # fixture that serialized in one task (measured 3.9 s of a 4 s
+    # single-task broadcast build); round-robin widening parallelizes
+    # it and is a no-op on pre-split production input
+    docs = spread(docs_raw).select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("w")
     )
-    anchors = toks.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("query_id"), F.col("w").alias("qw")
+    # anchors come from the NATURAL scan (not the spread frame): the
+    # %100 filter then pushes into the parquet scan and the broadcast
+    # build tokenizes only the anchor rows
+    anchors = (
+        docs_raw.select("doc_id", "text")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_distinct(T.tokens(F.col("text"))).alias("qw"),
+        )
     )
     inter = F.size(F.array_intersect("w", "qw"))
     union = F.size("w") + F.size("qw") - inter
@@ -1392,12 +1406,26 @@ def retrieval_ndcg(spark, sf_dir):
     from tamar_spark.operators import similarity as S
     from tamar_spark.queries import round_ieee
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_raw = load_table(spark, sf_dir, "documents")
+    # spread(): the lexical leg does ~|anchors| array_intersects per
+    # corpus row inside the scan projection — on the 1-row-group local
+    # fixture that serialized in one task (measured 3.9 s of a 4 s
+    # single-task broadcast build); round-robin widening parallelizes
+    # it and is a no-op on pre-split production input
+    docs = spread(docs_raw).select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("w")
     )
-    anchors = toks.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("query_id"), F.col("w").alias("qw")
+    # anchors come from the NATURAL scan (not the spread frame): the
+    # %100 filter then pushes into the parquet scan and the broadcast
+    # build tokenizes only the anchor rows
+    anchors = (
+        docs_raw.select("doc_id", "text")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_distinct(T.tokens(F.col("text"))).alias("qw"),
+        )
     )
     inter = F.size(F.array_intersect("w", "qw"))
     union = F.size("w") + F.size("qw") - inter
