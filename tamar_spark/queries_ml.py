@@ -730,6 +730,17 @@ def _semdedup_pairs(spark, sf_dir, k: int, tau: float = 0.4):
         "vec_id", F.col("embedding").cast("array<double>").alias("_v")
     )
     pv = asg.join(v, "vec_id")
+    # Pin the pair-join width: the within-cluster quadratic scoring is
+    # CPU-bound per OUTPUT pair, but its INPUT shuffle is sub-MB at
+    # fixture scale, so AQE (which coalesces by bytes) folds the cluster
+    # shuffle to one task and serializes ~n²/k cosine folds (measured: a
+    # 2.7 s single-task stage reading 0.8 MB).  REPARTITION_BY_NUM is
+    # exempt from coalescing, and hash(cluster) satisfies both join
+    # sides' clustering so no further exchange appears.  N = the
+    # session's configured shuffle width (the env-derived sizing knob,
+    # not a local constant).
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pv = pv.repartition(width, "cluster")
     from tamar_spark.operators.similarity import dot, l2_norm
 
     x = pv.select(
