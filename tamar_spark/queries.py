@@ -17,7 +17,9 @@ Determinism rules applied throughout:
 
 from __future__ import annotations
 
+import contextlib
 import itertools
+import os
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -2051,16 +2053,10 @@ def streaming_session_agg(spark, sf_dir):
             "sum_value",
         )
     )
-    name = f"tamar_stream_out_{next(_mem_sink_counter)}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    # state width bound at stream start, inside the guard (see
+    # _stream_state_width — input-size-derived, restored on exit)
+    with _stream_state_width(spark, sf_dir):
+        return _run_to_memory(agg)
 
 
 # ---------------------------------------------------------------------------
@@ -2317,6 +2313,51 @@ def _events_stream(spark, sf_dir, watermark: str | None = "10 minutes"):
         .withColumn("ts", ts_fix)
     )
     return sdf.withWatermark("ts", watermark) if watermark is not None else sdf
+
+
+@contextlib.contextmanager
+def _stream_state_width(spark, sf_dir):
+    """Scope the streaming state-partition width to the INPUT SIZE, never
+    the core count (r15 optimization; guide §2.5 — make partitioning
+    scale-adaptive rather than a constant tuned for either local mode or
+    the cluster).
+
+    A stateful streaming operator instantiates one state store per shuffle
+    partition per micro-batch, and — unlike batch exchanges — AQE cannot
+    coalesce a streaming state exchange: the width is frozen into the
+    checkpoint at query start.  Measured (REST stage metrics, sf0.1): every
+    stateful query in the family spends its dominant executor time opening
+    32 RocksDB instances × 2 micro-batches over ~0.09 MB of state EACH —
+    pure per-instance fixed cost, the same byte-blind-width class as the
+    AQE-exempt repartitions of the r15 batch-4/-10 fixes but in the
+    opposite direction.  The cure is the rule ``streaming_stream_join``
+    has shipped since r2 (sized to in-flight state volume, measured
+    10.8→5.7 s there), generalized and made size-derived instead of a
+    constant: width = input_bytes / 8 MB, floored at 8 (so per-batch
+    compute still fans out locally) and capped at the session's configured
+    ``spark.sql.shuffle.partitions`` (env-derived — a production
+    deployment sizes THAT to its cluster, and a 100 TB input blows past
+    the cap immediately, so at scale this is exactly the configured width
+    and the context manager is a no-op by value).  In-flight keyed state
+    is a fraction of input bytes, so 8 MB of input per state partition is
+    a conservative (wide) target.  Restored on exit — the override must
+    not leak into unrelated batch plans on the shared session (the r2
+    ADVICE rule); the width is bound into the streaming query at
+    ``start()``, which every caller invokes inside this scope."""
+    import math
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        size = None
+    if size is not None:
+        width = min(int(prev), max(8, math.ceil(size / (8 << 20))))
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _run_to_memory(sdf, mode: str = "append"):

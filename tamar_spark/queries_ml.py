@@ -655,7 +655,12 @@ def streaming_heavy_hitters(spark, sf_dir):
     table equals the batch sketch exactly and the whole query shares the
     batch oracle.  The probe/rank side (exact counts for the true top-20
     and the one-sided-error pin) reads the same fixture in batch."""
-    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.queries import (
+        _events_stream,
+        _run_to_memory,
+        _stream_state_width,
+        prep_session,
+    )
     from tamar_spark.sources import load_table as _lt
 
     prep_session(spark)
@@ -665,10 +670,13 @@ def streaming_heavy_hitters(spark, sf_dir):
     pos_s = e_s.select("u", F.explode(_cms_positions("u")).alias("kp")).select(
         F.col("kp.k").alias("k"), F.col("kp.pos").alias("pos")
     )
-    cells = _run_to_memory(
-        pos_s.groupBy("k", "pos").agg(F.count(F.lit(1)).alias("cnt")),
-        mode="complete",
-    )
+    # state width bound at stream start, inside the guard (see
+    # _stream_state_width — input-size-derived, restored on exit)
+    with _stream_state_width(spark, sf_dir):
+        cells = _run_to_memory(
+            pos_s.groupBy("k", "pos").agg(F.count(F.lit(1)).alias("cnt")),
+            mode="complete",
+        )
 
     e = _lt(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("u")

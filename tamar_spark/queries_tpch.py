@@ -3281,7 +3281,12 @@ def streaming_ewma_anomaly(spark, sf_dir):
 
     import pandas as pd
 
-    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.queries import (
+        _events_stream,
+        _run_to_memory,
+        _stream_state_width,
+        prep_session,
+    )
     from tamar_spark.stream import DataStream
     from tamar_spark.streaming.stateful import process_state_streaming
 
@@ -3329,7 +3334,10 @@ def streaming_ewma_anomaly(spark, sf_dir):
     out = process_state_streaming(
         keyed, walk, schema, init_state=lambda k: {"ewma": None}
     )
-    return _run_to_memory(out.df)
+    # state width bound at stream start, inside the guard (see
+    # _stream_state_width — input-size-derived, restored on exit)
+    with _stream_state_width(spark, sf_dir):
+        return _run_to_memory(out.df)
 
 
 @query(
@@ -3371,7 +3379,12 @@ def streaming_attribution(spark, sf_dir):
     shared with streaming_ewma_anomaly."""
     import pandas as pd
 
-    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.queries import (
+        _events_stream,
+        _run_to_memory,
+        _stream_state_width,
+        prep_session,
+    )
     from tamar_spark.stream import DataStream
     from tamar_spark.streaming.stateful import process_state_streaming
 
@@ -3410,7 +3423,10 @@ def streaming_attribution(spark, sf_dir):
     out = process_state_streaming(
         keyed, walk, schema, init_state=lambda k: {"channel": None}
     )
-    return _run_to_memory(out.df)
+    # state width bound at stream start, inside the guard (see
+    # _stream_state_width — input-size-derived, restored on exit)
+    with _stream_state_width(spark, sf_dir):
+        return _run_to_memory(out.df)
 
 
 _BLOOM_HASHES = 3

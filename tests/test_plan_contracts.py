@@ -926,3 +926,43 @@ def test_weighted_sample_topk_is_take_ordered(spark, sf_dir):
     df = QUERIES["weighted_sample"](spark, sf_dir)
     plan = executed_plan(df)
     assert "TakeOrdered" in plan
+
+
+def test_stream_state_width_is_input_size_derived_and_restored(spark, sf_dir):
+    """The r15 streaming state-width rule (queries._stream_state_width):
+    one state store is instantiated per shuffle partition per micro-batch
+    and AQE cannot coalesce a streaming state exchange, so the width must
+    derive from INPUT SIZE — min(configured, max(8, ceil(bytes/8MB))) —
+    never sit at the core count for a fixture-sized input, and must grow
+    back to the configured width as soon as the input is large (the
+    100 TB posture: the cap binds immediately at scale).  The override
+    must restore on exit, including the exception path — a leaked
+    override would rewrite every later batch plan on the shared session
+    (the r2 ADVICE rule)."""
+    import math
+    import os as _os
+
+    from tamar_spark.queries import _stream_state_width
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    size = _os.path.getsize(_os.path.join(sf_dir, "events.parquet"))
+    expect = min(int(prev), max(8, math.ceil(size / (8 << 20))))
+    with _stream_state_width(spark, sf_dir):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(expect)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # exception path restores too
+    try:
+        with _stream_state_width(spark, sf_dir):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # a huge input must bind the configured cap (no local constant): fake
+    # the derivation arithmetic directly — width is monotone in size and
+    # clamps to the session width
+    assert min(int(prev), max(8, math.ceil((100 * 2**40) / (8 << 20)))) == int(
+        prev
+    )
+    # and a missing source directory is a safe no-op
+    with _stream_state_width(spark, "/nonexistent-dir"):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
