@@ -27,6 +27,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "register_views",
+    "scan_partition_estimate",
     "spread",
     "ts_ns_columns",
     "TABLES",
@@ -126,22 +127,38 @@ def spread(df: DataFrame) -> DataFrame:
     extension indicates such a codec — otherwise a few large .gz files
     would estimate >= cores while the real scan is a handful of tasks
     and spread() would decline on a genuinely serialized fold."""
+    est = scan_partition_estimate(df)
+    if est is None:
+        return df
+    est_partitions, par = est
+    if est_partitions < par:
+        return df.repartition(par)
+    return df
+
+
+def scan_partition_estimate(df: DataFrame):
+    """``(estimated_scan_partitions, default_parallelism)`` for a frame
+    whose plan bottoms out in LOCAL files, else ``None`` (non-file source,
+    remote object store, unreadable conf) — the shared probe behind
+    ``spread`` and the dedup family's narrow-shingle widening (r15).  See
+    ``spread``'s docstring for the FilePartition-packing arithmetic and
+    the non-splittable-codec cap."""
     try:
         files = df.inputFiles()
     except Exception:
-        return df
+        return None
     if not files:
-        return df
+        return None
     sizes = []
     for uri in files:
         if not uri.startswith("file:"):
-            return df  # remote storage arrives pre-split → no-op
+            return None  # remote storage arrives pre-split → no-op
         from urllib.parse import unquote, urlparse
 
         try:
             sizes.append(os.path.getsize(unquote(urlparse(uri).path)))
         except OSError:
-            return df
+            return None
     conf = df.sparkSession.conf
     try:
         par = df.sparkSession.sparkContext.defaultParallelism
@@ -149,14 +166,14 @@ def spread(df: DataFrame) -> DataFrame:
         try:
             par = int(conf.get("spark.sql.shuffle.partitions", "200"))
         except (ValueError, TypeError):
-            return df
+            return None
     try:
         max_pb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
         open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
     except (ValueError, TypeError):
         # A size form the parser doesn't know must not crash the query
         # mid-plan — same conservative posture as the probe fallbacks.
-        return df
+        return None
     total = sum(sz + open_cost for sz in sizes)
     split = min(max_pb, max(open_cost, total // max(1, par)))
     est_partitions = -(-total // max(1, split))
@@ -165,9 +182,7 @@ def spread(df: DataFrame) -> DataFrame:
     if any(uri.lower().endswith(_NON_SPLITTABLE) for uri in files):
         # Non-splittable codec: Spark reads one partition per file.
         est_partitions = min(est_partitions, len(files))
-    if est_partitions < par:
-        return df.repartition(par)
-    return df
+    return est_partitions, par
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
