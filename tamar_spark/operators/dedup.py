@@ -125,7 +125,10 @@ def _widen_narrow_shingles(sh: DataFrame, id_col: str, width: int = 8) -> DataFr
     run WITHOUT a further exchange (hash clustering on the grouping key
     satisfies their distribution).  Interleaved A/B at sf0.1:
     dedup_ngram_jaccard −24%, dedup_keep_best −53% median, every pair
-    improved.
+    improved.  Width 16 re-tested r16 (hash-on-id keeps the
+    no-extra-exchange property, so doubling was plausible for the
+    CPU-heavy members): keep_best/edit_distance within noise,
+    ngram_jaccard consistently worse (2.09 → 2.29 s) — 8 stands.
 
     Production posture: the repartition fires only when the
     FilePartition estimate (``sources.scan_partition_estimate`` — the

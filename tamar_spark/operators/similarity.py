@@ -121,12 +121,13 @@ def mmr_topk(
     1. Candidate generation — exact cosine top-``n_candidates`` per query
        (broadcast query side, one corpus scan, per-query window).  At
        100 TB this is the only stage that touches the corpus.
-    2. Greedy selection — ``k`` unrolled DataFrame rounds over the
-       candidate set, which is bounded at ``n_queries × n_candidates``
-       rows (and ``× n_candidates`` pair sims), NEVER corpus-sized: each
-       round is an anti-join (drop selected), a max-sim aggregate against
-       the selected set, and a per-query row_number argmax.  All
-       candidate-bounded shuffles on tiny data.
+    2. Greedy selection — ONE cogrouped-pandas stage over the candidate
+       set and its pair sims, both bounded at ``n_queries ×
+       n_candidates`` rows (``× n_candidates`` for pairs), NEVER
+       corpus-sized; the per-query greedy walk is inherently sequential
+       in ``k``, so it runs inside the stage instead of as ``k``
+       unrolled plan rounds (r16 — the rounds were pure plan machinery:
+       43 stages → 10, −57% wall).
 
     ``lam`` and ``mu`` are passed separately (NOT ``1 − lam``) so both
     engines parse the same decimal literal — ``1 − 0.7`` in IEEE double is
@@ -190,48 +191,109 @@ def mmr_topk(
         .localCheckpoint(eager=False)
     )
     slim = cands.select(query_id_col, "cand", "rel")
-    w_pick = Window.partitionBy(query_id_col).orderBy(
-        F.col("mmr").desc(), F.col("cand").asc()
+    # Greedy selection in ONE cogrouped stage (r16).  The k unrolled
+    # DataFrame rounds were pure fixed cost: each round an anti-join, a
+    # pair join + aggregate and a per-query window over a candidate set
+    # bounded at n_queries × n_candidates rows — ~8 plan operators per
+    # round and a lazy-checkpoint chain, dominating wall-clock at any SF
+    # (scaling ratio 0.37: FASTER at 8 cores than 32).  The selection is
+    # inherently sequential in k, so instead of k plan rounds it runs as
+    # one `cogroup().applyInPandas` over (candidates, pair sims) per
+    # query — the shuffled data is the same candidate-bounded set, the
+    # plan is one exchange per side plus one Python stage.
+    #
+    # Float identity with the unrolled form (the declared oracle pins
+    # results to 1e-6 but we keep exact bit parity): rel and sim stay
+    # Spark-computed upstream (same zip_with/aggregate fold), and the
+    # only arithmetic here — lam·rel − mu·maxsim — is the same two IEEE
+    # multiplies and subtract.  Comparison semantics mirror Spark
+    # ordering: DESC ranks NaN above everything, F.max treats NaN as
+    # largest, ties break on candidate id ascending.
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    selected = (
-        slim.withColumn("_rn", F.row_number().over(w_rel))
-        .filter(F.col("_rn") == 1)
-        .select(
-            query_id_col,
-            "cand",
-            F.col("rel").alias("mmr"),
-            "rel",
-            F.lit(1).alias("pick"),
-        )
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, slim.schema[query_id_col].dataType),
+            StructField("cand", slim.schema["cand"].dataType),
+            StructField("mmr", DoubleType()),
+            StructField("rel", DoubleType()),
+            StructField("pick", IntegerType()),
+        ]
     )
-    for i in range(2, k + 1):
-        rem = slim.join(
-            selected.select(query_id_col, "cand"), [query_id_col, "cand"], "left_anti"
-        )
-        ms = (
-            pairs.join(
-                selected.select(
-                    query_id_col, F.col("cand").alias("cb")
+
+    def _greedy(left, right):
+        import pandas as pd
+
+        def better(v1, c1, v2, c2):
+            # (v DESC with NaN largest, cand ASC) — Spark's sort order
+            n1, n2 = v1 != v1, v2 != v2
+            if n1 != n2:
+                return n1
+            if not n1 and v1 != v2:
+                return v1 > v2
+            return c1 < c2
+
+        out = {query_id_col: [], "cand": [], "mmr": [], "rel": [], "pick": []}
+        if not left.empty:
+            qid = left[query_id_col].iloc[0]
+            rel_by_c = dict(zip(left["cand"], left["rel"]))
+            sim = {}
+            for ca, cb, s in zip(right["ca"], right["cb"], right["sim"]):
+                sim[(ca, cb)] = s
+            best = None
+            for c, r in rel_by_c.items():
+                if best is None or better(r, c, best[1], best[0]):
+                    best = (c, r)
+            sel = [best[0]]
+            rows = [(qid, best[0], best[1], rel_by_c[best[0]], 1)]
+            for i in range(2, k + 1):
+                best = None
+                for c, r in rel_by_c.items():
+                    if c in sel:
+                        continue
+                    sims = [sim[(c, s)] for s in sel if (c, s) in sim]
+                    if not sims:  # inner-join semantics of the unrolled form
+                        continue
+                    maxsim = sims[0]
+                    for v in sims[1:]:
+                        if v != v or (maxsim == maxsim and v > maxsim):
+                            maxsim = v  # F.max: NaN largest
+                    mmr = lam * r - mu * maxsim
+                    if best is None or better(mmr, c, best[1], best[0]):
+                        best = (c, mmr)
+                if best is None:
+                    break
+                sel.append(best[0])
+                rows.append((qid, best[0], best[1], rel_by_c[best[0]], i))
+            for row in rows:
+                for col, v in zip(out, row):
+                    out[col].append(v)
+        return pd.DataFrame(
+            {
+                query_id_col: pd.Series(
+                    out[query_id_col], dtype=left.dtypes[query_id_col]
                 ),
-                [query_id_col, "cb"],
-            )
-            .groupBy(query_id_col, F.col("ca").alias("cand"))
-            .agg(F.max("sim").alias("maxsim"))
+                "cand": pd.Series(out["cand"], dtype=left.dtypes["cand"]),
+                "mmr": pd.Series(out["mmr"], dtype="float64"),
+                "rel": pd.Series(out["rel"], dtype="float64"),
+                "pick": pd.Series(out["pick"], dtype="int32"),
+            }
         )
-        pick = (
-            rem.join(ms, [query_id_col, "cand"])
-            .withColumn(
-                "mmr",
-                F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim"),
-            )
-            .withColumn("_rn", F.row_number().over(w_pick))
-            .filter(F.col("_rn") == 1)
-            .select(query_id_col, "cand", "mmr", "rel", F.lit(i).alias("pick"))
-        )
-        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+
+    selected = (
+        slim.groupBy(query_id_col)
+        .cogroup(pairs.groupBy(query_id_col))
+        .applyInPandas(_greedy, schema=out_schema)
+    )
     return selected.select(
         query_id_col,
-        F.col("pick").cast("int").alias("pick"),
+        F.col("pick").alias("pick"),
         F.col("cand").alias(id_col),
         "mmr",
         "rel",

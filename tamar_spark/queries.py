@@ -1391,7 +1391,11 @@ def lang_segments(spark, sf_dir):
     projection."""
     from tamar_spark.sources import spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread restored r16 (VERDICT item 1): an r15 sweep (eb08c22) dropped
+    # it and the single-task fold read 8.6 s vs a 0.8 s warm pre-removal
+    # median; re-measured this round at 5.04 → 1.08 s (interleaved A/B).
+    # Pinned by test_lang_segments_spread_fires_on_narrow_fixture.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sent_arr = F.split(F.col("text"), r"\.")
     langs = F.transform(sent_arr, lambda s: T.lang_id(F.trim(s)))
     seg_t = "array<struct<lang:string,start_idx:int,n:int>>"
@@ -2254,31 +2258,25 @@ def streaming_tumbling_agg(spark, sf_dir):
     emission — windows not closed by the final watermark never emit (same
     no-end-of-stream-flush contract as the session variant)."""
     prep_session(spark)
-    sdf = _events_stream(spark, sf_dir)
-    agg = (
-        sdf.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum_r("value").alias("sum_value"),
+    # state width follows input size (r16: the r15 batch-11 rule extended
+    # to the un-benched stateful streaming family)
+    with _stream_state_width(spark, sf_dir):
+        sdf = _events_stream(spark, sf_dir)
+        agg = (
+            sdf.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum_r("value").alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
         )
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
-    name = f"tamar_stream_out_{next(_mem_sink_counter)}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+        return _run_to_memory(agg)
 
 
 def _events_stream(spark, sf_dir, watermark: str | None = "10 minutes"):
@@ -2315,8 +2313,28 @@ def _events_stream(spark, sf_dir, watermark: str | None = "10 minutes"):
     return sdf.withWatermark("ts", watermark) if watermark is not None else sdf
 
 
+def _dataset_size(path):
+    """Total data bytes of a parquet dataset at ``path`` — a plain file's
+    size, or the sum over a directory's non-hidden files (part files; the
+    ``_SUCCESS`` / ``.crc`` sidecars are noise at this granularity but are
+    skipped anyway for exactness).  ``None`` when the path is missing or
+    unreadable — callers treat that as "don't derive, keep configured"."""
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, dirs, names in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+                for n in names:
+                    if not n.startswith((".", "_")):
+                        total += os.path.getsize(os.path.join(root, n))
+            return total or None
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
 @contextlib.contextmanager
-def _stream_state_width(spark, sf_dir):
+def _stream_state_width(spark, sf_dir, source="events", floor=8):
     """Scope the streaming state-partition width to the INPUT SIZE, never
     the core count (r15 optimization; guide §2.5 — make partitioning
     scale-adaptive rather than a constant tuned for either local mode or
@@ -2343,16 +2361,36 @@ def _stream_state_width(spark, sf_dir):
     a conservative (wide) target.  Restored on exit — the override must
     not leak into unrelated batch plans on the shared session (the r2
     ADVICE rule); the width is bound into the streaming query at
-    ``start()``, which every caller invokes inside this scope."""
+    ``start()``, which every caller invokes inside this scope.  The
+    save/derive/restore races if two guarded queries run concurrently on
+    one session (Spark has no per-query state-width knob) — the bench and
+    the driver run queries strictly sequentially, which this relies on.
+
+    ``source`` names the parquet dataset the stream reads (the guarded
+    queries all stream ``events``); the size basis must follow the actual
+    input, not a hardcoded filename.  The dataset may be a single file
+    (the fixture layout) or a DIRECTORY of part files (the standard
+    at-scale layout) — ``os.path.getsize`` on a directory returns the
+    inode size (~4 KB) without raising, which would silently clamp a
+    100 TB stream's state width to the floor of 8, so directories are
+    summed file-by-file (r15 VERDICT/ADVICE fix).  Anything unreadable or
+    oddly shaped derives ``None`` → no override, configured width wins.
+
+    ``floor`` is the minimum derived width.  The default 8 suits
+    state-store-fixed-cost-bound queries (aggregations, joins, dedup —
+    fewer RocksDB opens per micro-batch win).  Queries whose stateful op
+    is CPU-BOUND per partition (pandas/Python kernels) pass a higher
+    floor: narrowing their exchange serializes the compute (r16 measured
+    on streaming_dedup_minhash: derived 8 vs the old constant 16 read
+    49.5 → 74.5 s — the same lesson as streaming_session_process, which
+    is not guarded at all).  At 100 TB the size term dominates either
+    floor and the configured width binds, so the floor is local-only."""
     import math
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    except OSError:
-        size = None
+    size = _dataset_size(os.path.join(sf_dir, f"{source}.parquet"))
     if size is not None:
-        width = min(int(prev), max(8, math.ceil(size / (8 << 20))))
+        width = min(int(prev), max(floor, math.ceil(size / (8 << 20))))
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         yield
@@ -2398,14 +2436,12 @@ def streaming_stream_join(spark, sf_dir):
     prep_session(spark)
     # a stream-stream join instantiates 4 state stores PER shuffle
     # partition per micro-batch; size partitions to the in-flight state
-    # volume (the standing scale rule), not the session default — at this
-    # SF 8 partitions halves wall-clock (measured 10.8→5.7 s) with
-    # identical results; a production deployment sizes this up with its
-    # cluster.  Saved/restored so standalone callers don't leak the
-    # override into unrelated work on the shared session (r2 ADVICE fix).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # volume (the standing scale rule since r2, measured 10.8→5.7 s here)
+    # — r16 replaces the constant 8 with the shared size-derived guard:
+    # identical width at this SF (2 MB events → the floor of 8), but the
+    # configured session width — not 8 — at 100 TB, where a constant
+    # would throttle the join state exchange.
+    with _stream_state_width(spark, sf_dir):
         clicks = (
             _events_stream(spark, sf_dir)
             .filter(F.col("event_type") == "click")
@@ -2434,8 +2470,6 @@ def streaming_stream_join(spark, sf_dir):
         )
         # the partition override is bound at stream start, inside the guard
         return _run_to_memory(joined)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @query(
@@ -2452,13 +2486,16 @@ def streaming_dedup(spark, sf_dir):
     evicts state for expired keys (``dropDuplicatesWithinWatermark`` is the
     bounded-state variant at 100 TB)."""
     prep_session(spark)
-    dedup = (
-        _events_stream(spark, sf_dir)
-        .select("user_id", "event_type", "ts")
-        .dropDuplicates(["user_id", "event_type"])
-        .select("user_id", "event_type")
-    )
-    return _run_to_memory(dedup)
+    # state width follows input size (r16: the r15 batch-11 rule extended
+    # to the un-benched stateful streaming family)
+    with _stream_state_width(spark, sf_dir):
+        dedup = (
+            _events_stream(spark, sf_dir)
+            .select("user_id", "event_type", "ts")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        return _run_to_memory(dedup)
 
 
 @query(
@@ -2525,11 +2562,14 @@ def streaming_dedup_minhash(spark, sf_dir):
     )
 
     prep_session(spark)
-    # the stateful op instantiates state stores per shuffle partition per
-    # micro-batch; size to in-flight state like the other streaming rows
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
+    # width follows the DOCUMENTS input size (r16 — replaces the old
+    # constant 16, which would have under-partitioned a 100 TB document
+    # stream).  floor=16, NOT the default 8: the per-bucket minhash
+    # verification is CPU-bound Python, and the derived 8 measured 49.5 →
+    # 74.5 s against the old 16 (interleaved A/B) — the floor keeps the
+    # measured-optimal local width while the size term still takes over
+    # at scale.
+    with _stream_state_width(spark, sf_dir, source="documents", floor=16):
         schema = spark.read.parquet(
             os.path.join(sf_dir, "documents.parquet")
         ).schema
@@ -2550,8 +2590,6 @@ def streaming_dedup_minhash(spark, sf_dir):
             window_us=3600 * 1_000_000,
         )
         return _run_to_memory(out)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @query(
@@ -2618,9 +2656,9 @@ def streaming_dedup_minhash_sig(spark, sf_dir):
     )
 
     prep_session(spark)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
+    # width follows the documents input size, floor=16 for the CPU-bound
+    # per-bucket Python verification (r16 — see the base variant's A/B)
+    with _stream_state_width(spark, sf_dir, source="documents", floor=16):
         schema = spark.read.parquet(
             os.path.join(sf_dir, "documents.parquet")
         ).schema
@@ -2642,8 +2680,6 @@ def streaming_dedup_minhash_sig(spark, sf_dir):
             store_shingles=False,
         )
         return _run_to_memory(out.select("doc_id_1", "doc_id_2"))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 # Extended inventory (TPC-H-shaped joins/aggregates, scalar-function library,

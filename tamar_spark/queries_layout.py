@@ -1372,7 +1372,16 @@ def table_profile(spark, sf_dir):
     distinct expand is the deliberate-profiling path — continuous
     monitoring uses ``approx_count_distinct`` (approx_distinct_users),
     which aggregates in constant space.  All outputs are exact integers —
-    nothing for a float hash to disagree on."""
+    nothing for a float hash to disagree on.
+
+    Deliberately NOT spread (r16, measured): the Expand+partial-distinct
+    stage runs as one 0.75 s task on the one-row-group fixture, but the
+    conditional round-robin made the query SLOWER (interleaved A/B
+    median 2.12 → 2.79 s) — with p partitions each distinct value
+    survives partial aggregation once per partition, so the exchange
+    carries up to p× the bytes and the final merge re-deduplicates them;
+    the parallelism win loses to the partial-agg dilution.  At scale the
+    scan arrives pre-split and the question is moot."""
     o = load_table(spark, sf_dir, "orders")
     aggs = []
     for c in _PROFILE_COLS:

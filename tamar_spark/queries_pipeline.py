@@ -83,6 +83,8 @@ Registered into the same QUERIES/ORACLES registry as tamar_spark.queries.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -2769,30 +2771,36 @@ def bpe_apply_merges(
     df: DataFrame, merges: DataFrame, steps: int, repr_col: str = "r"
 ) -> DataFrame:
     """Apply ``steps`` learned merge rules (from :func:`bpe_learn`) to a
-    bracketed-repr column, in merge order.  Each rule is a broadcast
-    1-row cross join feeding a plain string replace — the whole
-    application is a PROJECTION chain over the input (zero shuffles),
-    which is what makes tokenizer application embarrassingly parallel at
+    bracketed-repr column, in merge order, as ONE literal-replace
+    projection chain — zero joins, zero shuffles, full codegen — which
+    is what makes tokenizer application embarrassingly parallel at
     100 TB.  Shared by :func:`bpe_encode` and
     :func:`corpus_tokenize_pack` so learn and both apply legs cannot
-    drift."""
-    for step in range(1, steps + 1):
-        rule = merges.where(F.col("step") == step).select(
-            F.col("pair_left").alias(f"_a{step}"),
-            F.col("pair_right").alias(f"_b{step}"),
-        )
-        others = [c for c in df.columns if c != repr_col]
-        df = df.crossJoin(F.broadcast(rule)).select(
-            *others,
-            F.replace(
-                F.col(repr_col),
-                F.concat(
-                    F.lit("<"), f"_a{step}", F.lit("><"), f"_b{step}", F.lit(">")
-                ),
-                F.concat(F.lit("<"), f"_a{step}", f"_b{step}", F.lit(">")),
-            ).alias(repr_col),
-        )
-    return df
+    drift.
+
+    The rules are pulled to the driver first: a ≤``steps``-row collect
+    of the vocabulary-step-bounded merge table (same bounded-collect
+    posture as ``bpe_learn``'s local-tier probe — never corpus data).
+    The previous form kept the rules distributed, one broadcast 1-row
+    cross join per rule; that cost ``steps`` SEQUENTIAL broadcast-build
+    barriers before the corpus pass could start, and each consumer of
+    the apply leg re-derived all of them (r16 measurement: the serial
+    rule-broadcast chain, not the encode projection, dominated
+    bpe_encode).  With literal rules the whole application folds into
+    the scan-side projection and the barriers disappear at every
+    scale."""
+    rules = (
+        merges.where(F.col("step") <= steps)
+        .select("step", "pair_left", "pair_right")
+        .orderBy("step")
+        .collect()
+    )
+    expr = F.col(repr_col)
+    for r in rules:
+        a, b = r["pair_left"], r["pair_right"]
+        expr = F.replace(expr, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    others = [c for c in df.columns if c != repr_col]
+    return df.select(*others, expr.alias(repr_col))
 
 
 def _bpe_encode_oracle(steps: int = _BPE_STEPS) -> str:

@@ -800,24 +800,32 @@ def streaming_sliding_agg(spark, sf_dir):
     """Streaming sliding (hopping) windows, 1 h / 30 min, append mode: only
     windows closed by the final watermark emit (run-to-completion semantics
     as streaming_session_agg; the oracle filters to exactly those)."""
-    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.queries import (
+        _events_stream,
+        _run_to_memory,
+        _stream_state_width,
+        prep_session,
+    )
 
     prep_session(spark)
-    sdf = _events_stream(spark, sf_dir)
-    agg = (
-        sdf.groupBy(F.window(F.col("ts"), "1 hour", "30 minutes"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum_r("value").alias("sum_value"),
+    # state width follows input size (r16: the r15 batch-11 rule extended
+    # to the un-benched stateful streaming family)
+    with _stream_state_width(spark, sf_dir):
+        sdf = _events_stream(spark, sf_dir)
+        agg = (
+            sdf.groupBy(F.window(F.col("ts"), "1 hour", "30 minutes"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum_r("value").alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "n_events",
+                "sum_value",
+            )
         )
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "n_events",
-            "sum_value",
-        )
-    )
-    return _run_to_memory(agg)
+        return _run_to_memory(agg)
 
 
 # The IVF pipeline over any (c: neighbor_id, cv) corpus and (q: query_id,
@@ -1261,12 +1269,20 @@ def streaming_complete_counts(spark, sf_dir):
     """Complete-output-mode streaming aggregation: the sink holds the full
     current aggregate after every micro-batch (vs append's finalized-only
     rows) — after run-to-completion it equals the batch group-by."""
-    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.queries import (
+        _events_stream,
+        _run_to_memory,
+        _stream_state_width,
+        prep_session,
+    )
 
     prep_session(spark)
-    sdf = _events_stream(spark, sf_dir)
-    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return _run_to_memory(agg, mode="complete")
+    # state width follows input size (r16: the r15 batch-11 rule extended
+    # to the un-benched stateful streaming family)
+    with _stream_state_width(spark, sf_dir):
+        sdf = _events_stream(spark, sf_dir)
+        agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        return _run_to_memory(agg, mode="complete")
 
 
 @query(
@@ -1523,14 +1539,16 @@ def streaming_session_process(spark, sf_dir):
     the oracle's final-watermark filter is strict too."""
     import pandas as pd
 
-    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.queries import (
+        _events_stream,
+        _run_to_memory,
+        _stream_state_width,
+        prep_session,
+    )
     from tamar_spark.stream import DataStream
     from tamar_spark.streaming.sessions import session_process_streaming
 
     prep_session(spark)
-    sdf = _events_stream(spark, sf_dir).select("user_id", "ts", "value", "event_id")
-    keyed = DataStream(sdf, event_time="ts").key_by("user_id")
-
     schema = (
         "user_id long, window_start timestamp, window_end timestamp, "
         "n_events long, span_sec long, min_value double, max_value double"
@@ -1550,6 +1568,17 @@ def streaming_session_process(spark, sf_dir):
             }
         )
 
+    # DELIBERATELY NOT under _stream_state_width (r16, measured): the
+    # per-session pandas fire is CPU-bound Python, so narrowing the state
+    # exchange to 8 serializes it — interleaved A/B read 10.05 → 26.15 s
+    # median (worse in every pair).  This is the r15 batch-4 rule
+    # (stateful_event_numbering pinned its Python width UP) winning over
+    # the batch-11 state-store-count rule; the configured session width
+    # stays, exactly as for the batch process_state path.
+    sdf = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    keyed = DataStream(sdf, event_time="ts").key_by("user_id")
     out = session_process_streaming(keyed, 30 * 60, per_session, schema)
     return _run_to_memory(out.to_df())
 
@@ -2837,36 +2866,45 @@ def streaming_stream_outer_join(spark, sf_dir):
     invariants (matched set == batch inner join; every emitted NULL row
     genuinely unmatched) stay pinned by
     ``test_stream_outer_join_invariants``."""
-    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.queries import (
+        _events_stream,
+        _run_to_memory,
+        _stream_state_width,
+        prep_session,
+    )
 
     prep_session(spark)
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select("event_id", "user_id", "ts")
-    )
-    views = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("event_id").alias("view_id"),
-            F.col("user_id").alias("v_user_id"),
-            F.col("ts").alias("view_ts"),
+    # a stream-stream join instantiates 4 state stores per shuffle
+    # partition per micro-batch; width follows input size (r16 — the same
+    # rule streaming_stream_join has carried since r2, size-derived)
+    with _stream_state_width(spark, sf_dir):
+        clicks = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts")
         )
-    )
-    joined = clicks.join(
-        views,
-        (F.col("user_id") == F.col("v_user_id"))
-        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"))
-        & (F.col("view_ts") <= F.col("ts")),
-        "left_outer",
-    ).select(
-        F.col("event_id").alias("click_id"),
-        "view_id",
-        "user_id",
-        F.col("ts").alias("click_ts"),
-    )
-    out = _run_to_memory(joined)
+        views = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+        )
+        joined = clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("view_ts") <= F.col("ts")),
+            "left_outer",
+        ).select(
+            F.col("event_id").alias("click_id"),
+            "view_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        out = _run_to_memory(joined)
     # reconstruct the final watermark from the batch table: min over the two
     # filtered sides of (ms-truncated max event time) − delay; 1-row
     # aggregate, broadcast by the cross join
@@ -3062,14 +3100,16 @@ def streaming_global_state(spark, sf_dir):
     task) is the documented semantic, not an accident."""
     import pandas as pd
 
-    from tamar_spark.queries import _events_stream, _run_to_memory, prep_session
+    from tamar_spark.queries import (
+        _events_stream,
+        _run_to_memory,
+        _stream_state_width,
+        prep_session,
+    )
     from tamar_spark.stream import DataStream
     from tamar_spark.streaming.stateful import global_process_state_streaming
 
     prep_session(spark)
-    sdf = _events_stream(spark, sf_dir).select(
-        "event_id", "ts", "event_type", "value"
-    )
     schema = (
         "event_id long, global_seq long, purchases_so_far long,"
         " max_value_so_far double"
@@ -3107,13 +3147,21 @@ def streaming_global_state(spark, sf_dir):
             }
         )
 
-    out = global_process_state_streaming(
-        DataStream(sdf, event_time="ts"),
-        walk,
-        schema,
-        init_state=lambda: {"seq": 0, "purchases": 0, "max": None},
-    )
-    return _run_to_memory(out.df)
+    # state width follows input size (r16): the singleton key means all
+    # rows land in ONE state partition regardless, so every extra shuffle
+    # partition is an empty state-store open per micro-batch — pure fixed
+    # cost the size-derived width trims
+    with _stream_state_width(spark, sf_dir):
+        sdf = _events_stream(spark, sf_dir).select(
+            "event_id", "ts", "event_type", "value"
+        )
+        out = global_process_state_streaming(
+            DataStream(sdf, event_time="ts"),
+            walk,
+            schema,
+            init_state=lambda: {"seq": 0, "purchases": 0, "max": None},
+        )
+        return _run_to_memory(out.df)
 
 
 @query(
@@ -3169,39 +3217,43 @@ def streaming_stream_full_outer_join(spark, sf_dir):
     from tamar_spark.queries import (
         _events_stream,
         _run_to_memory,
+        _stream_state_width,
         epoch_us,
         prep_session,
     )
 
     prep_session(spark)
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select("event_id", "user_id", "ts")
-    )
-    views = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("event_id").alias("view_id"),
-            F.col("user_id").alias("v_user_id"),
-            F.col("ts").alias("view_ts"),
+    # 4 state stores per shuffle partition per micro-batch; width follows
+    # input size (r16 — same rule as streaming_stream_join)
+    with _stream_state_width(spark, sf_dir):
+        clicks = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts")
         )
-    )
-    joined = clicks.join(
-        views,
-        (F.col("user_id") == F.col("v_user_id"))
-        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"))
-        & (F.col("view_ts") <= F.col("ts")),
-        "full_outer",
-    ).select(
-        F.col("event_id").alias("click_id"),
-        "view_id",
-        F.coalesce(F.col("user_id"), F.col("v_user_id")).alias("user_id"),
-        F.col("ts").alias("click_ts"),
-        "view_ts",
-    )
-    out = _run_to_memory(joined)
+        views = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+        )
+        joined = clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("view_ts") <= F.col("ts")),
+            "full_outer",
+        ).select(
+            F.col("event_id").alias("click_id"),
+            "view_id",
+            F.coalesce(F.col("user_id"), F.col("v_user_id")).alias("user_id"),
+            F.col("ts").alias("click_ts"),
+            "view_ts",
+        )
+        out = _run_to_memory(joined)
     ts_type = dict(out.dtypes)["click_ts"]
     ms_floor = lambda c: F.timestamp_millis(
         (epoch_us(c) / 1000).cast("long")

@@ -589,6 +589,21 @@ def test_spread_roundrobin_is_bounded(spark, sf_dir):
         assert plan.count("roundrobin") <= 1, (name, plan.count("roundrobin"))
 
 
+def test_lang_segments_spread_fires_on_narrow_fixture(spark, sf_dir):
+    """lang_segments' per-row segment fold is ~10× heavier than the other
+    projection queries' (measured r15: 5.3 s single-task vs sub-second
+    spread), so the conditional ``sources.spread`` round-robin MUST be
+    present when the scan is narrower than the core count — the fixture
+    parquet is one row group, so exactly that case.  An r15 sweep
+    (eb08c22) silently dropped the spread and the driver bench read
+    8.6 s against a 0.8 s warm pre-removal median; the ≤1 pin above
+    cannot catch a drop, hence this presence pin.  On pre-split input
+    (est_partitions >= cores) spread declines by construction —
+    ``test_spread_*`` in test_sources covers that arm."""
+    plan = executed_plan(QUERIES["lang_segments"](spark, sf_dir)).lower()
+    assert plan.count("roundrobin") == 1, plan.count("roundrobin")
+
+
 def test_bloom_join_prune_probe_is_prejoin(spark, sf_dir):
     """The Bloom membership probe (shiftright bit test against the four
     broadcast words) must survive into the physical plan as a filter on
@@ -957,12 +972,34 @@ def test_stream_state_width_is_input_size_derived_and_restored(spark, sf_dir):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
-    # a huge input must bind the configured cap (no local constant): fake
-    # the derivation arithmetic directly — width is monotone in size and
-    # clamps to the session width
-    assert min(int(prev), max(8, math.ceil((100 * 2**40) / (8 << 20)))) == int(
-        prev
-    )
+    # a huge input must bind the configured cap through the REAL code
+    # path (r15 ADVICE: the old clause re-derived the same arithmetic
+    # and tested an identity): a sparse file the size of a large shard
+    # set must leave the conf at the configured width inside the scope
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        big = _os.path.join(tmp, "events.parquet")
+        with open(big, "wb") as fh:
+            fh.truncate(int(prev) * (8 << 20) + 1)  # sparse — no real I/O
+        with _stream_state_width(spark, tmp):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # directory-shaped dataset (the standard at-scale parquet layout):
+    # the width must derive from the SUM of the part files, never from
+    # the directory inode size (~4 KB → floor 8) — r15 VERDICT item 2
+    with tempfile.TemporaryDirectory() as tmp:
+        ds = _os.path.join(tmp, "events.parquet")
+        _os.makedirs(ds)
+        n_parts, part_bytes = 6, 24 << 20  # 144 MB summed → width 18
+        for i in range(n_parts):
+            with open(_os.path.join(ds, f"part-{i:05d}.parquet"), "wb") as fh:
+                fh.truncate(part_bytes)
+        open(_os.path.join(ds, "_SUCCESS"), "wb").close()  # sidecar: skipped
+        want = min(int(prev), max(8, math.ceil(n_parts * part_bytes / (8 << 20))))
+        assert want > 8 or int(prev) <= 8  # the case must exercise the sum
+        with _stream_state_width(spark, tmp):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(want)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
     # and a missing source directory is a safe no-op
     with _stream_state_width(spark, "/nonexistent-dir"):
         assert spark.conf.get("spark.sql.shuffle.partitions") == prev
