@@ -247,8 +247,14 @@ CANONICAL_ANCHOR = {
     # every pass pays its true cache-free cost, the property the r10
     # triangles row established.  In-context post-lease medians 5.15 /
     # 5.76 at index 1.195; dedicated warm 3.6-4.8 / 4.7-4.9.
-    "dedup_minhash_lsh": (5.0, 6.5),
-    "dedup_ngram_jaccard": (5.5, 6.6),
+    # re-recorded r16 (VERDICT r15 task 9): the r15 shingle-width batch
+    # changed both plans (hash-repartition width 8 on the exploded
+    # frame); quiet r16 runs read 4.13 [3.93, 5.19] / 3.96 [3.63, 5.91]
+    # (minhash) and 3.57 [3.55, 4.39] / 4.43 [3.58, 4.45] (jaccard) —
+    # the old (5.0/5.5) anchors described the pre-widening plans and
+    # would let a regression back to those shapes pass unflagged.
+    "dedup_minhash_lsh": (4.0, 5.9),
+    "dedup_ngram_jaccard": (3.9, 4.5),
     "dedup_embedding_lsh": (1.34, 3.05),
     "embed_cosine_topk": (1.26, 1.37),
     # re-recorded r11 under the r10 size-derived ⌈√n⌉ geometry (r10
@@ -259,8 +265,15 @@ CANONICAL_ANCHOR = {
     # 1.9-2.5.  Median pinned at the adjusted in-context figure.
     "embed_ivf_topk": (2.25, 2.90),
     "doc_quality": (0.30, 0.36),
-    "stateful_event_numbering": (3.87, 4.45),
-    "streaming_session_agg": (2.90, 4.30),
+    # re-recorded r16: the r15 batch-4 repartition pin before
+    # applyInPandas changed the plan (3.87 → ~1.1 warm); quiet r16 runs
+    # read 1.05 [0.98, 1.56] / 1.41 [1.24, 1.55] — the old anchor would
+    # mask a 3× regression back to the serialized shape.
+    "stateful_event_numbering": (1.15, 1.80),
+    # median re-recorded r16 after the r15 batch-11 size-derived state
+    # width (quiet runs 2.68 [2.58, 3.40]); the 4.30 cold max from the
+    # r12 adjudication is kept — streaming colds still reach it.
+    "streaming_session_agg": (2.65, 4.30),
     # re-recorded r11: no code change on this path, but it runs directly
     # after the dedup anchors in RECORDED_BASELINE order, and with their
     # caches lease-released each pass the predecessors now do full work

@@ -1003,3 +1003,11 @@ def test_stream_state_width_is_input_size_derived_and_restored(spark, sf_dir):
     # and a missing source directory is a safe no-op
     with _stream_state_width(spark, "/nonexistent-dir"):
         assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # per-query floor (r16): CPU-bound Python kernels pass floor=16 —
+    # a fixture-sized input must bind the floor, not 8 (the minhash
+    # streams' measured 49.5 → 74.5 s regression at the default floor),
+    # while the size term still dominates at scale (clamped by configured)
+    with _stream_state_width(spark, sf_dir, source="documents", floor=16):
+        want16 = min(int(prev), 16)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(want16)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
